@@ -1,0 +1,188 @@
+"""Deduplication operators over the ``documents`` table (engine extension).
+
+Design point is 100 TB of text: every variant is a shuffle-bounded
+DataFrame pipeline (hash-partition on a fingerprint/bucket key), never a
+driver-side pairwise loop. Cross-engine determinism: all hashes are md5
+(identical hex in Spark and DuckDB); ratios are exact int divisions.
+
+- exact:          group on md5(text)           (one shuffle)
+- minhash-LSH:    shingle → per-band seeded min-hash → bucket self-join
+                  (candidate pairs only; bands bound recall/precision)
+- ngram-jaccard:  true Jaccard on shingle sets for candidate pairs
+- simhash:        16-bit majority fingerprint from token hashes
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_bam_spark.queries import register
+from spark_bam_spark.tables import table
+
+N_BANDS = 4
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """doc_id + exploded distinct 3-word shingles."""
+    toks = df.select("doc_id", F.split("text", " ").alias("w"))
+    sh = toks.select(
+        "doc_id",
+        F.expr("transform(sequence(1, greatest(size(w) - 2, 0)), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))").alias(
+            "shingles"
+        ),
+    )
+    return sh.select("doc_id", F.explode("shingles").alias("s")).distinct()
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    tags=("dedup",),
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           COUNT(*) AS group_size,
+           MIN(doc_id) AS survivor_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); survivor = min doc_id.
+
+    One shuffle on the 128-bit hash — at 100 TB this is the cheapest
+    possible dedup (hash keys are uniform, no skew)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("survivor_doc_id"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    headline=True,
+    tags=("dedup", "lsh"),
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    mh AS (
+      SELECT doc_id, b.band, MIN(md5(CAST(b.band AS VARCHAR) || '|' || s)) AS sig
+      FROM sh, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+      GROUP BY doc_id, b.band
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM mh a JOIN mh c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: shingle → seeded min-hash per band → bucket
+    self-join emits candidate near-duplicate pairs.
+
+    Scale path: the self-join key is (band, signature) — uniformly
+    distributed, so the shuffle is balanced; candidate pairs (not all
+    pairs) are materialized, which is the whole point of LSH at 100 TB.
+    """
+    sh = _shingles(table(spark, sf_dir, "documents"))
+    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    mh = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("s")))).alias("sig"))
+    )
+    a, c = mh.alias("a"), mh.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.sig") == F.col("c.sig"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("dedup",),
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for pairs sharing ≥1 shingle, thresholded.
+
+    The shingle equi-join is the candidate generator (at 100 TB you'd LSH
+    first — dedup_minhash_lsh — and verify with this); integer set sizes
+    make the ratio exact and engine-identical."""
+    sh = _shingles(table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup",),
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN ascii(substr(md5(tok), j + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok, (SELECT unnest(generate_series(0, 15)) AS j) jj
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-token md5-derived bit votes, majority per bit.
+
+    Near-dups differ in few bits → group/bucket by simhash (or by rotated
+    prefixes for Hamming-distance search) downstream. Two balanced
+    shuffles; all vectorized JVM expressions, no Python in the hot path."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bits = tok.select("doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+    vote = F.when(F.expr("ascii(substring(md5(tok), j + 1, 1)) % 2 = 1"), 1).otherwise(-1)
+    per_bit = bits.groupBy("doc_id", "j").agg(F.sum(vote).alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, j)")).otherwise(0)).cast("bigint").alias("simhash")
+    )

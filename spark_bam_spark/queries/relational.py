@@ -1,0 +1,647 @@
+"""Relational operator coverage (SURVEY.md §2.2-2.8).
+
+Each query re-expresses one operator family from the reference's inventory
+over the synthetic corpus. Reference citations are in each docstring; the
+Spark side is written DataFrame-first so Catalyst owns pushdown, join
+selection, and agg placement.
+
+Numeric policy: money/quantity aggregates are computed in DECIMAL(18,4)
+(exact, order-independent) and cast to DOUBLE at the end so the Spark and
+DuckDB results are bit-identical. Non-exact stats (stddev, interpolated
+percentiles) are rounded to 4 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_bam_spark.queries import register
+from spark_bam_spark.tables import table
+
+
+def dec(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,4)")
+
+
+def dsum(c: str | Column) -> Column:
+    """Exact, order-independent sum: DECIMAL accumulate, DOUBLE out."""
+    return F.sum(dec(c)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4: A1-A12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    headline=True,
+    tags=("agg", "A3", "A6"),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style partial+final hash aggregation.
+
+    Maps the reference's monoid reductions (A3 error-counts sum,
+    cli/FullCheck.scala:147-164; A6 count, cli/CountReads.scala:36-58) onto
+    a single declarative groupBy — Catalyst plans a map-side partial agg.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "histogram_desc",
+    tags=("agg", "A2", "A8"),
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY n DESC, event_type
+    """,
+)
+def histogram_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flags histogram: groupBy+count, sorted desc (CheckerApp.scala:164-169)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n")).orderBy(F.desc("n"), "event_type")
+
+
+@register(
+    "confusion_matrix",
+    tags=("agg", "A1"),
+    oracle="""
+    SELECT (value > 50) AS predicted, (event_type IN ('purchase','signup')) AS actual,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP/TN/FP/FN counters as one hash-agg (CheckerApp.scala:70-96).
+
+    The reference bumps 4 longAccumulators while filtering; declaratively
+    this is a groupBy over the two boolean calls — one pass, no side state.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.col("value") > 50).alias("predicted"),
+            F.col("event_type").isin("purchase", "signup").alias("actual"),
+        )
+        .groupBy("predicted", "actual")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "group_stats",
+    tags=("agg", "A9"),
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS median_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats distributions N/min/max/mean/stddev/median (ComputeSplits.scala:58-69)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (F.sum(dec("o_totalprice")).cast("double") / F.count("*")).alias("mean_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+    )
+
+
+@register(
+    "count_distinct_by_group",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def count_distinct_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (engine-extension; absent in reference, §2.4 note)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "rollup_counts",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (engine-extension, §2.4 note)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "pivot_manual",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation (engine-extension)."""
+    li = table(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", dec("l_quantity")).otherwise(zero))
+        .cast("double")
+        .alias("qty_open"),
+        F.sum(F.when(F.col("l_linestatus") == "F", dec("l_quantity")).otherwise(zero))
+        .cast("double")
+        .alias("qty_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3: J1-J5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multiway_join",
+    headline=True,
+    tags=("join",),
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake equi-join chain; small dims broadcast (CanLoadBam.scala:80 ↔ F.broadcast)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "broadcast_dim_join",
+    headline=True,
+    tags=("join",),
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with explicit broadcast of the small side — no shuffle of the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
+    )
+
+
+@register(
+    "anti_join_no_orders",
+    tags=("join", "J5", "E1"),
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_customers_without_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join = the reference's read-name set diff (TimeLoad.scala:289-305)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+@register(
+    "semi_join_active_parts",
+    tags=("join",),
+    oracle="""
+    SELECT p.p_type, COUNT(*) AS n_parts
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    GROUP BY p.p_type
+    """,
+)
+def semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS); engine-native, absent in reference (§2.3 note)."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "full_outer_classify",
+    tags=("join", "J2", "E2"),
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+    SELECT CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 'Both'
+                WHEN a.k IS NOT NULL THEN 'LeftOnly' ELSE 'RightOnly' END AS side,
+           COUNT(*) AS n
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    GROUP BY 1
+    """,
+)
+def full_outer_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-diff orMerge: full-outer merge classified Both/L/R (ComputeSplits.scala:114-122)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k")).distinct()
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k")).distinct()
+    joined = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    side = (
+        F.when(F.col("a.k").isNotNull() & F.col("b.k").isNotNull(), "Both")
+        .when(F.col("a.k").isNotNull(), "LeftOnly")
+        .otherwise("RightOnly")
+    )
+    return joined.select(side.alias("side")).groupBy("side").agg(F.count("*").alias("n"))
+
+
+@register(
+    "interval_overlap_join",
+    headline=True,
+    tags=("join", "J4", "P2"),
+    oracle="""
+    SELECT CAST(d.day_start AS DATE) AS day, e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                        TIMESTAMP '2024-01-31',
+                                        INTERVAL 1 DAY)) AS day_start) d
+    JOIN events e ON e.ts >= d.day_start AND e.ts < d.day_start + INTERVAL 1 DAY
+    GROUP BY 1, 2
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast interval join — the loadBamIntervals overlap predicate
+    (Intervals.scala:148-154; J4). Small interval dim broadcast; range
+    predicate evaluated as a broadcast nested-loop join, exactly the scale
+    shape of reads⋈LociSet."""
+    ev = table(spark, sf_dir, "events")
+    days = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-01-01', timestamp'2024-01-31',"
+        " interval 1 day)) AS day_start"
+    )
+    joined = ev.join(
+        F.broadcast(days),
+        (ev.ts >= days.day_start) & (ev.ts < days.day_start + F.expr("interval 1 day")),
+    )
+    return joined.groupBy(
+        F.col("day_start").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+
+
+@register(
+    "asof_join_latest_order",
+    tags=("join", "asof"),
+    oracle="""
+    SELECT e.event_id, e.user_id, CAST(MAX(o.o_orderdate) AS DATE) AS asof_order_date
+    FROM events e
+    LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union+ordered-window merge (engine-extension).
+
+    Instead of the naive theta-join (orders × events per key, quadratic in
+    per-key cardinality), union both streams tagged, sort once per key, and
+    carry the last seen order timestamp forward — one shuffle, linear work,
+    the classic scalable merge-asof. The oracle states the same semantics
+    as the naive SQL.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts").alias("t"), F.col("event_id"), F.lit(1).alias("is_event")
+    )
+    od = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_event"),
+    )
+    merged = ev.unionByName(od).withColumn(
+        "order_t", F.when(F.col("is_event") == 0, F.col("t"))
+    )
+    # orders sort before events at equal t (is_event asc) => o_orderdate <= ts inclusive
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("asof_order_date", F.last("order_t", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", F.col("asof_order_date").cast("date").alias("asof_order_date"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / ordered operators (SURVEY §2.5: W1-W5, A4-A5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_lead_splits",
+    tags=("window", "W1"),
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           DATE_DIFF('day', o_orderdate,
+                     LEAD(o_orderdate) OVER w) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lead_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sliding2: pair each element with its successor to form (start,end)
+    split ranges (CanLoadBam.scala:172; W1) — LEAD over an ordered window."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).cast("long").alias("gap_days"),
+    )
+
+
+@register(
+    "window_lag_prev",
+    tags=("window", "W2"),
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           LAG(l_quantity) OVER (PARTITION BY l_suppkey
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+    FROM lineitem
+    """,
+)
+def window_lag_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sliding2Prev: pair each block with its predecessor (CheckBlocks.scala:83,102; W2)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select("l_suppkey", "l_orderkey", "l_linenumber", F.lag("l_quantity").over(w).alias("prev_qty"))
+
+
+@register(
+    "cumulative_prefix_sum",
+    tags=("window", "A4", "A5"),
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def cumulative_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scanLeft prefix sum (Blocks.scala:98-107 A5; FullCheck CDF A4) as a
+    cumulative window sum — Spark computes it distributed per key."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(W.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "row_number_range_filter",
+    tags=("window", "P11", "P10"),
+    oracle="""
+    SELECT o_orderkey, rn FROM (
+      SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders
+    ) WHERE rn BETWEEN 101 AND 200
+    """,
+)
+def row_number_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-index range selection (HTSJDKRewrite.scala:54-58 `-r 100-1000`; P11)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.orderBy("o_orderkey")
+    return (
+        o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn").between(101, 200))
+    )
+
+
+@register(
+    "prefix_sum_bucket_assignment",
+    tags=("window", "W5"),
+    oracle="""
+    SELECT bucket, COUNT(*) AS n_rows,
+           CAST(SUM(qty) AS DOUBLE) AS bucket_qty
+    FROM (
+      SELECT CAST(FLOOR((SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                   OVER (ORDER BY l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING)
+                   - CAST(l_quantity AS DECIMAL(18,4))) / 10000) AS BIGINT) AS bucket,
+             CAST(l_quantity AS DECIMAL(18,4)) AS qty
+      FROM lineitem
+    ) GROUP BY bucket
+    """,
+)
+def prefix_sum_bucket_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-offset partition assignment (Blocks.scala:116-124; W5):
+    prefix-sum of costs, bucket id = floor(preceding_total / split_size).
+    This is exactly the reference's balanced-partition planner as SQL."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_orderkey", "l_linenumber").rowsBetween(W.unboundedPreceding, 0)
+    cum = F.sum(dec("l_quantity")).over(w) - dec("l_quantity")
+    return (
+        li.select(
+            F.floor(cum / 10000).cast("long").alias("bucket"),
+            dec("l_quantity").alias("qty"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"), F.sum("qty").cast("double").alias("bucket_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.6: O1-O5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_revenue_orders",
+    headline=True,
+    tags=("topk", "O3"),
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break — Spark plans TakeOrderedAndProject
+    (no global sort materialization; O3, CheckerApp print-limit)."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "topk_per_group",
+    tags=("topk", "window"),
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (engine-extension; §2.6 note)."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7: E1-E3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_except",
+    tags=("setop", "E1"),
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference both directions (TimeLoad.scala:289-305; E1)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    return building.exceptAll(with_orders).distinct()
+
+
+@register(
+    "set_intersect",
+    tags=("setop",),
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (engine-native; absent in reference, §2.7 note)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(with_orders)
+
+
+@register(
+    "union_distinct_sorted",
+    tags=("setop", "E3"),
+    oracle="""
+    SELECT DISTINCT p_brand AS name FROM part
+    UNION
+    SELECT DISTINCT p_type AS name FROM part
+    ORDER BY name
+    """,
+)
+def union_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allAddresses = (offsets ++ boundaries).distinct.sorted (Index.scala:38-40; E3)."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(F.col("p_brand").alias("name"))
+        .union(p.select(F.col("p_type").alias("name")))
+        .distinct()
+        .orderBy("name")
+    )

@@ -1,0 +1,107 @@
+"""Similarity search over the ``embeddings`` table (engine extension).
+
+Baseline: brute-force cosine top-k — correct at any scale but O(N) per
+query; the scale path prunes candidates with a coarse partition (IVF-style,
+here the ``label`` column stands in for a learned centroid assignment).
+
+Determinism contract with the DuckDB oracle: every dot product / norm is
+accumulated in DECIMAL (exact, order-independent), then finished in DOUBLE
+— bit-identical across engines, so even top-k ordering agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_bam_spark.queries import register
+from spark_bam_spark.tables import table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+_DEC = "decimal(28,12)"
+
+
+def _cosine_scores(spark: SparkSession, sf_dir: str, restrict_label: bool) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("label").alias("q_label"), F.posexplode("embedding").alias("i", "y")
+    )
+    e = emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "x"))
+    j = e.join(F.broadcast(q), "i")
+    if restrict_label:
+        j = j.filter(F.col("label") == F.col("q_label"))
+    x = F.col("x").cast("double")
+    y = F.col("y").cast("double")
+    per = j.groupBy("vec_id").agg(
+        F.sum((x * y).cast(_DEC)).cast("double").alias("dotp"),
+        F.sum((x * x).cast(_DEC)).cast("double").alias("xx"),
+        F.sum((y * y).cast(_DEC)).cast("double").alias("yy"),
+    )
+    return per.select(
+        "vec_id",
+        (F.col("dotp") / (F.sqrt("xx") * F.sqrt("yy"))).alias("cosine"),
+    )
+
+
+def _oracle(restrict: str) -> str:
+    return f"""
+    WITH q AS (SELECT embedding AS qv, label AS q_label FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID}),
+    prods AS (
+      SELECT e.vec_id,
+             unnest(list_transform(e.embedding,
+                    (x, i) -> CAST(CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) AS DECIMAL(28,12)))) AS xy,
+             unnest(list_transform(e.embedding,
+                    (x, i) -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS xx,
+             unnest(list_transform(q.qv,
+                    (y, i) -> CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12)))) AS yy
+      FROM embeddings e, q
+      {restrict}
+    )
+    SELECT vec_id,
+           CAST(SUM(xy) AS DOUBLE) / (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cosine
+    FROM prods
+    GROUP BY vec_id
+    ORDER BY cosine DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@register(
+    "cosine_topk_bruteforce",
+    headline=True,
+    tags=("similarity",),
+    oracle=_oracle(""),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against query vec 0.
+
+    Distributed exhaustive scan: broadcast the query vector's components,
+    one balanced shuffle on vec_id, TakeOrderedAndProject for the top-k —
+    the right baseline even at 100 TB (no index, perfect recall)."""
+    return (
+        _cosine_scores(spark, sf_dir, restrict_label=False)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "cosine_topk_ivf",
+    tags=("similarity", "ann"),
+    oracle=_oracle("WHERE e.label = q.q_label"),
+)
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse partition (``label``
+    stands in for a centroid assignment).
+
+    At scale the table is written partitioned by the coarse id, so this
+    becomes partition pruning — the scan itself shrinks, not just the
+    compute."""
+    return (
+        _cosine_scores(spark, sf_dir, restrict_label=True)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )

@@ -1,0 +1,121 @@
+"""Batch-checkable equivalents of the streaming pipelines (SURVEY §2.9).
+
+The live Structured Streaming versions (readStream → watermark → windowed
+agg) live in ``spark_bam_spark.streaming`` and are exercised by tests; the
+queries here compute the identical results in batch so the DuckDB oracle
+can verify the window semantics (tumbling buckets are epoch-aligned in
+both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_bam_spark.queries import register
+from spark_bam_spark.tables import table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "window_tumbling_hourly",
+    headline=True,
+    tags=("streaming", "window"),
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window agg — identical grouping to the
+    streaming pipeline's `F.window(ts, '1 hour')` (epoch-aligned)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "window_sliding_6h_1h",
+    tags=("streaming", "window"),
+    oracle="""
+    SELECT strftime(s.start, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
+    FROM (SELECT UNNEST(generate_series(TIMESTAMP '2023-12-31 19:00:00',
+                                        TIMESTAMP '2024-01-31 00:00:00',
+                                        INTERVAL 1 HOUR)) AS start) s
+    JOIN events e ON e.ts >= s.start AND e.ts < s.start + INTERVAL 6 HOUR
+    GROUP BY 1
+    """,
+)
+def window_sliding_6h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6h-window/1h-slide counts — `F.window(ts, '6 hours', '1 hour')`.
+
+    Spark assigns each event to its 6 covering windows (an explode, not a
+    join) — the streaming-native formulation; the oracle states the same
+    result as an interval join."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"), "n")
+    )
+
+
+@register(
+    "sessionization_gap30m",
+    tags=("streaming", "session"),
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap>30min starts a session (lag + cumsum) — the
+    batch equivalent of `session_window(ts, '30 minutes')`; one shuffle
+    on user_id, windows computed per key."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1).otherwise(0).alias("is_new"),
+    )
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    sess = flagged.withColumn("session_id", F.sum("is_new").over(cum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).cast("bigint").alias("duration_sec"),
+    )

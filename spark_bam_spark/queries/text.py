@@ -1,0 +1,113 @@
+"""Text-analysis operators over ``documents`` (engine extension).
+
+All hot-path expressions are built-in JVM functions (split/regexp/md5) —
+no Python UDFs. Ratios divide exact integer counts, so results are
+bit-identical with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_bam_spark.queries import register
+from spark_bam_spark.tables import table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "text_token_stats",
+    tags=("text",),
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + corpus stats per source."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum(ntok).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    tags=("text",),
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                x -> x IN {_SW_SQL})) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token count, mean token length, stopword ratio.
+
+    The standard pre-training quality gates (C4/Gopher-style); each is a
+    narrow per-row expression — no shuffle at all, scales linearly."""
+    d = table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ntok = F.size(F.split("text", " "))
+    nstop = F.expr(f"size(filter(split(lower(text), ' '), x -> x IN ({sw})))")
+    return d.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / ntok).alias("avg_token_len"),
+        (nstop.cast("double") / ntok).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("text",),
+    oracle="""
+    SELECT doc_id, md5(substr(lower(text), 1, 128)) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: hash of the normalized 128-char prefix —
+    the cheap first-pass near-dup key (head dedup)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.substring(F.lower("text"), 1, 128)).alias("fingerprint"))
+
+
+@register(
+    "text_lang_confusion",
+    tags=("text",),
+    oracle=f"""
+    SELECT lang,
+           (CAST(len(list_filter(string_split(lower(text), ' '),
+                                 x -> x IN {_SW_SQL})) AS DOUBLE)
+              / len(string_split(text, ' ')) > 0.05) AS looks_english,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit ratio) × labeled lang — the
+    engine-side analogue of the reference's differential confusion matrix
+    (CheckerApp.scala:70-96), applied to a text classifier."""
+    d = table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    nstop = F.expr(f"size(filter(split(lower(text), ' '), x -> x IN ({sw})))")
+    ntok = F.size(F.split("text", " "))
+    return (
+        d.select("lang", ((nstop.cast("double") / ntok) > 0.05).alias("looks_english"))
+        .groupBy("lang", "looks_english")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory.
+
+Tuned for the harness (local[N] single JVM) but with settings that carry to
+a real cluster: AQE on (runtime re-planning, skew-join handling, partition
+coalescing), Arrow for the Python boundary, UTC session timezone so results
+are comparable with the DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "spark_bam_spark", shuffle_partitions: str | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    On a real cluster ``master`` comes from spark-submit; here we default to
+    local[$SPARK_GRAFT_CPUS]. shuffle partitions default to core count —
+    the right size for local mode; at 100 TB scale this is overridden per
+    job (AQE coalescing makes over-provisioning cheap).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert in tables.table()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
