@@ -1,0 +1,174 @@
+"""BAM record binary encode/decode — public SAM/BAM spec §4.2.
+
+Field layout parity with the reference's parse sites
+(check/.../eager/Checker.scala:46-107; FIXED_FIELDS_SIZE = 9*4,
+check/.../Checker.scala:18): block_size, refID, pos, l_read_name, mapq,
+bin, n_cigar_op, flag, l_seq, next_refID, next_pos, tlen, then name /
+cigar / 4-bit seq / qual / tags.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+FIXED_FIELDS_SIZE = 36  # block_size + 8 more int32-sized slots
+CIGAR_OPS = "MIDNSHP=X"  # 9 valid ops; op nibble > 8 is invalid
+SEQ_CODES = "=ACMGRSVTWYHKDBN"
+_SEQ_TO_NIBBLE = {c: i for i, c in enumerate(SEQ_CODES)}
+FLAG_UNMAPPED = 0x4
+# ops that consume reference loci (for end_pos): M/D/N/=/X
+_REF_CONSUMING = {0, 2, 3, 7, 8}
+
+
+@dataclass
+class BamRecord:
+    qname: str
+    flag: int
+    ref_idx: int
+    pos: int  # 0-based; -1 unplaced
+    mapq: int
+    cigar: list[tuple[int, int]]  # (op_idx, length)
+    mate_ref_idx: int
+    mate_pos: int
+    tlen: int
+    seq: str
+    qual: bytes
+    tags: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def n_cigar_ops(self) -> int:
+        return len(self.cigar)
+
+    @property
+    def seq_len(self) -> int:
+        return len(self.seq)
+
+    @property
+    def cigar_str(self) -> str:
+        if not self.cigar:
+            return "*"
+        return "".join(f"{ln}{CIGAR_OPS[op]}" for op, ln in self.cigar)
+
+    @property
+    def end_pos(self) -> int:
+        """Alignment end: pos + reference-consumed cigar length."""
+        if self.pos < 0:
+            return -1
+        return self.pos + sum(ln for op, ln in self.cigar if op in _REF_CONSUMING)
+
+    def is_mapped(self) -> bool:
+        return not (self.flag & FLAG_UNMAPPED)
+
+
+def encode_record(r: BamRecord) -> bytes:
+    name_b = r.qname.encode("ascii") + b"\x00"
+    n_cigar = len(r.cigar)
+    l_seq = len(r.seq)
+    # reg2bin over [pos, end) — spec §5.3; 0 for unplaced
+    bin_ = _reg2bin(r.pos, max(r.end_pos, r.pos + 1)) if r.pos >= 0 else 0
+    body = bytearray()
+    body += struct.pack(
+        "<iiBBHHHiiii",
+        r.ref_idx,
+        r.pos,
+        len(name_b),
+        r.mapq,
+        bin_,
+        n_cigar,
+        r.flag,
+        l_seq,
+        r.mate_ref_idx,
+        r.mate_pos,
+        r.tlen,
+    )
+    body += name_b
+    for op, ln in r.cigar:
+        body += struct.pack("<I", (ln << 4) | op)
+    seq_bytes = bytearray((l_seq + 1) // 2)
+    for i, base in enumerate(r.seq):
+        nib = _SEQ_TO_NIBBLE.get(base, 15)
+        seq_bytes[i // 2] |= nib << (4 if i % 2 == 0 else 0)
+    body += seq_bytes
+    body += r.qual if len(r.qual) == l_seq else bytes([0xFF] * l_seq)
+    for tag, val in sorted(r.tags.items()):
+        body += tag.encode("ascii")[:2] + b"Z" + val.encode("ascii") + b"\x00"
+    return struct.pack("<i", len(body)) + bytes(body)
+
+
+def decode_record(buf: bytes, off: int) -> tuple[BamRecord, int]:
+    """Decode one record at ``off``; returns (record, total bytes consumed).
+    Raises on truncation — validity checking is the checker's job."""
+    (block_size,) = struct.unpack_from("<i", buf, off)
+    if block_size < FIXED_FIELDS_SIZE - 4 or off + 4 + block_size > len(buf):
+        raise ValueError(f"truncated/invalid record at {off}")
+    p = off + 4
+    ref_idx, pos, l_name, mapq, bin_, n_cigar, flag, l_seq, mate_ref, mate_pos, tlen = struct.unpack_from(
+        "<iiBBHHHiiii", buf, p
+    )
+    p += 32
+    qname = buf[p : p + l_name - 1].decode("ascii", errors="replace")
+    p += l_name
+    cigar = []
+    for _ in range(n_cigar):
+        (v,) = struct.unpack_from("<I", buf, p)
+        cigar.append((v & 0xF, v >> 4))
+        p += 4
+    n_seq_bytes = (l_seq + 1) // 2
+    seq_chars = []
+    for i in range(l_seq):
+        b = buf[p + i // 2]
+        nib = (b >> 4) if i % 2 == 0 else (b & 0xF)
+        seq_chars.append(SEQ_CODES[nib])
+    p += n_seq_bytes
+    qual = bytes(buf[p : p + l_seq])
+    p += l_seq
+    end = off + 4 + block_size
+    tags: dict[str, str] = {}
+    while p + 3 <= end:
+        tag = buf[p : p + 2].decode("ascii", errors="replace")
+        typ = chr(buf[p + 2])
+        p += 3
+        if typ == "Z":
+            z = buf.index(b"\x00", p, end)
+            tags[tag] = buf[p:z].decode("ascii", errors="replace")
+            p = z + 1
+        elif typ in "cC":
+            p += 1
+        elif typ in "sS":
+            p += 2
+        elif typ in "iIf":
+            p += 4
+        else:
+            break  # H/B and unknown: stop politely (fixtures only use Z)
+    rec = BamRecord(
+        qname=qname,
+        flag=flag,
+        ref_idx=ref_idx,
+        pos=pos,
+        mapq=mapq,
+        cigar=cigar,
+        mate_ref_idx=mate_ref,
+        mate_pos=mate_pos,
+        tlen=tlen,
+        seq="".join(seq_chars),
+        qual=qual,
+        tags=tags,
+    )
+    return rec, 4 + block_size
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """SAM spec §5.3 binning (public pseudo-code)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0

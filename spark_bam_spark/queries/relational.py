@@ -266,20 +266,21 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_no_orders",
     tags=("join", "J5", "E1"),
     oracle="""
-    SELECT c.c_nationkey, COUNT(*) AS n_customers_without_orders
+    SELECT c.c_nationkey, COUNT(*) AS n_customers_without_big_orders
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     GROUP BY c.c_nationkey
     """,
 )
 def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join = the reference's read-name set diff (TimeLoad.scala:289-305)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_customers_without_orders"))
+        .agg(F.count("*").alias("n_customers_without_big_orders"))
     )
 
 
@@ -594,9 +595,9 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set_except",
     tags=("setop", "E1"),
     oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,8 +605,8 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
-    return building.exceptAll(with_orders).distinct()
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return with_orders.exceptAll(building).distinct()
 
 
 @register(

@@ -35,6 +35,8 @@ def get_spark(app_name: str = "spark_bam_spark", shuffle_partitions: str | None 
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in tables.table()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # allow Python DataSource pushFilters (bam zone-map pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

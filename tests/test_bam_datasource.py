@@ -1,0 +1,97 @@
+"""End-to-end DataSource tests — the reference's loader invariants
+(LoadBAMTest.scala:23-122): total count, split-size invariance, first
+read names, interval predicate pushdown, write round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_bam_spark.bam.datasource import register
+from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES, make_fixture
+
+N = 2500
+
+
+@pytest.fixture(scope="module")
+def bam(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bamds") / "2500.bam")
+    return make_fixture(path, n=N, block_payload=4096)
+
+
+@pytest.fixture(scope="module")
+def spark_bam(spark):
+    register(spark)
+    return spark
+
+
+def _reads(spark, path, **opts):
+    r = spark.read.format("bam")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def test_count_and_schema(spark_bam, bam):
+    df = _reads(spark_bam, bam.path, split_size=65536)
+    assert df.count() == N
+    assert df.schema["pos"].dataType.simpleString() == "bigint"
+    assert df.schema["tags"].dataType.simpleString() == "map<string,string>"
+
+
+def test_positions_match_ground_truth(spark_bam, bam):
+    df = _reads(spark_bam, bam.path, split_size=65536)
+    got = sorted((r.block_pos, r.offset) for r in df.select("block_pos", "offset").collect())
+    expected = sorted((p.block_pos, p.offset) for p in bam.record_positions)
+    assert got == expected
+
+
+@pytest.mark.parametrize("split_size", [16384, 65536, 1 << 20])
+def test_split_size_invariance(spark_bam, bam, split_size):
+    """The spark-bam property: any split size yields the same records
+    exactly once (docs/motivation.md:36-52)."""
+    df = _reads(spark_bam, bam.path, split_size=split_size)
+    rows = df.select("qname").collect()
+    assert len(rows) == N
+    assert len({r.qname for r in rows}) == N
+
+
+def test_multiple_partitions_actually_planned(spark_bam, bam):
+    df = _reads(spark_bam, bam.path, split_size=16384)
+    assert df.rdd.getNumPartitions() > 4
+
+
+def test_interval_filter_with_pushdown_matches_full_scan(spark_bam, bam):
+    full = _reads(spark_bam, bam.path, split_size=65536)
+    expected = full.filter((F.col("rname") == "1") & (F.col("pos") >= 13000) & (F.col("pos") < 500000)).count()
+    pruned = _reads(spark_bam, bam.path, split_size=16384).filter(
+        (F.col("rname") == "1") & (F.col("pos") >= 13000) & (F.col("pos") < 500000)
+    )
+    assert pruned.count() == expected
+    assert expected > 0
+
+
+def test_blocks_source_matches_sidecar(spark_bam, bam):
+    df = spark_bam.read.format("bgzf_blocks").option("split_size", 16384).load(bam.path)
+    got = sorted((r.start, r.compressed_size, r.uncompressed_size) for r in df.collect())
+    expected = sorted((b.start, b.compressed_size, b.uncompressed_size) for b in bam.blocks)
+    assert got == expected
+
+
+def test_write_roundtrip(spark_bam, bam, tmp_path):
+    df = _reads(spark_bam, bam.path, split_size=1 << 20)
+    out = str(tmp_path / "rewritten")
+    contigs = ",".join(f"{n}:{ln}" for n, ln in zip(CONTIG_NAMES, CONTIG_LENGTHS))
+    (
+        df.repartition(3)
+        .write.format("bam")
+        .option("contigs", contigs)
+        .option("block_payload", 4096)
+        .mode("append")
+        .save(out)
+    )
+    back = _reads(spark_bam, out, split_size=16384)
+    assert back.count() == N
+    a = sorted(r.qname for r in df.select("qname").collect())
+    b = sorted(r.qname for r in back.select("qname").collect())
+    assert a == b
