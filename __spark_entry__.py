@@ -19,9 +19,7 @@ from spark_bam_spark.queries import load_all  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from spark_bam_spark.queries.relational import pricing_summary
-
-    return pricing_summary(spark, "/root/testdata/sf0.001")
+    return load_all()["pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

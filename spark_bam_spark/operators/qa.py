@@ -1,0 +1,208 @@
+"""The reference's CLI QA harness (SURVEY §2.11) as DataFrame pipelines.
+
+Each subcommand becomes a declarative pipeline over the format layer's
+DataFrames; the per-partition-initialized Checker typeclass (§2.10,
+check/.../Checker.scala:6-24) becomes ``mapInPandas`` with per-task file
+handles and a block cache.
+
+Pipelines (reference dataflow cited in each function):
+- check-bam   → calls() + confusion_matrix() + flags_histogram()
+- full-check  → flags_histogram() + error CDF
+- check-blocks→ block_first_reads() (+ lag attribution)
+- compute-splits → splits_from_partitions() + split_diff()
+- count-reads → count via scan, compared to sidecar ground truth
+- time-load   → first_reads_per_partition() anti-joined both ways
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_bam_spark.bam.bgzf import MAX_BLOCK_SIZE
+
+_LOOKAHEAD_BLOCKS = 4
+
+
+def _open_window(path: str, block_start: int, n_blocks: int) -> bytes:
+    """Decompress ``n_blocks`` blocks from ``block_start`` into one flat
+    buffer (the checker needs successor-record lookahead)."""
+    from spark_bam_spark.bam import bgzf
+
+    out = bytearray()
+    with open(path, "rb") as f:
+        for i, (_meta, data) in enumerate(bgzf.block_stream(f, block_start)):
+            out.extend(data)
+            if i + 1 >= n_blocks:
+                break
+    return bytes(out)
+
+
+def calls(spark: SparkSession, bam_path: str, stride: int = 1) -> DataFrame:
+    """Per-position eager-checker calls joined to ground truth — the
+    check-bam fact table (CallPartition.scala:23-53 → RDD[(Pos,(call,truth))];
+    PosIterator.scala:5-15 enumerates every uncompressed offset).
+
+    Scale shape: the blocks table is the driver of parallelism (balanced
+    byte ranges); each task initializes one header + reuses decompressed
+    windows; output is hash-partitionable on (block_pos, offset)."""
+    from spark_bam_spark.bam.datasource import register
+
+    register(spark)
+    blocks = spark.read.format("bgzf_blocks").load(bam_path)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_bam_spark.bam.checker import check_record_start
+        from spark_bam_spark.bam.header import parse_header
+
+        headers: dict[str, object] = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.path not in headers:
+                    with open(row.path, "rb") as f:
+                        headers[row.path] = parse_header(f).info()
+                info = headers[row.path]
+                flat = _open_window(row.path, row.start, _LOOKAHEAD_BLOCKS)
+                offs = list(range(0, row.uncompressed_size, stride))
+                out = pd.DataFrame(
+                    {
+                        "block_pos": pd.Series([row.start] * len(offs), dtype="int64"),
+                        "offset": pd.Series(offs, dtype="int32"),
+                        "eager_call": pd.Series(
+                            [check_record_start(flat, o, info) for o in offs], dtype="bool"
+                        ),
+                    }
+                )
+                yield out
+
+    c = blocks.mapInPandas(gen, schema="block_pos long, offset int, eager_call boolean")
+    truth = (
+        spark.read.csv(bam_path + ".records", schema="block_pos long, offset int")
+        .withColumn("oracle_call", F.lit(True))
+    )
+    return c.join(truth, ["block_pos", "offset"], "left").fillna({"oracle_call": False})
+
+
+def confusion_matrix(calls_df: DataFrame) -> DataFrame:
+    """TP/TN/FP/FN in one hash-agg (CheckerApp.scala:70-96, A1)."""
+    return calls_df.groupBy("eager_call", "oracle_call").agg(F.count("*").alias("n"))
+
+
+def flags_histogram(spark: SparkSession, bam_path: str, limit_blocks: int | None = None) -> DataFrame:
+    """full-check: per failing position collect the 19-flag struct, keyed
+    by #failing flags (FullCheck.scala:86-325, A3) + histogram (A2)."""
+    from spark_bam_spark.bam.datasource import register
+
+    register(spark)
+    blocks = spark.read.format("bgzf_blocks").load(bam_path)
+    if limit_blocks:
+        blocks = blocks.orderBy("start").limit(limit_blocks)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_bam_spark.bam.checker import FLAG_NAMES, record_flags
+        from spark_bam_spark.bam.header import parse_header
+
+        headers: dict[str, object] = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.path not in headers:
+                    with open(row.path, "rb") as f:
+                        headers[row.path] = parse_header(f).info()
+                info = headers[row.path]
+                flat = _open_window(row.path, row.start, _LOOKAHEAD_BLOCKS)
+                rows = []
+                for o in range(row.uncompressed_size):
+                    flags = record_flags(flat, o, info)
+                    nf = sum(flags.values())
+                    if nf:
+                        rows.append((row.start, o, nf, [k for k, v in flags.items() if v]))
+                yield pd.DataFrame(rows, columns=["block_pos", "offset", "num_flags", "flags"])
+
+    gen_schema = "block_pos long, offset int, num_flags int, flags array<string>"
+    df = blocks.mapInPandas(gen, schema=gen_schema)
+    return (
+        df.groupBy("num_flags")
+        .agg(F.count("*").alias("n_positions"))
+        .orderBy("num_flags")
+    )
+
+
+def splits_from_partitions(reads: DataFrame) -> DataFrame:
+    """compute-splits: first Pos per partition + lead() → (start,end)
+    ranges (CanLoadBam.scala:145-179 S6, sliding2 W1)."""
+    firsts = (
+        reads.select(F.spark_partition_id().alias("pid"), "block_pos", "offset")
+        .groupBy("pid")
+        .agg(F.min(F.struct("block_pos", "offset")).alias("start"))
+        .select("pid", "start.block_pos", "start.offset")
+    )
+    w = W.orderBy("block_pos", "offset")
+    return firsts.select(
+        "pid",
+        "block_pos",
+        "offset",
+        F.lead("block_pos").over(w).alias("end_block_pos"),
+        F.lead("offset").over(w).alias("end_offset"),
+    )
+
+
+def split_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """compare-splits orMerge: full-outer on start Pos, classify
+    Both/LeftOnly/RightOnly (ComputeSplits.scala:114-122, J2/E2)."""
+    aa = a.select("block_pos", "offset").withColumn("in_a", F.lit(True))
+    bb = b.select("block_pos", "offset").withColumn("in_b", F.lit(True))
+    j = aa.join(bb, ["block_pos", "offset"], "full_outer")
+    side = (
+        F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), "Both")
+        .when(F.col("in_a").isNotNull(), "LeftOnly")
+        .otherwise("RightOnly")
+    )
+    return j.select(side.alias("side")).groupBy("side").agg(F.count("*").alias("n"))
+
+
+def block_first_reads(spark: SparkSession, bam_path: str) -> DataFrame:
+    """check-blocks: offset of the first record in each block + previous
+    block's size for bad-split attribution (CheckBlocks.scala:37-194,
+    sliding2Prev W2, histogram A8)."""
+    from spark_bam_spark.bam.datasource import register
+
+    register(spark)
+    reads_firsts = (
+        spark.read.format("bam").load(bam_path)
+        .groupBy("block_pos")
+        .agg(F.min("offset").alias("first_read_offset"))
+    )
+    blocks = spark.read.format("bgzf_blocks").load(bam_path)
+    w = W.orderBy("start")
+    blocks_prev = blocks.select(
+        "start",
+        "compressed_size",
+        "uncompressed_size",
+        F.lag("compressed_size").over(w).alias("prev_compressed_size"),
+    )
+    return blocks_prev.join(
+        reads_firsts, blocks_prev.start == reads_firsts.block_pos, "left"
+    ).select("start", "compressed_size", "uncompressed_size", "prev_compressed_size", "first_read_offset")
+
+
+def first_reads_per_partition(reads: DataFrame) -> DataFrame:
+    """time-load W4: first read (by Pos) of each partition."""
+    w = W.partitionBy("pid").orderBy("block_pos", "offset")
+    return (
+        reads.select(F.spark_partition_id().alias("pid"), "qname", "block_pos", "offset")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def name_set_diff(a: DataFrame, b: DataFrame) -> tuple[int, int]:
+    """time-load E1: anti-join of first-read names, both directions
+    (TimeLoad.scala:289-305). Returns (onlyInA, onlyInB) counts."""
+    only_a = a.select("qname").join(b.select("qname"), "qname", "left_anti").count()
+    only_b = b.select("qname").join(a.select("qname"), "qname", "left_anti").count()
+    return only_a, only_b

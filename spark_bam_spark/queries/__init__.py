@@ -34,6 +34,31 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def ensure_session_ready(spark: SparkSession) -> None:
+    """Make an externally-provided SparkSession usable by our queries:
+    runtime-settable SQL confs + ship the package to Python workers.
+    (The driver builds its own session; we cannot rely on our factory.)"""
+    if getattr(spark, "_spark_bam_spark_ready", False):
+        return
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # non-runtime-settable in this deployment; proceed
+    try:
+        from spark_bam_spark.session import _ship_package
+
+        _ship_package(spark)
+    except Exception:
+        pass
+    spark._spark_bam_spark_ready = True
+
+
 def register(
     name: str,
     oracle: str | None = None,
@@ -44,7 +69,14 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), headline=headline, tags=tags)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_ready(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(fn=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), headline=headline, tags=tags)
         return fn
     return deco
 
@@ -52,6 +84,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module so REGISTRY is fully populated."""
     from spark_bam_spark.queries import (  # noqa: F401
+        bam_qa,
         dedup,
         relational,
         similarity,

@@ -1,0 +1,84 @@
+"""Format-layer + QA-pipeline queries for the driver's coverage check.
+
+These exercise the BAM DataSource and the §2.11 QA pipelines. They run on
+a deterministic fixture generated once under /tmp (the sf tables are
+relational; BAM is a file format — the fixture generator IS the engine's
+writer, so this is also a write-path test). No oracle SQL: DuckDB cannot
+read BAM, so the driver records rows-only checks; exact-value coverage
+lives in tests/test_qa_pipelines.py against sidecar ground truth.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_bam_spark.queries import register
+
+_FIXTURE = "/tmp/spark_bam_spark_fixture/qa2500.bam"
+
+
+def _fixture_path() -> str:
+    if not os.path.exists(_FIXTURE):
+        os.makedirs(os.path.dirname(_FIXTURE), exist_ok=True)
+        from spark_bam_spark.bam.writer import make_fixture
+
+        make_fixture(_FIXTURE, n=2500, block_payload=4096)
+    return _FIXTURE
+
+
+def _reads(spark: SparkSession, split_size: int = 65536) -> DataFrame:
+    from spark_bam_spark.bam.datasource import register as reg
+
+    reg(spark)
+    return spark.read.format("bam").option("split_size", split_size).load(_fixture_path())
+
+
+@register("bam_scan_reads", doc="S3 loadBam: splittable parallel BAM scan")
+def bam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _reads(spark).select("qname", "flag", "rname", "pos", "mapq", "cigar", "block_pos", "offset")
+
+
+@register("bam_interval_pushdown", doc="S7 loadBamIntervals: indexed interval scan via zone-map pushdown")
+def bam_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _reads(spark, split_size=16384)
+        .filter((F.col("rname") == "1") & (F.col("pos") >= 13000) & (F.col("pos") < 1_000_000))
+        .select("qname", "rname", "pos", "end_pos")
+    )
+
+
+@register("bam_blocks_metadata", doc="S9 Blocks(): parallel BGZF block discovery")
+def bam_blocks_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_bam_spark.bam.datasource import register as reg
+
+    reg(spark)
+    return (
+        spark.read.format("bgzf_blocks")
+        .load(_fixture_path())
+        .select("start", "compressed_size", "uncompressed_size")
+    )
+
+
+@register("bam_check_confusion", doc="check-bam: per-position differential confusion matrix")
+def bam_check_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_bam_spark.operators import qa
+
+    # stride keeps the per-position sweep cheap at driver time; tests run stride=1
+    return qa.confusion_matrix(qa.calls(spark, _fixture_path(), stride=8))
+
+
+@register("bam_compute_splits", doc="compute-splits: partition-first positions + lead() ranges")
+def bam_compute_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_bam_spark.operators import qa
+
+    return qa.splits_from_partitions(_reads(spark, split_size=16384))
+
+
+@register("bam_check_blocks", doc="check-blocks: first-read offset per block + prev-size attribution")
+def bam_check_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_bam_spark.operators import qa
+
+    return qa.block_first_reads(spark, _fixture_path())

@@ -1,0 +1,86 @@
+"""QA-pipeline tests — differential testing against exact sidecar ground
+truth, mirroring the reference's three-way comparison method
+(docs/command-line.md:320-336): the engine checker must produce ZERO
+false positives/negatives at every uncompressed position."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_bam_spark.bam.datasource import register
+from spark_bam_spark.bam.writer import make_fixture
+from spark_bam_spark.operators import qa
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def bam(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("qa") / "qa.bam")
+    return make_fixture(path, n=N, block_payload=2048)
+
+
+@pytest.fixture(scope="module")
+def spark_bam(spark):
+    register(spark)
+    return spark
+
+
+def test_check_bam_confusion_matrix_is_perfect(spark_bam, bam):
+    """check-bam: every position called correctly → no FP/FN cells
+    (CheckerApp.scala:70-139; spark-bam miscall rate 0, benchmarks.md:30)."""
+    c = qa.calls(spark_bam, bam.path)
+    cm = {(r.eager_call, r.oracle_call): r.n for r in qa.confusion_matrix(c).collect()}
+    assert cm.get((True, False), 0) == 0, f"false positives: {cm}"
+    assert cm.get((False, True), 0) == 0, f"false negatives: {cm}"
+    assert cm[(True, True)] == N
+    total = sum(cm.values())
+    assert total == sum(b.uncompressed_size for b in bam.blocks)
+
+
+def test_full_check_flag_distribution(spark_bam, bam):
+    """full-check: every non-boundary position fails ≥1 check; histogram
+    keyed by #failing flags (FullCheck.scala:147-188)."""
+    hist = {r.num_flags: r.n_positions for r in qa.flags_histogram(spark_bam, bam.path, limit_blocks=3).collect()}
+    assert hist, "no failing positions found"
+    assert all(k >= 1 for k in hist)
+
+
+def test_compute_splits_and_diff(spark_bam, bam):
+    reads16 = spark_bam.read.format("bam").option("split_size", 16384).load(bam.path)
+    reads64 = spark_bam.read.format("bam").option("split_size", 65536).load(bam.path)
+    s16 = qa.splits_from_partitions(reads16)
+    s64 = qa.splits_from_partitions(reads64)
+    assert s16.count() > s64.count()
+    diff = {r.side: r.n for r in qa.split_diff(s16, s64).collect()}
+    # the coarser split starts are a subset of the finer ones
+    assert diff.get("RightOnly", 0) == 0
+    assert diff.get("Both", 0) == s64.count()
+
+
+def test_check_blocks_first_reads(spark_bam, bam):
+    df = qa.block_first_reads(spark_bam, bam.path)
+    rows = df.collect()
+    assert len(rows) == len(bam.blocks)
+    # ground truth: first record offset per block from the sidecar
+    expected = {}
+    for p in bam.record_positions:
+        expected.setdefault(p.block_pos, p.offset)
+    for r in rows:
+        assert r.first_read_offset == expected.get(r.start), f"block {r.start}"
+
+
+def test_time_load_name_diff_empty(spark_bam, bam):
+    reads_a = spark_bam.read.format("bam").option("split_size", 16384).load(bam.path)
+    reads_b = spark_bam.read.format("bam").option("split_size", 65536).load(bam.path)
+    a = qa.first_reads_per_partition(reads_a)
+    b = qa.first_reads_per_partition(reads_b)
+    only_a, only_b = qa.name_set_diff(reads_a.select("qname"), reads_b.select("qname"))
+    assert (only_a, only_b) == (0, 0)
+    assert a.count() > 0 and b.count() > 0
+
+
+def test_count_reads_matches_ground_truth(spark_bam, bam):
+    n = spark_bam.read.format("bam").option("split_size", 16384).load(bam.path).count()
+    assert n == N == len(bam.record_positions)
