@@ -1,0 +1,42 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, deterministic fake
+codec, stubs for real codecs."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_bam_spark.operators import multimodal as mm
+
+
+def test_synth_media_schema(spark, sf_small):
+    df = mm.synth_media(spark, sf_small)
+    assert df.schema["content"].dataType.simpleString() == "binary"
+    assert df.schema["meta"].dataType.simpleString().startswith("struct<format:string")
+    assert df.count() > 0
+
+
+def test_decode_features_deterministic(spark, sf_small):
+    df = mm.synth_media(spark, sf_small)
+    feats = mm.decode_features(df)
+    rows = {r.media_id: r.features for r in feats.collect()}
+    rows2 = {r.media_id: r.features for r in mm.decode_features(df).collect()}
+    assert rows == rows2
+    assert all(len(v) == mm.FEATURE_DIM for v in rows.values())
+    assert feats.count() == df.count()
+
+
+def test_frame_sample_shapes(spark, sf_small):
+    df = mm.synth_media(spark, sf_small)
+    frames = mm.frame_sample(df, every_n_bytes=128)
+    n_videos = df.filter("kind = 'video'").count()
+    assert frames.select("media_id").distinct().count() == n_videos
+    first = frames.filter("frame_idx = 0").count()
+    assert first == n_videos
+
+
+def test_real_codecs_are_stubbed(spark, sf_small):
+    df = mm.synth_media(spark, sf_small)
+    with pytest.raises(NotImplementedError):
+        mm.decode_features(df, codec="pil")
+    with pytest.raises(NotImplementedError):
+        mm.frame_sample(df, codec="ffmpeg")
