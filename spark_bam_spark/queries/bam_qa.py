@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from spark_bam_spark.queries import register
 
 _FIXTURE = "/tmp/spark_bam_spark_fixture/qa2500.bam"
+_SAM_FIXTURE = "/tmp/spark_bam_spark_fixture/qa2500.sam"
 
 
 def _fixture_path() -> str:
@@ -27,6 +28,16 @@ def _fixture_path() -> str:
 
         make_fixture(_FIXTURE, n=2500, block_payload=4096)
     return _FIXTURE
+
+
+def _sam_fixture_path() -> str:
+    if not os.path.exists(_SAM_FIXTURE):
+        _fixture_path()
+        from spark_bam_spark.bam.sam import write_sam
+        from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES, synth_records
+
+        write_sam(_SAM_FIXTURE, CONTIG_NAMES, CONTIG_LENGTHS, synth_records(2500))
+    return _SAM_FIXTURE
 
 
 def _reads(spark: SparkSession, split_size: int = 65536) -> DataFrame:
@@ -82,3 +93,45 @@ def bam_check_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import qa
 
     return qa.block_first_reads(spark, _fixture_path())
+
+
+@register("sam_scan_reads", doc="S2 loadSam: declarative SAM text parse (no Python UDF)")
+def sam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_bam_spark.bam.sam import load_sam
+
+    return load_sam(spark, _sam_fixture_path()).select(
+        "qname", "flag", "rname", "pos", "end_pos", "mapq", "cigar", "tlen"
+    )
+
+
+@register("bam_full_check", doc="full-check: 19-flag diagnostic histogram keyed by #failing flags")
+def bam_full_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_bam_spark.operators import qa
+
+    # limit_blocks bounds the per-position sweep at driver-check time;
+    # tests run the unbounded version on a smaller fixture
+    return qa.flags_histogram(spark, _fixture_path(), limit_blocks=8)
+
+
+@register("bam_count_reads", doc="count-reads: scan count vs sidecar ground-truth count")
+def bam_count_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fixture_path()
+    engine = _reads(spark).agg(F.count("*").alias("engine_reads"))
+    truth = (
+        spark.read.csv(path + ".records", schema="block_pos long, offset int")
+        .agg(F.count("*").alias("truth_reads"))
+    )
+    return engine.crossJoin(truth).select(
+        "engine_reads", "truth_reads", (F.col("engine_reads") == F.col("truth_reads")).alias("match")
+    )
+
+
+@register("bam_time_load", doc="time-load: first read per partition at two split sizes + name anti-joins")
+def bam_time_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_bam_spark.operators import qa
+
+    a = qa.first_reads_per_partition(_reads(spark, split_size=16384))
+    b = qa.first_reads_per_partition(_reads(spark, split_size=65536))
+    # every 64k-partition first-read must also start a 16k partition
+    missing = b.select("qname").join(a.select("qname"), "qname", "left_anti")
+    return missing.agg(F.count("*").alias("b_firsts_missing_from_a"))

@@ -8,7 +8,7 @@ import pytest
 from spark_bam_spark.queries import load_all
 
 REGISTRY = load_all()
-BAM_QUERIES = sorted(n for n, s in REGISTRY.items() if n.startswith("bam_"))
+BAM_QUERIES = sorted(n for n, s in REGISTRY.items() if n.startswith(("bam_", "sam_")))
 
 
 @pytest.mark.parametrize("name", BAM_QUERIES)
