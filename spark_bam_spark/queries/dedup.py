@@ -21,6 +21,7 @@ from spark_bam_spark.queries import register
 from spark_bam_spark.tables import table
 
 N_BANDS = 4
+_DEC = "decimal(28,12)"
 
 
 def _shingles(df: DataFrame) -> DataFrame:
@@ -49,10 +50,15 @@ _SHINGLES_SQL = """
     "dedup_exact",
     tags=("dedup",),
     oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    )
     SELECT md5(text) AS text_hash,
            COUNT(*) AS group_size,
            MIN(doc_id) AS survivor_doc_id
-    FROM documents
+    FROM corpus
     GROUP BY md5(text)
     HAVING COUNT(*) > 1
     """,
@@ -61,10 +67,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text); survivor = min doc_id.
 
     One shuffle on the 128-bit hash — at 100 TB this is the cheapest
-    possible dedup (hash keys are uniform, no skew)."""
-    d = table(spark, sf_dir, "documents")
+    possible dedup (hash keys are uniform, no skew). The synthetic corpus
+    has no exact duplicates, so the input unions a deterministic re-ingest
+    (doc_id % 7) — the operator must find exactly those groups."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    reingest = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
     return (
-        d.groupBy(F.md5("text").alias("text_hash"))
+        d.unionAll(reingest)
+        .groupBy(F.md5("text").alias("text_hash"))
         .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("survivor_doc_id"))
         .filter(F.col("group_size") > 1)
     )
@@ -154,6 +166,87 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("dedup", "similarity"),
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(list_transform(embedding,
+                    (x, i) -> {'i': i, 'x': CAST(x AS DOUBLE)}), recursive := true)
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS xx
+      FROM e GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dotp
+      FROM e a JOIN e b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.label, a.vec_id, b.vec_id
+    ),
+    scored AS (
+      SELECT label, vec_a, vec_b, dotp / (sqrt(na.xx) * sqrt(nb.xx)) AS cos
+      FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+    )
+    SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-5 most-similar vector pairs per
+    coarse bucket (``label`` = the blocking key).
+
+    The 100 TB shape: NEVER all-pairs — block first (here by label; in
+    production by LSH/IVF bucket), pairwise only within blocks. All sums
+    accumulate in DECIMAL so Spark and DuckDB agree bit-for-bit; ranking
+    uses the raw double, output rounds for display."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "x")).select(
+        "vec_id", "label", "i", F.col("x").cast("double").alias("x")
+    )
+    norms = e.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("xx")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .agg(F.sum((F.col("a.x") * F.col("b.x")).cast(_DEC)).cast("double").alias("dotp"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    scored = (
+        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
+        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            (F.col("dotp") / (F.sqrt("na.xx") * F.sqrt("nb.xx"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos"), "vec_a", "vec_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("label", "vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
 
 

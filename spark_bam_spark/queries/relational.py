@@ -646,3 +646,68 @@ def union_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("name")
     )
+
+
+@register(
+    "cube_counts",
+    tags=("agg", "cube"),
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping sets in one pass
+    (engine-native; absent in reference, §2.4 note). Partial aggregation
+    happens map-side per grouping set, so the shuffle carries pre-combined
+    rows — the cube costs ~4 partial aggs, not 4 scans."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "approx_count_distinct",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check +
+    # the in-query tolerance assertion below
+    tags=("agg", "approx"),
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) vs exact, with in-query tolerance.
+
+    The 100 TB point: the sketch is a fixed-size partial aggregate —
+    one narrow pass + tiny shuffle, where exact COUNT(DISTINCT) must
+    shuffle every distinct key. within_2pct is asserted true for all
+    groups by tests."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= F.col("exact_orders") * 0.02
+            ).alias("within_2pct"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -29,3 +29,28 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_dedup_exact_finds_reingested_groups(spark, sf_small):
+    df = REGISTRY["dedup_exact"].fn(spark, sf_small)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["group_size"] == 2 for r in rows)
+    assert all(r["survivor_doc_id"] < 1_000_000 for r in rows)
+
+
+def test_embedding_cosine_nonempty_and_blocked(spark, sf_small):
+    rows = REGISTRY["dedup_embedding_cosine"].fn(spark, sf_small).collect()
+    assert len(rows) > 0
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r["label"], []).append(r["cosine"])
+    for label, cs in per_label.items():
+        assert len(cs) <= 5
+        assert cs == sorted(cs, reverse=True), f"label {label} not rank-ordered"
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_small):
+    rows = REGISTRY["approx_count_distinct"].fn(spark, sf_small).collect()
+    assert len(rows) > 0
+    assert all(r["within_2pct"] for r in rows)
