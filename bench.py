@@ -25,6 +25,16 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # warm whole-stage codegen per query at the smallest SF so the timed
+    # runs measure data-proportional work, not first-run JIT compilation
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for spec in headline.values():
+            try:
+                spec.fn(spark, warm_dir).collect()
+            except Exception:
+                pass
+
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         t0 = time.perf_counter()

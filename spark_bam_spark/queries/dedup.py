@@ -18,22 +18,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
-from spark_bam_spark.tables import table
+from spark_bam_spark.tables import fan_out, table
 
 N_BANDS = 4
 _DEC = "decimal(28,12)"
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    """doc_id + exploded distinct 3-word shingles."""
-    toks = df.select("doc_id", F.split("text", " ").alias("w"))
-    sh = toks.select(
+def _shingles(df: DataFrame, distinct: bool = True) -> DataFrame:
+    """doc_id + exploded 3-word shingles (distinct where the consumer
+    needs set semantics; min-hash is duplicate-insensitive so it skips
+    the dedup shuffle)."""
+    toks = fan_out(df).select("doc_id", F.split("text", " ").alias("w"))
+    # the transform stays INLINE in the explode: naming it as a column
+    # first lets InferFiltersFromGenerate derive a `size(shingles) > 0`
+    # predicate that projection-collapse expands to the full transform
+    # (with split(text) re-evaluated per element → O(words²)) and pushes
+    # below the repartition Exchange — onto the serial scan stage. Inline,
+    # no such filter is inferred and the work runs once, parallel.
+    out = toks.select(
         "doc_id",
-        F.expr("transform(sequence(1, greatest(size(w) - 2, 0)), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))").alias(
-            "shingles"
-        ),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 2, 0)),"
+                " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+            )
+        ).alias("s"),
     )
-    return sh.select("doc_id", F.explode("shingles").alias("s")).distinct()
+    return out.distinct() if distinct else out
 
 
 _SHINGLES_SQL = """
@@ -70,7 +81,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     possible dedup (hash keys are uniform, no skew). The synthetic corpus
     has no exact duplicates, so the input unions a deterministic re-ingest
     (doc_id % 7) — the operator must find exactly those groups."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     reingest = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
@@ -105,22 +116,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed, so the shuffle is balanced; candidate pairs (not all
     pairs) are materialized, which is the whole point of LSH at 100 TB.
     """
-    sh = _shingles(table(spark, sf_dir, "documents"))
-    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    mh = (
-        sh.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("s")))).alias("sig"))
+    sh = _shingles(table(spark, sf_dir, "documents"), distinct=False)
+    # all band signatures in ONE pass: N_BANDS min-aggregates over the raw
+    # shingle stream (no distinct — min is duplicate-insensitive; no band
+    # cross-join — the explode would multiply shuffle volume ×N_BANDS),
+    # then unpivot the per-doc signature row with stack()
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(b)), F.col("s")))).alias(f"sig_{b}")
+            for b in range(N_BANDS)
+        ]
     )
-    a, c = mh.alias("a"), mh.alias("c")
+    stack_args = ", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))
+    mh = sigs.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)")
+    )
+    # bucket-and-enumerate instead of a self-join: a self-join would
+    # recompute the shingle+md5 subtree for both sides AND shuffle it
+    # twice; grouping by (band, sig) shuffles the tiny signature table
+    # once and emits each bucket's pairs with array combinatorics.
+    # LSH buckets are small by construction (that's the point of
+    # banding), so the per-bucket quadratic stays bounded; a degenerate
+    # giant bucket would indicate a broken hash, not a plan problem.
+    buckets = (
+        mh.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"
+    )
     return (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.sig") == F.col("c.sig"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -152,14 +181,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the ratio exact and engine-identical."""
     sh = _shingles(table(spark, sf_dir, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # bucket-and-enumerate (see dedup_minhash_lsh): a shingle self-join
+    # would recompute and shuffle the shingle subtree twice; grouping by
+    # shingle shuffles it once and enumerates each posting list's pairs
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"
+    )
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # per-doc size table is tiny next to the pair stream — broadcast both
+    # probes so the big side never shuffles again
+    sa = F.broadcast(sizes.alias("sa"))
+    sb = F.broadcast(sizes.alias("sb"))
     jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
     return (
         common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
@@ -210,7 +250,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "x")).select(
+    e = fan_out(emb).select("vec_id", "label", F.posexplode("embedding").alias("i", "x")).select(
         "vec_id", "label", "i", F.col("x").cast("double").alias("x")
     )
     norms = e.groupBy("vec_id").agg(
@@ -272,7 +312,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes for Hamming-distance search) downstream. Two balanced
     shuffles; all vectorized JVM expressions, no Python in the hot path."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok = fan_out(d).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     bits = tok.select("doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
     vote = F.when(F.expr("ascii(substring(md5(tok), j + 1, 1)) % 2 = 1"), 1).otherwise(-1)
     per_bit = bits.groupBy("doc_id", "j").agg(F.sum(vote).alias("s"))

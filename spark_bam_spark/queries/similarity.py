@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
-from spark_bam_spark.tables import table
+from spark_bam_spark.tables import fan_out, table
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -23,25 +23,35 @@ TOP_K = 10
 _DEC = "decimal(28,12)"
 
 
+def _dec_array_sum(arr_expr: str) -> str:
+    """Exact decimal fold of a product array — order-independent, so it
+    matches DuckDB's SUM(DECIMAL) over the unnested terms bit-for-bit."""
+    return (
+        f"cast(aggregate({arr_expr}, cast(0 as {_DEC}),"
+        f" (acc, v) -> cast(acc + v as {_DEC})) as double)"
+    )
+
+
 def _cosine_scores(spark: SparkSession, sf_dir: str, restrict_label: bool) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("label").alias("q_label"), F.posexplode("embedding").alias("i", "y")
+        F.col("label").alias("q_label"), F.col("embedding").alias("qv")
     )
-    e = emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "x"))
-    j = e.join(F.broadcast(q), "i")
+    # one-row broadcast + per-row higher-order expressions: cosine is a
+    # narrow map over the scan (no explode, no shuffle) — at 100 TB this
+    # is a single pass ending in TakeOrderedAndProject
+    j = fan_out(emb).crossJoin(F.broadcast(q))
     if restrict_label:
         j = j.filter(F.col("label") == F.col("q_label"))
-    x = F.col("x").cast("double")
-    y = F.col("y").cast("double")
-    per = j.groupBy("vec_id").agg(
-        F.sum((x * y).cast(_DEC)).cast("double").alias("dotp"),
-        F.sum((x * x).cast(_DEC)).cast("double").alias("xx"),
-        F.sum((y * y).cast(_DEC)).cast("double").alias("yy"),
-    )
-    return per.select(
+    prod = f"zip_with(embedding, qv, (x, y) -> cast(cast(x as double) * cast(y as double) as {_DEC}))"
+    sq = f"transform(embedding, x -> cast(cast(x as double) * cast(x as double) as {_DEC}))"
+    qsq = f"transform(qv, y -> cast(cast(y as double) * cast(y as double) as {_DEC}))"
+    return j.select(
         "vec_id",
-        (F.col("dotp") / (F.sqrt("xx") * F.sqrt("yy"))).alias("cosine"),
+        (
+            F.expr(_dec_array_sum(prod))
+            / (F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))))
+        ).alias("cosine"),
     )
 
 

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
-from spark_bam_spark.tables import table
+from spark_bam_spark.tables import fan_out, table
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -31,7 +31,7 @@ _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting + corpus stats per source."""
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     ntok = F.size(F.split("text", " "))
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -59,7 +59,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The standard pre-training quality gates (C4/Gopher-style); each is a
     narrow per-row expression — no shuffle at all, scales linearly."""
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     ntok = F.size(F.split("text", " "))
     nstop = F.expr(f"size(filter(split(lower(text), ' '), x -> x IN ({sw})))")
@@ -82,7 +82,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: hash of the normalized 128-char prefix —
     the cheap first-pass near-dup key (head dedup)."""
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     return d.select("doc_id", F.md5(F.substring(F.lower("text"), 1, 128)).alias("fingerprint"))
 
 
@@ -102,7 +102,7 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword-hit ratio) × labeled lang — the
     engine-side analogue of the reference's differential confusion matrix
     (CheckerApp.scala:70-96), applied to a text classifier."""
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     nstop = F.expr(f"size(filter(split(lower(text), ' '), x -> x IN ({sw})))")
     ntok = F.size(F.split("text", " "))

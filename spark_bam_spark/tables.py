@@ -35,6 +35,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a scan that collapsed to fewer partitions than cores.
+
+    The local fixtures are single-row-group parquet files, so Spark plans
+    ONE input split and every narrow compute-heavy stage (explode, hash,
+    per-row array math) runs serially. On a 1000-executor cluster the same
+    scan has thousands of splits and this returns the input unchanged —
+    the check is on planned partitions, not data size. Use before
+    compute-dominated narrow stages only; for pure aggregations map-side
+    partial aggregation beats shuffling full rows.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (mirrors the oracle's DuckDB views)."""
     for name in TABLE_NAMES:
