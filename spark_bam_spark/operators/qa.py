@@ -206,3 +206,49 @@ def name_set_diff(a: DataFrame, b: DataFrame) -> tuple[int, int]:
     only_a = a.select("qname").join(b.select("qname"), "qname", "left_anti").count()
     only_b = b.select("qname").join(a.select("qname"), "qname", "left_anti").count()
     return only_a, only_b
+
+
+def observed_reads(reads: DataFrame) -> tuple[DataFrame, "Observation"]:
+    """Side-aggregated scan metrics without a second pass — the engine's
+    analogue of the reference's longAccumulators bumped during filtering
+    (CheckerApp.scala:62,70-73; SURVEY §4 'accumulator-based side
+    aggregation' → df.observe). Returns (df, observation); metrics are
+    available after any action on df."""
+    from pyspark.sql import Observation
+
+    obs = Observation("scan_metrics")
+    observed = reads.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_reads"),
+        F.sum((F.col("flag").bitwiseAND(4) != 0).cast("long")).alias("n_unmapped"),
+        F.sum((F.col("ref_idx") == -1).cast("long")).alias("n_unplaced"),
+    )
+    return observed, obs
+
+
+def index_blocks(spark: SparkSession, bam_path: str, out_dir: str) -> None:
+    """index-blocks sink: BGZF block metadata → CSV sidecar rows via the
+    distributed writer (IndexBlocks.scala:10-50 S16; one part per
+    partition — at scale you don't single-thread this)."""
+    from spark_bam_spark.bam.datasource import register
+
+    register(spark)
+    (
+        spark.read.format("bgzf_blocks")
+        .load(bam_path)
+        .select("start", "compressed_size", "uncompressed_size")
+        .sortWithinPartitions("start")
+        .write.mode("overwrite")
+        .csv(out_dir)
+    )
+
+
+def index_records(reads: DataFrame, out_dir: str) -> None:
+    """index-records sink: record virtual positions → CSV sidecar rows
+    (IndexRecords.scala:13-178 S17, distributed instead of single-node)."""
+    (
+        reads.select("block_pos", "offset")
+        .sortWithinPartitions("block_pos", "offset")
+        .write.mode("overwrite")
+        .csv(out_dir)
+    )

@@ -88,6 +88,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         multimodal_q,
         relational,
+        scalar_fn,
         similarity,
         streaming_batch,
         text,

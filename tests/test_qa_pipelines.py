@@ -84,3 +84,37 @@ def test_time_load_name_diff_empty(spark_bam, bam):
 def test_count_reads_matches_ground_truth(spark_bam, bam):
     n = spark_bam.read.format("bam").option("split_size", 16384).load(bam.path).count()
     assert n == N == len(bam.record_positions)
+
+
+def test_observed_reads_metrics(spark_bam, bam):
+    reads = spark_bam.read.format("bam").load(bam.path)
+    observed, obs = qa.observed_reads(reads)
+    assert observed.count() == N
+    m = obs.get
+    assert m["n_reads"] == N
+    truth_unmapped = reads.filter(F.col("flag").bitwiseAND(4) != 0).count()
+    assert m["n_unmapped"] == truth_unmapped == m["n_unplaced"]
+
+
+def test_index_sidecar_sinks_roundtrip(spark_bam, bam, tmp_path):
+    blocks_dir = str(tmp_path / "blocks_out")
+    records_dir = str(tmp_path / "records_out")
+    qa.index_blocks(spark_bam, bam.path, blocks_dir)
+    reads = spark_bam.read.format("bam").load(bam.path)
+    qa.index_records(reads, records_dir)
+
+    got_blocks = sorted(
+        tuple(r)
+        for r in spark_bam.read.csv(
+            blocks_dir, schema="start long, compressed_size int, uncompressed_size int"
+        ).collect()
+    )
+    want_blocks = sorted((b.start, b.compressed_size, b.uncompressed_size) for b in bam.blocks)
+    assert got_blocks == want_blocks
+
+    got_recs = sorted(
+        tuple(r)
+        for r in spark_bam.read.csv(records_dir, schema="block_pos long, offset int").collect()
+    )
+    want_recs = sorted((p.block_pos, p.offset) for p in bam.record_positions)
+    assert got_recs == want_recs

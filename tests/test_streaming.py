@@ -37,3 +37,22 @@ def test_dedup_within_watermark(spark, sf_small, events_stream):
     n_events = spark.read.parquet(f"{sf_small}/events.parquet").count()
     assert out.count() == n_events  # event_id is unique → nothing dropped
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stateful_user_totals_match_batch(spark, sf_small, events_stream):
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.streaming import run_to_memory, stateful_user_totals
+    from spark_bam_spark.tables import table
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in run_to_memory(
+            stateful_user_totals(events_stream), "stateful_totals", output_mode="update"
+        ).collect()
+    }
+    batch = table(spark, sf_small, "events").groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("t")
+    )
+    want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch.collect()}
+    assert got == want
