@@ -55,12 +55,27 @@ from spark_bam_spark.bam.checker import (
 from spark_bam_spark.bam.header import BamHeader, parse_header
 from spark_bam_spark.bam.records import BamRecord, decode_record, encode_record
 
-READS_DDL = (
-    "qname string, flag int, ref_idx int, rname string, pos bigint, "
-    "end_pos bigint, mapq int, cigar string, n_cigar_ops int, "
-    "mate_ref_idx int, mate_pos bigint, tlen int, seq string, seq_len int, "
-    "qual string, tags map<string,string>, block_pos bigint, offset int"
-)
+READS_FIELDS = [
+    ("qname", "string"),
+    ("flag", "int"),
+    ("ref_idx", "int"),
+    ("rname", "string"),
+    ("pos", "bigint"),
+    ("end_pos", "bigint"),
+    ("mapq", "int"),
+    ("cigar", "string"),
+    ("n_cigar_ops", "int"),
+    ("mate_ref_idx", "int"),
+    ("mate_pos", "bigint"),
+    ("tlen", "int"),
+    ("seq", "string"),
+    ("seq_len", "int"),
+    ("qual", "string"),
+    ("tags", "map<string,string>"),
+    ("block_pos", "bigint"),
+    ("offset", "int"),
+]
+READS_DDL = ", ".join(f"{n} {t}" for n, t in READS_FIELDS)
 
 _ARROW_SCHEMA = pa.schema(
     [
@@ -87,6 +102,9 @@ _ARROW_SCHEMA = pa.schema(
 
 DEFAULT_SPLIT_SIZE = 1 << 20
 
+# qual bytes → printable phred+33 string, C-speed
+_QUAL33 = bytes((q + 33) & 0xFF for q in range(256))
+
 
 @dataclass
 class BamSplit(InputPartition):
@@ -111,6 +129,15 @@ class BamReader(DataSourceReader):
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self.reads_to_check = int(options.get("reads_to_check", DEFAULT_READS_TO_CHECK))
         self.max_read_size = int(options.get("max_read_size", DEFAULT_MAX_READ_SIZE))
+        cols_opt = options.get("columns")
+        all_names = [n for n, _ in READS_FIELDS]
+        self.columns = [c.strip() for c in cols_opt.split(",")] if cols_opt else all_names
+        self._sel_idx = [all_names.index(c) for c in self.columns]
+        arrow_types = dict(zip(_ARROW_SCHEMA.names, _ARROW_SCHEMA.types))
+        self.arrow_schema = pa.schema([(c, arrow_types[c]) for c in self.columns])
+        self.want_seq = "seq" in self.columns or "seq_len" in self.columns
+        self.want_qual = "qual" in self.columns
+        self.want_tags = "tags" in self.columns
         self.headers: dict[str, BamHeader] = {}
         for p in _bam_paths(self.path):
             with open(p, "rb") as f:
@@ -201,7 +228,9 @@ class BamReader(DataSourceReader):
     ) -> Iterator[pa.RecordBatch]:
         import struct
 
-        cols: list[list] = [[] for _ in _ARROW_SCHEMA.names]
+        schema = self.arrow_schema
+        sel = self._sel_idx
+        cols: list[list] = [[] for _ in sel]
         n = 0
         while True:
             win.ensure(u + 4)
@@ -214,7 +243,9 @@ class BamReader(DataSourceReader):
                 break  # truncated tail
             (bs,) = struct.unpack_from("<i", win.buf, u)
             win.ensure(u + 4 + bs)
-            rec, consumed = decode_record(win.buf, u)
+            rec, consumed = decode_record(
+                win.buf, u, want_seq=self.want_seq, want_qual=self.want_qual, want_tags=self.want_tags
+            )
             rname = hdr.names[rec.ref_idx] if 0 <= rec.ref_idx < len(hdr.names) else None
             vals = (
                 rec.qname,
@@ -231,24 +262,24 @@ class BamReader(DataSourceReader):
                 rec.tlen,
                 rec.seq,
                 rec.seq_len,
-                "".join(chr(q + 33) for q in rec.qual),
+                rec.qual.translate(_QUAL33).decode("latin1") if self.want_qual else "",
                 list(rec.tags.items()),
                 pos.block_pos,
                 pos.offset,
             )
-            for c, v in zip(cols, vals):
-                c.append(v)
+            for c, i in zip(cols, sel):
+                c.append(vals[i])
             n += 1
             u += consumed
             if n >= 1024:
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(c, type=t) for c, t in zip(cols, _ARROW_SCHEMA.types)], schema=_ARROW_SCHEMA
+                    [pa.array(c, type=t) for c, t in zip(cols, schema.types)], schema=schema
                 )
-                cols = [[] for _ in _ARROW_SCHEMA.names]
+                cols = [[] for _ in sel]
                 n = 0
         if n:
             yield pa.RecordBatch.from_arrays(
-                [pa.array(c, type=t) for c, t in zip(cols, _ARROW_SCHEMA.types)], schema=_ARROW_SCHEMA
+                [pa.array(c, type=t) for c, t in zip(cols, schema.types)], schema=schema
             )
 
 
@@ -403,6 +434,18 @@ class BamDataSource(DataSource):
         return "bam"
 
     def schema(self) -> str:
+        # manual column pruning (the Python DS API has no
+        # SupportsPushDownRequiredColumns yet): option("columns",
+        # "rname,pos,...") narrows the schema AND skips decoding the
+        # expensive variable-length fields in the reader
+        cols = self.options.get("columns")
+        if cols:
+            want = [c.strip() for c in cols.split(",")]
+            fields = dict(READS_FIELDS)
+            unknown = [c for c in want if c not in fields]
+            if unknown:
+                raise ValueError(f"unknown columns {unknown}; available: {list(fields)}")
+            return ", ".join(f"{c} {fields[c]}" for c in want)
         return READS_DDL
 
     def reader(self, schema: StructType) -> BamReader:

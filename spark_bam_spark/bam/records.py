@@ -96,9 +96,23 @@ def encode_record(r: BamRecord) -> bytes:
     return struct.pack("<i", len(body)) + bytes(body)
 
 
-def decode_record(buf: bytes, off: int) -> tuple[BamRecord, int]:
+# vectorized seq decode: packed nibbles → hex string (one hex digit per
+# nibble, C-speed) → base letters via str.translate
+_HEX_TO_SEQ = str.maketrans("0123456789abcdef", SEQ_CODES)
+
+
+def decode_record(
+    buf: bytes,
+    off: int,
+    want_seq: bool = True,
+    want_qual: bool = True,
+    want_tags: bool = True,
+) -> tuple[BamRecord, int]:
     """Decode one record at ``off``; returns (record, total bytes consumed).
-    Raises on truncation — validity checking is the checker's job."""
+    Raises on truncation — validity checking is the checker's job.
+    ``want_*=False`` skips building the expensive variable-length fields
+    (column pruning inside the scan, SURVEY §4 'fast path vs
+    metadata-only path')."""
     (block_size,) = struct.unpack_from("<i", buf, off)
     if block_size < FIXED_FIELDS_SIZE - 4 or off + 4 + block_size > len(buf):
         raise ValueError(f"truncated/invalid record at {off}")
@@ -115,17 +129,16 @@ def decode_record(buf: bytes, off: int) -> tuple[BamRecord, int]:
         cigar.append((v & 0xF, v >> 4))
         p += 4
     n_seq_bytes = (l_seq + 1) // 2
-    seq_chars = []
-    for i in range(l_seq):
-        b = buf[p + i // 2]
-        nib = (b >> 4) if i % 2 == 0 else (b & 0xF)
-        seq_chars.append(SEQ_CODES[nib])
+    if want_seq and l_seq:
+        seq = buf[p : p + n_seq_bytes].hex().translate(_HEX_TO_SEQ)[:l_seq]
+    else:
+        seq = ""
     p += n_seq_bytes
-    qual = bytes(buf[p : p + l_seq])
+    qual = bytes(buf[p : p + l_seq]) if want_qual else b""
     p += l_seq
     end = off + 4 + block_size
     tags: dict[str, str] = {}
-    while p + 3 <= end:
+    while want_tags and p + 3 <= end:
         tag = buf[p : p + 2].decode("ascii", errors="replace")
         typ = chr(buf[p + 2])
         p += 3
@@ -151,7 +164,7 @@ def decode_record(buf: bytes, off: int) -> tuple[BamRecord, int]:
         mate_ref_idx=mate_ref,
         mate_pos=mate_pos,
         tlen=tlen,
-        seq="".join(seq_chars),
+        seq=seq,
         qual=qual,
         tags=tags,
     )

@@ -40,24 +40,29 @@ def _sam_fixture_path() -> str:
     return _SAM_FIXTURE
 
 
-def _reads(spark: SparkSession, split_size: int = 65536) -> DataFrame:
+def _reads(spark: SparkSession, split_size: int = 65536, columns: str | None = None) -> DataFrame:
     from spark_bam_spark.bam.datasource import register as reg
 
     reg(spark)
-    return spark.read.format("bam").option("split_size", split_size).load(_fixture_path())
+    reader = spark.read.format("bam").option("split_size", split_size)
+    if columns:
+        # manual pruning: the Python DS API has no required-columns hook,
+        # so the narrow schema is requested explicitly and the reader
+        # skips decoding seq/qual/tags entirely
+        reader = reader.option("columns", columns)
+    return reader.load(_fixture_path())
 
 
 @register("bam_scan_reads", doc="S3 loadBam: splittable parallel BAM scan")
 def bam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _reads(spark).select("qname", "flag", "rname", "pos", "mapq", "cigar", "block_pos", "offset")
+    return _reads(spark, columns="qname,flag,rname,pos,mapq,cigar,block_pos,offset")
 
 
 @register("bam_interval_pushdown", doc="S7 loadBamIntervals: indexed interval scan via zone-map pushdown")
 def bam_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _reads(spark, split_size=16384)
+        _reads(spark, split_size=16384, columns="qname,rname,pos,end_pos")
         .filter((F.col("rname") == "1") & (F.col("pos") >= 13000) & (F.col("pos") < 1_000_000))
-        .select("qname", "rname", "pos", "end_pos")
     )
 
 
@@ -116,7 +121,7 @@ def bam_full_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("bam_count_reads", doc="count-reads: scan count vs sidecar ground-truth count")
 def bam_count_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fixture_path()
-    engine = _reads(spark).agg(F.count("*").alias("engine_reads"))
+    engine = _reads(spark, columns="block_pos,offset").agg(F.count("*").alias("engine_reads"))
     truth = (
         spark.read.csv(path + ".records", schema="block_pos long, offset int")
         .agg(F.count("*").alias("truth_reads"))
@@ -130,8 +135,8 @@ def bam_count_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bam_time_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import qa
 
-    a = qa.first_reads_per_partition(_reads(spark, split_size=16384))
-    b = qa.first_reads_per_partition(_reads(spark, split_size=65536))
+    a = qa.first_reads_per_partition(_reads(spark, split_size=16384, columns="qname,block_pos,offset"))
+    b = qa.first_reads_per_partition(_reads(spark, split_size=65536, columns="qname,block_pos,offset"))
     # every 64k-partition first-read must also start a 16k partition
     missing = b.select("qname").join(a.select("qname"), "qname", "left_anti")
     return missing.agg(F.count("*").alias("b_firsts_missing_from_a"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_bam_spark.queries import register
+from spark_bam_spark.queries import REGISTRY, register
 from spark_bam_spark.tables import fan_out, table
 
 N_BANDS = 4
@@ -319,3 +319,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bit.groupBy("doc_id").agg(
         F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, j)")).otherwise(0)).cast("bigint").alias("simhash")
     )
+
+
+def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minhash-LSH candidate pairs (shared pipeline head)."""
+    return REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+
+
+@register(
+    "dedup_clusters",
+    tags=("dedup", "graph", "iterative"),
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    mh AS (
+      SELECT doc_id, b.band, MIN(md5(CAST(b.band AS VARCHAR) || '|' || s)) AS sig
+      FROM sh, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+      GROUP BY doc_id, b.band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM mh a JOIN mh c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(doc, lbl) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.doc = e.dst
+    )
+    SELECT doc AS doc_id, MIN(lbl) AS cluster_id
+    FROM walk GROUP BY doc
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the LSH
+    candidate-pair graph by iterative min-label propagation — the
+    survivor-selection step of a production dedup pipeline.
+
+    Iterative DataFrame algorithm (not SQL-expressible in one query —
+    the oracle uses a recursive CTE): each round every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds. localCheckpoint() truncates lineage
+    per round so plans don't grow; dup components are tiny, so rounds
+    are few and every round is two balanced shuffles."""
+    pairs = _candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("src").distinct().select(F.col("src").alias("doc"), F.col("src").alias("lbl"))
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select("doc", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -711,3 +711,47 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "skew_join_salted",
+    tags=("join", "skew"),
+    oracle="""
+    WITH dim AS (SELECT l_returnflag, COUNT(*) AS n_flag FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           MAX(d.n_flag) AS n_flag
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a pathologically skewed key (l_returnflag: 3 distinct
+    values over the whole fact table).
+
+    A plain shuffle join would put ~1/3 of 100 TB in each of 3 reducer
+    partitions. Salting: the fact side gets a deterministic salt
+    (orderkey mod R), the dim side is replicated xR, and the join key
+    becomes (key, salt) — R-times the reduce parallelism, identical
+    result (oracle joins unsalted). AQE's skew-join split handles the
+    sort-merge case automatically; the manual pattern still matters for
+    stateful/streaming joins and aggregations where AQE can't re-plan.
+    The merge hint keeps the dim side out of a broadcast so the salted
+    shuffle path is actually exercised."""
+    R = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_orderkey"), F.lit(R)).cast("int")
+    )
+    dim = li.groupBy("l_returnflag").agg(F.count("*").alias("n_flag"))
+    salts = spark.range(R).select(F.col("id").cast("int").alias("salt"))
+    dim_salted = dim.crossJoin(salts).hint("merge")
+    return (
+        li.join(dim_salted, ["l_returnflag", "salt"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+            F.max("n_flag").alias("n_flag"),
+        )
+    )

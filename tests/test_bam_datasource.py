@@ -95,3 +95,28 @@ def test_write_roundtrip(spark_bam, bam, tmp_path):
     a = sorted(r.qname for r in df.select("qname").collect())
     b = sorted(r.qname for r in back.select("qname").collect())
     assert a == b
+
+
+def test_column_pruning_option(spark_bam, bam):
+    full = spark_bam.read.format("bam").load(bam.path)
+    pruned = (
+        spark_bam.read.format("bam")
+        .option("columns", "rname,pos,seq_len,block_pos,offset")
+        .load(bam.path)
+    )
+    assert pruned.columns == ["rname", "pos", "seq_len", "block_pos", "offset"]
+    key = lambda r: (r[0] or "", r[1], r[3], r[4])
+    got = sorted((tuple(r) for r in pruned.collect()), key=key)
+    want = sorted(
+        (tuple(r) for r in full.select("rname", "pos", "seq_len", "block_pos", "offset").collect()),
+        key=key,
+    )
+    assert got == want
+
+
+def test_column_pruning_rejects_unknown(spark_bam, bam):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with _pytest.raises(Exception):
+        spark_bam.read.format("bam").option("columns", "nope").load(bam.path).collect()
