@@ -250,3 +250,70 @@ def find_record_start(
         if check_record_start(buf, cand, hdr, reads_to_check, max_read_size):
             return cand
     return None
+
+
+def _check_one_upstream(buf: bytes, o: int, hdr: HeaderInfo, max_read_size: int, anchor: bool) -> int | None:
+    """One-record check with the UPSTREAM (hadoop-bam-documented) subset of
+    validations — per the reference's checks table (docs/motivation.md:36-52):
+    no locus-upper-bound check, no name-non-empty/chars checks, no
+    mapped-empty-cigar/seq check, and cigar-op validity skipped for the
+    anchor record. Written from the documented table, not upstream code."""
+    n = len(buf)
+    if n - o < _FIXED:
+        return None
+    block_size, ref_idx, pos = struct.unpack_from("<iii", buf, o)
+    if block_size < 32 or block_size + 4 > max_read_size:
+        return None
+    if not (-1 <= ref_idx < hdr.n_refs):
+        return None
+    if pos < -1:
+        return None  # negative locus only; no too-large-locus check
+    mate_ref, mate_pos = struct.unpack_from("<ii", buf, o + 24)
+    if not (-1 <= mate_ref < hdr.n_refs):
+        return None
+    if mate_pos < -1:
+        return None
+    l_name = buf[o + 12]
+    if l_name < 1:
+        return None  # length present; emptiness/charset NOT checked
+    n_cigar, flag = struct.unpack_from("<HH", buf, o + 16)
+    (l_seq,) = struct.unpack_from("<i", buf, o + 20)
+    if l_seq < 0:
+        return None
+    implied = 32 + l_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+    if block_size < implied:
+        return None
+    name_start = o + _FIXED
+    if l_name > 0 and name_start + l_name <= n and buf[name_start + l_name - 1] != 0:
+        return None  # null-termination IS checked upstream
+    cigar_start = name_start + l_name
+    if not anchor and n_cigar > 0 and cigar_start + 4 * n_cigar <= n:
+        for i in range(n_cigar):
+            (v,) = struct.unpack_from("<I", buf, cigar_start + 4 * i)
+            if (v & 0xF) > 8:
+                return None
+    return o + 4 + block_size
+
+
+def check_record_start_upstream(
+    buf: bytes,
+    o: int,
+    hdr: HeaderInfo,
+    reads_to_check: int = DEFAULT_READS_TO_CHECK,
+    max_read_size: int = DEFAULT_MAX_READ_SIZE,
+) -> bool:
+    """Upstream-emulating validity predicate (P6, seqdoop/.../Checker.scala:37-52
+    as behavior; checks per docs/motivation.md table). Strictly weaker than
+    check_record_start — any position it rejects, the eager checker rejects."""
+    n = len(buf)
+    pos = o
+    for i in range(reads_to_check):
+        if pos == n:
+            return True
+        nxt = _check_one_upstream(buf, pos, hdr, max_read_size, anchor=(i == 0))
+        if nxt is None:
+            return False
+        if nxt > n:
+            return True
+        pos = nxt
+    return True

@@ -56,7 +56,7 @@ def calls(spark: SparkSession, bam_path: str, stride: int = 1) -> DataFrame:
     blocks = spark.read.format("bgzf_blocks").load(bam_path)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_bam_spark.bam.checker import check_record_start
+        from spark_bam_spark.bam.checker import check_record_start, check_record_start_upstream
         from spark_bam_spark.bam.header import parse_header
 
         headers: dict[str, object] = {}
@@ -75,11 +75,16 @@ def calls(spark: SparkSession, bam_path: str, stride: int = 1) -> DataFrame:
                         "eager_call": pd.Series(
                             [check_record_start(flat, o, info) for o in offs], dtype="bool"
                         ),
+                        "upstream_call": pd.Series(
+                            [check_record_start_upstream(flat, o, info) for o in offs], dtype="bool"
+                        ),
                     }
                 )
                 yield out
 
-    c = blocks.mapInPandas(gen, schema="block_pos long, offset int, eager_call boolean")
+    c = blocks.mapInPandas(
+        gen, schema="block_pos long, offset int, eager_call boolean, upstream_call boolean"
+    )
     truth = (
         spark.read.csv(bam_path + ".records", schema="block_pos long, offset int")
         .withColumn("oracle_call", F.lit(True))
@@ -90,6 +95,16 @@ def calls(spark: SparkSession, bam_path: str, stride: int = 1) -> DataFrame:
 def confusion_matrix(calls_df: DataFrame) -> DataFrame:
     """TP/TN/FP/FN in one hash-agg (CheckerApp.scala:70-96, A1)."""
     return calls_df.groupBy("eager_call", "oracle_call").agg(F.count("*").alias("n"))
+
+
+def three_way_confusion(calls_df: DataFrame) -> DataFrame:
+    """eager × upstream × ground-truth confusion — the reference's core
+    differential query (check-bam with both -s and -u checkers,
+    CheckBam.scala:53-68): upstream false positives are positions where
+    upstream_call & ~oracle_call; eager must have none."""
+    return calls_df.groupBy("eager_call", "upstream_call", "oracle_call").agg(
+        F.count("*").alias("n")
+    )
 
 
 def flags_histogram(spark: SparkSession, bam_path: str, limit_blocks: int | None = None) -> DataFrame:

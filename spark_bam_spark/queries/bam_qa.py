@@ -140,3 +140,13 @@ def bam_time_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every 64k-partition first-read must also start a 16k partition
     missing = b.select("qname").join(a.select("qname"), "qname", "left_anti")
     return missing.agg(F.count("*").alias("b_firsts_missing_from_a"))
+
+
+@register(
+    "bam_check_three_way",
+    doc="check-bam -s -u: eager vs upstream-emulating vs ground truth confusion",
+)
+def bam_check_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_bam_spark.operators import qa
+
+    return qa.three_way_confusion(qa.calls(spark, _fixture_path(), stride=8))

@@ -38,6 +38,8 @@ def get_spark(app_name: str = "spark_bam_spark", shuffle_partitions: str | None 
         # allow Python DataSource pushFilters (bam zone-map pruning)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # saveAsTable target for bucketed tables (in-memory catalog)
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_bam_spark_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if not os.environ.get("SPARK_MASTER"):

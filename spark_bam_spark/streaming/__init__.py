@@ -105,3 +105,36 @@ def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataF
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def click_purchase_join(events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each click joined to purchases by the
+    same user within ``horizon`` after the click (SURVEY §2.9 engine
+    extension). Watermarks on BOTH sides bound the join state — without
+    them the runtime would buffer streams forever; with them state older
+    than watermark+horizon is evicted."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value")

@@ -118,3 +118,16 @@ def test_index_sidecar_sinks_roundtrip(spark_bam, bam, tmp_path):
     )
     want_recs = sorted((p.block_pos, p.offset) for p in bam.record_positions)
     assert got_recs == want_recs
+
+
+def test_upstream_checker_is_strictly_weaker(spark_bam, bam):
+    calls = qa.calls(spark_bam, bam.path, stride=1)
+    # any position eager accepts, upstream must accept (fewer checks)
+    violations = calls.filter(F.col("eager_call") & ~F.col("upstream_call")).count()
+    assert violations == 0
+    # eager has zero FPs/FNs; upstream may have FPs but never FNs
+    eager_wrong = calls.filter(F.col("eager_call") != F.col("oracle_call")).count()
+    upstream_fn = calls.filter(F.col("oracle_call") & ~F.col("upstream_call")).count()
+    assert eager_wrong == 0 and upstream_fn == 0
+    upstream_fp = calls.filter(F.col("upstream_call") & ~F.col("oracle_call")).count()
+    print("upstream FPs on fixture:", upstream_fp)

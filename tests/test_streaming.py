@@ -56,3 +56,32 @@ def test_stateful_user_totals_match_batch(spark, sf_small, events_stream):
     )
     want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small, events_stream):
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.streaming import click_purchase_join, run_to_memory
+    from spark_bam_spark.tables import table
+
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in run_to_memory(click_purchase_join(events_stream), "ss_join").collect()
+    )
+    ev = table(spark, sf_small, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    want = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
