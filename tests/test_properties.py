@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the byte-level format layer —
+pure Python, no Spark session needed.
+
+Invariants:
+- encode/decode round-trip is exact for arbitrary records;
+- the eager checker accepts every true record start (zero false
+  negatives by construction) and the upstream-emulating checker accepts
+  a superset of those;
+- find_record_start from any probe point at/before a true start never
+  skips past it.
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from spark_bam_spark.bam.checker import (
+    HeaderInfo,
+    check_record_start,
+    check_record_start_upstream,
+    find_record_start,
+)
+from spark_bam_spark.bam.records import BamRecord, decode_record, encode_record
+
+CONTIGS = (1_000_000, 2_000_000)
+HDR = HeaderInfo(CONTIGS)
+
+_name = st.text(
+    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E, exclude_characters="@"),
+    min_size=1,
+    max_size=20,
+).filter(lambda s: all(0x21 <= ord(c) <= 0x3F or 0x41 <= ord(c) <= 0x7E for c in s))
+
+
+@st.composite
+def records(draw):
+    unmapped = draw(st.booleans())
+    seq_len = draw(st.integers(min_value=1, max_value=60))
+    seq = draw(st.text(alphabet="ACGTN=", min_size=seq_len, max_size=seq_len))
+    qual = bytes(draw(st.lists(st.integers(0, 60), min_size=seq_len, max_size=seq_len)))
+    if unmapped:
+        ref_idx, pos, cigar, flag = -1, -1, [], 0x5
+    else:
+        ref_idx = draw(st.integers(0, len(CONTIGS) - 1))
+        pos = draw(st.integers(0, CONTIGS[ref_idx] - 200))
+        n_ops = draw(st.integers(1, 4))
+        cigar = [(draw(st.sampled_from([0, 1, 2, 4])), draw(st.integers(1, 30))) for _ in range(n_ops)]
+        # cigar op 0 (M) must exist so mapped reads consume reference
+        cigar[0] = (0, seq_len)
+        flag = 0x1
+    return BamRecord(
+        qname=draw(_name),
+        flag=flag,
+        ref_idx=ref_idx,
+        pos=pos,
+        mapq=draw(st.integers(0, 60)),
+        cigar=cigar,
+        mate_ref_idx=ref_idx,
+        mate_pos=pos,
+        tlen=draw(st.integers(-500, 500)),
+        seq=seq,
+        qual=qual,
+        tags={"RG": "r0"},
+    )
+
+
+@given(records())
+@settings(max_examples=200, deadline=None)
+def test_encode_decode_roundtrip(rec):
+    buf = encode_record(rec)
+    got, consumed = decode_record(buf, 0)
+    assert consumed == len(buf)
+    assert (got.qname, got.flag, got.ref_idx, got.pos, got.mapq) == (
+        rec.qname, rec.flag, rec.ref_idx, rec.pos, rec.mapq,
+    )
+    assert got.cigar == rec.cigar
+    assert got.seq == rec.seq
+    assert got.qual == rec.qual
+    assert got.tags == rec.tags
+
+
+@given(st.lists(records(), min_size=2, max_size=12), st.data())
+@settings(max_examples=60, deadline=None)
+def test_checker_no_false_negatives(recs, data):
+    buf = b"".join(encode_record(r) for r in recs)
+    starts = []
+    o = 0
+    for r in recs:
+        starts.append(o)
+        o += len(encode_record(r))
+    for s in starts:
+        assert check_record_start(buf, s, HDR), f"eager rejected true start {s}"
+        assert check_record_start_upstream(buf, s, HDR), f"upstream rejected true start {s}"
+    # probing from any true start finds exactly that start
+    probe = data.draw(st.sampled_from(starts))
+    assert find_record_start(buf, probe, HDR) == probe
