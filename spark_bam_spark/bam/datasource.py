@@ -169,14 +169,21 @@ class BamReader(DataSourceReader):
         # Spark re-applies everything — pruning can only skip byte ranges
         return filters
 
-    def _candidate_blocks(self, path: str) -> list[int] | None:
-        """Block starts surviving the zone map, or None = no pruning info."""
+    def _candidate_blocks(self, path: str) -> list[tuple[int, int]] | None:
+        """Compressed-byte ranges surviving the index, or None = no
+        pruning info. Prefers the BAI (spec-standard bin/chunk lookup —
+        S8/S11) and falls back to the engine's .zones block zone map.
+        A split is planned iff it intersects a candidate range; pruning
+        can only skip, never corrupt (the residual filter re-applies)."""
         if self._ref_idxs is None and self._pos_lo is None and self._pos_hi is None:
             return None
+        bai = self._candidate_ranges_bai(path)
+        if bai is not None:
+            return bai
         zones_path = path + ".zones"
         if not os.path.exists(zones_path):
             return None
-        keep: list[int] = []
+        keep: list[tuple[int, int]] = []
         with open(zones_path) as f:
             for line in f:
                 bstart, rmin, rmax, pmin, pmax = map(int, line.strip().split(","))
@@ -186,7 +193,27 @@ class BamReader(DataSourceReader):
                     continue
                 if self._pos_hi is not None and pmin > self._pos_hi:
                     continue
-                keep.append(bstart)
+                keep.append((bstart, bstart + 1))
+        return keep
+
+    def _candidate_ranges_bai(self, path: str) -> list[tuple[int, int]] | None:
+        """BAI chunk lookup for the pushed interval — needs a concrete
+        ref set (the BAI is organized per reference). Chunk virtual
+        offsets map to compressed-byte ranges [start block, end block]."""
+        bai_path = path + ".bai"
+        if not os.path.exists(bai_path) or self._ref_idxs is None:
+            return None
+        from spark_bam_spark.bam.bai import parse_bai, query_chunks
+
+        idx = parse_bai(bai_path)
+        hdr = self.headers.get(path)
+        beg = self._pos_lo or 0
+        end = self._pos_hi + 1 if self._pos_hi is not None else 1 << 29
+        keep: list[tuple[int, int]] = []
+        for r in sorted(self._ref_idxs):
+            contig_len = hdr.lengths[r] if hdr and r < len(hdr.lengths) else 1 << 29
+            for c in query_chunks(idx, r, beg, min(end, contig_len)):
+                keep.append((c.start_pos.block_pos, c.end_pos.block_pos + 1))
         return keep
 
     # -- planning ----------------------------------------------------------
@@ -197,7 +224,7 @@ class BamReader(DataSourceReader):
             candidates = self._candidate_blocks(p)
             for s in range(0, size, self.split_size):
                 e = min(s + self.split_size, size)
-                if candidates is not None and not any(s <= b < e for b in candidates):
+                if candidates is not None and not any(lo < e and hi > s for lo, hi in candidates):
                     continue
                 splits.append(BamSplit(p, s, e))
         return splits or [BamSplit(_bam_paths(self.path)[0], 0, 0)]

@@ -113,6 +113,16 @@ def write_bam(
             )
 
     if sidecars:
+        # spec-standard BAI (writer owns exact positions → exact index)
+        from spark_bam_spark.bam.bai import build_bai, write_bai
+
+        rec_ends = rec_uoffsets[1:] + [len(stream)]
+        bai_rows = [
+            (r.ref_idx, r.pos, max(r.end_pos, r.pos + 1) if r.pos >= 0 else -1,
+             to_pos(u0), to_pos(u1))
+            for r, u0, u1 in zip(records, rec_uoffsets, rec_ends)
+        ]
+        write_bai(path + ".bai", build_bai(len(names), bai_rows))
         with open(path + ".blocks", "w") as f:
             for b in blocks:
                 f.write(f"{b.start},{b.compressed_size},{b.uncompressed_size}\n")
