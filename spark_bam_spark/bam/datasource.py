@@ -106,6 +106,24 @@ DEFAULT_SPLIT_SIZE = 1 << 20
 _QUAL33 = bytes((q + 33) & 0xFF for q in range(256))
 
 
+
+def parse_byte_ranges(spec: str) -> list[tuple[int, int]]:
+    """'0-10m,1g-' → [(0, 10MiB), (1GiB, inf)] — the CLI's ByteRanges
+    argument (P3, check/.../args/Ranges.scala:33-50 as behavior)."""
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "": 1}
+
+    def num(tok: str) -> int:
+        tok = tok.strip().lower()
+        suffix = tok[-1] if tok and tok[-1] in units else ""
+        return int(float(tok[: len(tok) - len(suffix)] or 0) * units[suffix])
+
+    out = []
+    for part in spec.split(","):
+        lo_s, _, hi_s = part.partition("-")
+        out.append((num(lo_s), num(hi_s) if hi_s.strip() else 1 << 62))
+    return out
+
+
 @dataclass
 class BamSplit(InputPartition):
     path: str
@@ -129,6 +147,8 @@ class BamReader(DataSourceReader):
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self.reads_to_check = int(options.get("reads_to_check", DEFAULT_READS_TO_CHECK))
         self.max_read_size = int(options.get("max_read_size", DEFAULT_MAX_READ_SIZE))
+        ranges_opt = options.get("ranges")
+        self.byte_ranges = parse_byte_ranges(ranges_opt) if ranges_opt else None
         cols_opt = options.get("columns")
         all_names = [n for n, _ in READS_FIELDS]
         self.columns = [c.strip() for c in cols_opt.split(",")] if cols_opt else all_names
@@ -225,6 +245,10 @@ class BamReader(DataSourceReader):
             for s in range(0, size, self.split_size):
                 e = min(s + self.split_size, size)
                 if candidates is not None and not any(lo < e and hi > s for lo, hi in candidates):
+                    continue
+                if self.byte_ranges is not None and not any(
+                    lo < e and hi > s for lo, hi in self.byte_ranges
+                ):
                     continue
                 splits.append(BamSplit(p, s, e))
         return splits or [BamSplit(_bam_paths(self.path)[0], 0, 0)]
@@ -502,6 +526,8 @@ class BgzfBlocksReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path = options.get("path")
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        ranges_opt = options.get("ranges")
+        self.byte_ranges = parse_byte_ranges(ranges_opt) if ranges_opt else None
 
     def partitions(self) -> list[BamSplit]:
         return [
@@ -538,7 +564,10 @@ class BgzfBlocksReader(DataSourceReader):
                 (isize,) = struct.unpack("<I", f.read(4))
                 if isize == 0:
                     return
-                yield (split.path, cpos, bsize, isize)
+                if self.byte_ranges is None or any(
+                    lo <= cpos < hi for lo, hi in self.byte_ranges
+                ):
+                    yield (split.path, cpos, bsize, isize)
                 cpos += bsize
 
 

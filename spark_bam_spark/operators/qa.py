@@ -16,6 +16,7 @@ Pipelines (reference dataflow cited in each function):
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Iterator
 
 import pandas as pd
@@ -28,18 +29,43 @@ from spark_bam_spark.bam.bgzf import MAX_BLOCK_SIZE
 _LOOKAHEAD_BLOCKS = 4
 
 
+# per-worker LRU of decompressed blocks — the engine's S14 (Stream.scala:
+# 80-122 caches the last 100 blocks because boundary checking re-reads
+# the same blocks for overlapping lookahead windows). ≤64 KiB each.
+_BLOCK_CACHE: "OrderedDict[tuple[str, int], tuple[bytes, int]]" = OrderedDict()
+_BLOCK_CACHE_CAP = 256
+
+
+def _cached_block(path: str, start: int) -> tuple[bytes, int]:
+    """(decompressed payload, next block start); (b"", -1) at EOF."""
+    key = (path, start)
+    hit = _BLOCK_CACHE.get(key)
+    if hit is not None:
+        _BLOCK_CACHE.move_to_end(key)
+        return hit
+    from spark_bam_spark.bam import bgzf
+
+    with open(path, "rb") as f:
+        got = next(bgzf.block_stream(f, start), None)
+    val = (b"", -1) if got is None else (got[1], start + got[0].compressed_size)
+    _BLOCK_CACHE[key] = val
+    if len(_BLOCK_CACHE) > _BLOCK_CACHE_CAP:
+        _BLOCK_CACHE.popitem(last=False)
+    return val
+
+
 def _open_window(path: str, block_start: int, n_blocks: int) -> bytes:
     """Decompress ``n_blocks`` blocks from ``block_start`` into one flat
     buffer (the checker needs successor-record lookahead)."""
-    from spark_bam_spark.bam import bgzf
-
-    out = bytearray()
-    with open(path, "rb") as f:
-        for i, (_meta, data) in enumerate(bgzf.block_stream(f, block_start)):
-            out.extend(data)
-            if i + 1 >= n_blocks:
-                break
-    return bytes(out)
+    parts = []
+    s = block_start
+    for _ in range(n_blocks):
+        data, nxt = _cached_block(path, s)
+        if not data:
+            break
+        parts.append(data)
+        s = nxt
+    return b"".join(parts)
 
 
 def calls(spark: SparkSession, bam_path: str, stride: int = 1) -> DataFrame:

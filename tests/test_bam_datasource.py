@@ -120,3 +120,34 @@ def test_column_pruning_rejects_unknown(spark_bam, bam):
 
     with _pytest.raises(Exception):
         spark_bam.read.format("bam").option("columns", "nope").load(bam.path).collect()
+
+
+def test_byte_ranges_option(spark_bam, bam):
+    blocks = spark_bam.read.format("bgzf_blocks").load(bam.path)
+    all_starts = sorted(r["start"] for r in blocks.collect())
+    assert len(all_starts) > 4
+    cut = all_starts[len(all_starts) // 2]
+    ranged = (
+        spark_bam.read.format("bgzf_blocks").option("ranges", f"0-{cut}").load(bam.path)
+    )
+    got = sorted(r["start"] for r in ranged.collect())
+    assert got == [s for s in all_starts if s < cut]
+    # reads source: ranges prune splits; full-file range == full scan
+    full = spark_bam.read.format("bam").load(bam.path).count()
+    ranged_reads = (
+        spark_bam.read.format("bam").option("ranges", "0-").load(bam.path).count()
+    )
+    assert ranged_reads == full
+
+
+def test_multi_file_directory_scan(spark_bam, tmp_path):
+    from spark_bam_spark.bam.writer import make_fixture as mk
+
+    d = tmp_path / "many"
+    d.mkdir()
+    a = mk(str(d / "a.bam"), n=150, block_payload=2048, seed=1)
+    b = mk(str(d / "b.bam"), n=250, block_payload=2048, seed=2)
+    df = spark_bam.read.format("bam").load(str(d))
+    assert df.count() == 400
+    # qnames are read{i} per file, so the two files overlap on the first 150
+    assert df.select("qname").distinct().count() == 250
