@@ -53,7 +53,7 @@ def _reads(spark: SparkSession, split_size: int = 65536, columns: str | None = N
     return reader.load(_fixture_path())
 
 
-@register("bam_scan_reads", doc="S3 loadBam: splittable parallel BAM scan")
+@register("bam_scan_reads", doc="S3 loadBam: splittable parallel BAM scan", headline=True)
 def bam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _reads(spark, columns="qname,flag,rname,pos,mapq,cigar,block_pos,offset")
 

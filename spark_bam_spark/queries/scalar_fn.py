@@ -86,3 +86,89 @@ def interval_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     parsed = raw.select("ivl", bf.parse_interval("ivl").alias("p"))
     return parsed.select("ivl", "p.contig", "p.start", "p.end")
+
+
+@register(
+    "date_monthly_orders",
+    tags=("scalar", "date"),
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
+    """,
+)
+def date_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions (engine-native, absent in reference — §2.8 note):
+    month truncation + per-month aggregates."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "json_extract_events",
+    tags=("scalar", "json"),
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY k_mod
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events props column (engine-native —
+    §2.8 note): get_json_object stays JVM-side; at scale prefer a typed
+    from_json with an explicit schema so the parse happens once."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod"),
+            "value",
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "array_map_functions",
+    tags=("scalar", "array"),
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens,
+           list_sort(list_distinct(string_split(lower(substr(text, 1, 40)), ' ')))[1] AS first_token
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (engine-native — §2.8 note):
+    split/distinct/sort on token arrays, all codegen'd JVM expressions."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split("text", " ")
+    toks_l = F.split(F.lower("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks_l)).alias("n_distinct_tokens"),
+        F.sort_array(F.array_distinct(F.split(F.lower(F.substring("text", 1, 40)), " ")))
+        .getItem(0)
+        .alias("first_token"),
+    ).orderBy("doc_id")
