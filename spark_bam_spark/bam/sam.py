@@ -160,4 +160,12 @@ def load_reads(spark: SparkSession, path: str, **options) -> DataFrame:
         for k, v in options.items():
             reader = reader.option(k, v)
         return reader.load(path)
-    raise ValueError(f"unsupported read-file extension: {path!r} (.sam/.bam)")
+    if path.endswith(".cram"):
+        # S5: the reference delegates CRAM to an external input format
+        # (CanLoadBam.scala:268-277); no public pure-Python CRAM codec is
+        # available in this environment, so the hook stays explicit
+        raise NotImplementedError(
+            "CRAM requires an external codec (htsjdk/pysam); convert to BAM "
+            "or register a delegating DataSource"
+        )
+    raise ValueError(f"unsupported read-file extension: {path!r} (.sam/.bam/.cram)")

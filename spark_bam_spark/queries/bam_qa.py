@@ -150,3 +150,20 @@ def bam_check_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import qa
 
     return qa.three_way_confusion(qa.calls(spark, _fixture_path(), stride=8))
+
+
+@register(
+    "bam_compression_ratio",
+    doc="EstimatedCompressionRatio over block metadata (bgzf/.../EstimatedCompressionRatio.scala:13)",
+)
+def bam_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_bam_spark.bam.datasource import register as reg
+
+    reg(spark)
+    blocks = spark.read.format("bgzf_blocks").load(_fixture_path())
+    return blocks.agg(
+        F.count("*").alias("n_blocks"),
+        F.round(
+            F.sum("uncompressed_size").cast("double") / F.sum("compressed_size"), 4
+        ).alias("est_compression_ratio"),
+    )

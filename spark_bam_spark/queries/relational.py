@@ -755,3 +755,35 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_flag").alias("n_flag"),
         )
     )
+
+
+@register(
+    "stats_mad",
+    tags=("agg", "A9"),
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, QUANTILE_CONT(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ROUND(QUANTILE_CONT(ABS(o.o_totalprice - m.med), 0.5), 4) AS mad_price
+    FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the remaining field of the reference's
+    Stats struct (A9, ComputeSplits.scala:58-69). Two passes by nature:
+    per-group median, then median of absolute deviations; the medians
+    table is group-cardinality-sized, so it broadcasts."""
+    o = table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(abs(o_totalprice - med), 0.5)"), 4).alias("mad_price")
+        )
+    )

@@ -49,3 +49,13 @@ def test_bucketed_join_matches_plain_join(spark, sf_small, bucketed):
         F.count("*").alias("n"), F.sum("l_quantity").cast("long").alias("q")
     ).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    table(spark, sf_small, "events").write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    want = table(spark, sf_small, "events").filter(F.col("event_type") == "click").count()
+    assert df.count() == want

@@ -68,5 +68,7 @@ def test_parse_is_udf_free(spark, paths):
 
 
 def test_load_reads_dispatch_rejects_unknown(spark):
-    with pytest.raises(ValueError):
+    with pytest.raises(NotImplementedError):
         load_reads(spark, "/tmp/nope.cram")
+    with pytest.raises(ValueError):
+        load_reads(spark, "/tmp/nope.vcf")
