@@ -92,6 +92,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         streaming_batch,
         text,
+        udf_surface,
     )
 
     return REGISTRY

@@ -787,3 +787,36 @@ def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(abs(o_totalprice - med), 0.5)"), 4).alias("mad_price")
         )
     )
+
+
+@register(
+    "ranking_functions",
+    tags=("window", "rank"),
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WHERE o_orderkey < 1000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, rnk, o_orderkey
+    """,
+)
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile (§2.5 note: absent in reference, exposed
+    natively). Deterministic tie-break on the order key so both engines
+    assign identical ntile buckets."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    )
