@@ -378,18 +378,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # carry a `changed` flag through the same pass — one join and one
+        # count per round instead of a second labels join
         new_labels = (
             labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
-            .select("doc", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .select(
+                "doc",
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
