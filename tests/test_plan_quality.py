@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: the optimizations the engine claims
+must be visible in .explain output, not just fast today. Guards against
+silent plan regressions (a lost broadcast, a Python eval node sneaking
+into a hot path, a filter that stops reaching the scan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_bam_spark.queries import load_all
+from spark_bam_spark.tables import table
+
+REGISTRY = load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_dim_join_broadcasts(spark, sf_small):
+    plan = plan_of(REGISTRY["broadcast_dim_join"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_small):
+    plan = plan_of(REGISTRY["topk_revenue_orders"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_small):
+    li = table(spark, sf_small, "lineitem")
+    df = li.filter(F.col("l_shipdate").isNotNull() & (F.col("l_quantity") > 40)).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_column_pruning_reaches_parquet_scan(spark, sf_small):
+    li = table(spark, sf_small, "lineitem")
+    plan = plan_of(li.select("l_orderkey", "l_quantity"))
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+@pytest.mark.parametrize("name", ["text_quality_score", "text_token_stats", "dedup_minhash_lsh", "cosine_topk_bruteforce"])
+def test_hot_paths_have_no_python_eval(spark, sf_small, name):
+    plan = plan_of(REGISTRY[name].fn(spark, sf_small))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_small):
+    df = REGISTRY["pricing_summary"].fn(spark, sf_small)
+    df.collect()  # AQE finalizes the plan on execution
+    # codegen'd stages carry the `*(n)` marker in the plan string
+    plan = plan_of(df)
+    assert "*(1)" in plan and "*(2)" in plan
