@@ -149,6 +149,9 @@ class BamReader(DataSourceReader):
         self.max_read_size = int(options.get("max_read_size", DEFAULT_MAX_READ_SIZE))
         ranges_opt = options.get("ranges")
         self.byte_ranges = parse_byte_ranges(ranges_opt) if ranges_opt else None
+        self.mode = options.get("mode", "failfast")
+        if self.mode not in ("failfast", "permissive"):
+            raise ValueError(f"mode must be failfast|permissive, got {self.mode!r}")
         cols_opt = options.get("columns")
         all_names = [n for n, _ in READS_FIELDS]
         self.columns = [c.strip() for c in cols_opt.split(",")] if cols_opt else all_names
@@ -259,20 +262,29 @@ class BamReader(DataSourceReader):
             return
         hdr = self.headers[split.path]
         info = hdr.info()
-        with open(split.path, "rb") as f:
-            win = _Window(f, split.start, hdr)
-            if win.empty:
-                return
-            if split.start == 0:
-                start_u = win.u_of(hdr.end)
-            else:
-                win.ensure(4 * MAX_BLOCK_SIZE)  # lookahead for readsToCheck successors
-                start_u = find_record_start(
-                    win.buf, 0, info, reads_to_check=self.reads_to_check, max_read_size=self.max_read_size
-                )
-                if start_u is None:
+        try:
+            with open(split.path, "rb") as f:
+                win = _Window(f, split.start, hdr)
+                if win.empty:
                     return
-            yield from self._decode_from(win, start_u, split.end, hdr)
+                if split.start == 0:
+                    start_u = win.u_of(hdr.end)
+                else:
+                    win.ensure(4 * MAX_BLOCK_SIZE)  # lookahead for readsToCheck successors
+                    start_u = find_record_start(
+                        win.buf, 0, info, reads_to_check=self.reads_to_check, max_read_size=self.max_read_size
+                    )
+                    if start_u is None:
+                        return
+                yield from self._decode_from(win, start_u, split.end, hdr)
+        except Exception:
+            # permissive mode: salvage whatever this split already
+            # produced and drop the rest of it (a corrupt BGZF payload /
+            # truncated record makes the remainder of the window
+            # undecodable; other splits re-sync independently via
+            # find_block_start). failfast (default) propagates.
+            if self.mode != "permissive":
+                raise
 
     def _decode_from(
         self, win: "_Window", u: int, split_end: int, hdr: BamHeader

@@ -151,3 +151,35 @@ def test_multi_file_directory_scan(spark_bam, tmp_path):
     assert df.count() == 400
     # qnames are read{i} per file, so the two files overlap on the first 150
     assert df.select("qname").distinct().count() == 250
+
+
+def test_permissive_mode_salvages_corrupt_file(spark_bam, bam, tmp_path):
+    import shutil
+
+    corrupt = str(tmp_path / "corrupt.bam")
+    shutil.copy(bam.path, corrupt)
+    # trash the payload of a middle block (header left intact so the
+    # block chain still parses; inflate will fail)
+    blocks = sorted(b.start for b in bam.blocks)
+    victim = blocks[len(blocks) // 2]
+    size = bam.blocks[0].compressed_size
+    with open(corrupt, "r+b") as f:
+        f.seek(victim + 20)
+        f.write(b"\xde\xad\xbe\xef" * 8)
+
+    full = spark_bam.read.format("bam").option("split_size", 4096).load(bam.path).count()
+    salvaged = (
+        spark_bam.read.format("bam")
+        .option("split_size", 4096)
+        .option("mode", "permissive")
+        .load(corrupt)
+    )
+    got = salvaged.collect()
+    assert 0 < len(got) < full
+    # salvaged records are real records (names match the fixture pattern)
+    assert all(r["qname"].startswith("read") for r in got)
+
+    import pytest as _p
+
+    with _p.raises(Exception):
+        spark_bam.read.format("bam").option("split_size", 4096).load(corrupt).count()
