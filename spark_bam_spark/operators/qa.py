@@ -293,3 +293,13 @@ def index_records(reads: DataFrame, out_dir: str) -> None:
         .write.mode("overwrite")
         .csv(out_dir)
     )
+
+
+def sorted_range_repartition(reads: DataFrame, n: int = 8) -> DataFrame:
+    """W3 sortedRepartition (IndexedRecordPositions.scala:27-31): range-
+    partition by Pos so each partition owns a disjoint, ordered key range
+    — the layout the indexed checker's per-partition SortedSet membership
+    relies on (O5)."""
+    return reads.repartitionByRange(n, "block_pos", "offset").sortWithinPartitions(
+        "block_pos", "offset"
+    )

@@ -167,3 +167,30 @@ def bam_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("uncompressed_size").cast("double") / F.sum("compressed_size"), 4
         ).alias("est_compression_ratio"),
     )
+
+
+_BIG_FIXTURE = "/tmp/spark_bam_spark_fixture/scan50k.bam"
+
+
+@register(
+    "bam_scan_50k",
+    doc="S3 at throughput scale: 50k-record scan with full decode",
+    headline=True,
+)
+def bam_scan_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-layer throughput probe: enough records that decode (not
+    task overhead) dominates; counts every field decoded."""
+    if not os.path.exists(_BIG_FIXTURE):
+        os.makedirs(os.path.dirname(_BIG_FIXTURE), exist_ok=True)
+        from spark_bam_spark.bam.writer import make_fixture
+
+        make_fixture(_BIG_FIXTURE, n=50000, block_payload=0xFF00)
+    from spark_bam_spark.bam.datasource import register as reg
+
+    reg(spark)
+    reads = spark.read.format("bam").option("split_size", 262144).load(_BIG_FIXTURE)
+    return reads.agg(
+        F.count("*").alias("n_reads"),
+        F.sum("seq_len").cast("bigint").alias("total_bases"),
+        F.count_distinct("rname").alias("n_contigs"),
+    )

@@ -26,3 +26,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = mm.frame_sample(mm.synth_media(spark, sf_dir), every_n_bytes=128)
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"), F.max("frame_idx").alias("max_idx"))
+
+
+@register(
+    "multimodal_ann_pipeline",
+    doc="end-to-end: media binary → decoded features → cosine top-5 vs a query item",
+)
+def multimodal_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data shape: decode binary payloads to vectors
+    (Arrow-batched mapInPandas), then ANN against one query item —
+    per-row zip_with/aggregate cosine, no explode, TakeOrderedAndProject.
+    Deterministic because the fake codec is md5-seeded."""
+    from spark_bam_spark.operators import multimodal as mm
+
+    feats = mm.decode_features(mm.synth_media(spark, sf_dir))
+    q = feats.filter(F.col("media_id") == 0).select(F.col("features").alias("qv"))
+    scored = (
+        feats.filter(F.col("media_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "media_id",
+            "kind",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(features, qv, (x, y) -> cast(x as double) * cast(y as double)),"
+                    " cast(0 as double), (a, v) -> a + v)"
+                )
+                / (
+                    F.sqrt(F.expr("aggregate(transform(features, x -> cast(x as double) * x), cast(0 as double), (a, v) -> a + v)"))
+                    * F.sqrt(F.expr("aggregate(transform(qv, y -> cast(y as double) * y), cast(0 as double), (a, v) -> a + v)"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "media_id").limit(5)

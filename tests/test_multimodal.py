@@ -40,3 +40,13 @@ def test_real_codecs_are_stubbed(spark, sf_small):
         mm.decode_features(df, codec="pil")
     with pytest.raises(NotImplementedError):
         mm.frame_sample(df, codec="ffmpeg")
+
+
+def test_ann_pipeline_deterministic_topk(spark, sf_small):
+    from spark_bam_spark.queries import load_all
+
+    reg = load_all()
+    a = [tuple(r) for r in reg["multimodal_ann_pipeline"].fn(spark, sf_small).collect()]
+    b = [tuple(r) for r in reg["multimodal_ann_pipeline"].fn(spark, sf_small).collect()]
+    assert a == b and len(a) == 5
+    assert all(-1.0 <= r[2] <= 1.0 for r in a)

@@ -131,3 +131,21 @@ def test_upstream_checker_is_strictly_weaker(spark_bam, bam):
     assert eager_wrong == 0 and upstream_fn == 0
     upstream_fp = calls.filter(F.col("upstream_call") & ~F.col("oracle_call")).count()
     print("upstream FPs on fixture:", upstream_fp)
+
+
+def test_sorted_range_repartition_disjoint_ordered(spark_bam, bam):
+    reads = spark_bam.read.format("bam").load(bam.path)
+    parted = qa.sorted_range_repartition(reads, n=6)
+    bounds = (
+        parted.select(F.spark_partition_id().alias("pid"), "block_pos", "offset")
+        .groupBy("pid")
+        .agg(
+            F.min(F.struct("block_pos", "offset")).alias("lo"),
+            F.max(F.struct("block_pos", "offset")).alias("hi"),
+        )
+        .orderBy("pid")
+        .collect()
+    )
+    assert len(bounds) > 1
+    for a, b in zip(bounds, bounds[1:]):
+        assert (a["hi"]["block_pos"], a["hi"]["offset"]) <= (b["lo"]["block_pos"], b["lo"]["offset"])
