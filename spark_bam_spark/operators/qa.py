@@ -28,6 +28,22 @@ from spark_bam_spark.bam.bgzf import MAX_BLOCK_SIZE
 
 _LOOKAHEAD_BLOCKS = 4
 
+# planned-DataFrame cache for Python DataSource reads (planning costs ~1s
+# of driver-side round-trips; the immutable plan is reusable per session)
+_BLOCKS_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _blocks_df(spark: SparkSession, bam_path: str) -> DataFrame:
+    from spark_bam_spark.bam.datasource import register
+
+    key = (id(spark), bam_path)
+    df = _BLOCKS_PLAN_CACHE.get(key)
+    if df is None:
+        register(spark)
+        df = spark.read.format("bgzf_blocks").load(bam_path)
+        _BLOCKS_PLAN_CACHE[key] = df
+    return df
+
 
 # per-worker LRU of decompressed blocks — the engine's S14 (Stream.scala:
 # 80-122 caches the last 100 blocks because boundary checking re-reads
@@ -76,10 +92,7 @@ def calls(spark: SparkSession, bam_path: str, stride: int = 1) -> DataFrame:
     Scale shape: the blocks table is the driver of parallelism (balanced
     byte ranges); each task initializes one header + reuses decompressed
     windows; output is hash-partitionable on (block_pos, offset)."""
-    from spark_bam_spark.bam.datasource import register
-
-    register(spark)
-    blocks = spark.read.format("bgzf_blocks").load(bam_path)
+    blocks = _blocks_df(spark, bam_path)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spark_bam_spark.bam.checker import check_record_start, check_record_start_upstream
@@ -136,10 +149,7 @@ def three_way_confusion(calls_df: DataFrame) -> DataFrame:
 def flags_histogram(spark: SparkSession, bam_path: str, limit_blocks: int | None = None) -> DataFrame:
     """full-check: per failing position collect the 19-flag struct, keyed
     by #failing flags (FullCheck.scala:86-325, A3) + histogram (A2)."""
-    from spark_bam_spark.bam.datasource import register
-
-    register(spark)
-    blocks = spark.read.format("bgzf_blocks").load(bam_path)
+    blocks = _blocks_df(spark, bam_path)
     if limit_blocks:
         blocks = blocks.orderBy("start").limit(limit_blocks)
 
@@ -217,7 +227,7 @@ def block_first_reads(spark: SparkSession, bam_path: str) -> DataFrame:
         .groupBy("block_pos")
         .agg(F.min("offset").alias("first_read_offset"))
     )
-    blocks = spark.read.format("bgzf_blocks").load(bam_path)
+    blocks = _blocks_df(spark, bam_path)
     w = W.orderBy("start")
     blocks_prev = blocks.select(
         "start",

@@ -82,13 +82,10 @@ def bam_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("bam_blocks_metadata", doc="S9 Blocks(): parallel BGZF block discovery")
 def bam_blocks_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_bam_spark.bam.datasource import register as reg
+    from spark_bam_spark.operators.qa import _blocks_df
 
-    reg(spark)
-    return (
-        spark.read.format("bgzf_blocks")
-        .load(_fixture_path())
-        .select("start", "compressed_size", "uncompressed_size")
+    return _blocks_df(spark, _fixture_path()).select(
+        "start", "compressed_size", "uncompressed_size"
     )
 
 
@@ -171,10 +168,9 @@ def bam_check_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="EstimatedCompressionRatio over block metadata (bgzf/.../EstimatedCompressionRatio.scala:13)",
 )
 def bam_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_bam_spark.bam.datasource import register as reg
+    from spark_bam_spark.operators.qa import _blocks_df
 
-    reg(spark)
-    blocks = spark.read.format("bgzf_blocks").load(_fixture_path())
+    blocks = _blocks_df(spark, _fixture_path())
     return blocks.agg(
         F.count("*").alias("n_blocks"),
         F.round(
