@@ -138,3 +138,23 @@ def click_purchase_join(events: DataFrame, horizon: str = "1 hour", watermark: s
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Checkpointed parquet sink: exactly-once via the sink's commit log —
+    re-running over already-committed input produces no duplicates (the
+    engine's fault-tolerance surface; SURVEY §2.9 extension)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

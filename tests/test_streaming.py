@@ -85,3 +85,17 @@ def test_stream_stream_join_matches_batch(spark, sf_small, events_stream):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_checkpointed_sink_exactly_once(spark, sf_small, events_stream, tmp_path):
+    from spark_bam_spark.streaming import run_to_parquet, stream_events, tumbling_counts
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    agg = tumbling_counts(events_stream)
+    run_to_parquet(agg, out, ckpt)
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    # same input, same checkpoint: a restart commits nothing new
+    run_to_parquet(tumbling_counts(stream_events(spark, sf_small)), out, ckpt)
+    assert spark.read.parquet(out).count() == first
