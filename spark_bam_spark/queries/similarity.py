@@ -115,3 +115,46 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+_IVF_DIR = "/tmp/spark_bam_spark_fixture/embeddings_ivf"
+
+
+@register(
+    "cosine_topk_ivf_pruned",
+    tags=("similarity", "ann", "layout"),
+    oracle=_oracle("WHERE e.label = q.q_label"),
+)
+def cosine_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the index MATERIALIZED: embeddings written partitioned by
+    the coarse id (label), so probing the query's cell is hive-style
+    partition pruning — the scan reads one directory, not the table.
+    Same oracle as cosine_topk_ivf (identical semantics, better layout).
+    """
+    import os
+
+    out = f"{_IVF_DIR}_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(out):
+        table(spark, sf_dir, "embeddings").write.mode("overwrite").partitionBy("label").parquet(out)
+    emb = spark.read.parquet(out)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("label").alias("q_label"), F.col("embedding").alias("qv")
+    )
+    q_label = q.first()["q_label"]
+    # literal partition filter -> PartitionFilters pruning at the scan
+    cell = emb.filter(F.col("label") == q_label)
+    j = cell.crossJoin(F.broadcast(q))
+    prod = f"zip_with(embedding, qv, (x, y) -> cast(cast(x as double) * cast(y as double) as {_DEC}))"
+    sq = f"transform(embedding, x -> cast(cast(x as double) * cast(x as double) as {_DEC}))"
+    qsq = f"transform(qv, y -> cast(cast(y as double) * cast(y as double) as {_DEC}))"
+    return (
+        j.select(
+            "vec_id",
+            (
+                F.expr(_dec_array_sum(prod))
+                / (F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )

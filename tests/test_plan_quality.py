@@ -56,3 +56,12 @@ def test_whole_stage_codegen_active(spark, sf_small):
     # codegen'd stages carry the `*(n)` marker in the plan string
     plan = plan_of(df)
     assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_fan_out_is_noop_on_wide_input(spark, sf_small):
+    from spark_bam_spark.tables import fan_out
+
+    li = table(spark, sf_small, "lineitem").repartition(64)
+    assert fan_out(li) is li  # cluster-shaped scans pass through untouched
+    one = table(spark, sf_small, "nation")
+    assert fan_out(one).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism

@@ -54,3 +54,11 @@ def test_approx_count_distinct_within_tolerance(spark, sf_small):
     rows = REGISTRY["approx_count_distinct"].fn(spark, sf_small).collect()
     assert len(rows) > 0
     assert all(r["within_2pct"] for r in rows)
+
+
+def test_ivf_pruned_scan_actually_prunes(spark, sf_small):
+    df = REGISTRY["cosine_topk_ivf_pruned"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "label" in seg
