@@ -103,3 +103,75 @@ def test_full_check_success_is_none(fx):
     info = hdr.info()
     got, reads_before = full_check(flat, ustarts[0], info)
     assert got is None and reads_before == 10
+
+
+def _fake_record(
+    *,
+    ref_idx=0,
+    pos=5000,
+    l_name=3,
+    name=b"ab\x00",
+    mapq=30,
+    n_cigar=1,
+    flag=0x1,
+    l_seq=4,
+    mate_ref=0,
+    mate_pos=5200,
+    tlen=300,
+    cigar_ops=None,
+    seq_qual=None,
+) -> bytes:
+    """Hand-assembled presumptive record for adversarial positions."""
+    import struct
+
+    cigar = b"".join(struct.pack("<I", v) for v in (cigar_ops or [(l_seq << 4) | 0]))
+    body = (
+        struct.pack("<iiBBHHHiiii", ref_idx, pos, l_name, mapq, 0, n_cigar, flag, l_seq, mate_ref, mate_pos, tlen)
+        + name
+        + cigar
+        + (seq_qual if seq_qual is not None else b"\x11" * ((l_seq + 1) // 2) + b"\x1e" * l_seq)
+    )
+    return struct.pack("<i", len(body)) + body
+
+
+class TestUpstreamFalsePositiveClasses:
+    """Each documented check the upstream lacks (docs/motivation.md:36-52)
+    produces a position the upstream checker accepts and the eager checker
+    rejects — the reference's reason to exist, reproduced synthetically.
+    The fake record's implied end lands at the buffer end, so successor
+    checks truncate (the upstream MAX_BYTES_READ behavior)."""
+
+    def _check(self, buf, hdr):
+        from spark_bam_spark.bam.checker import check_record_start, check_record_start_upstream
+
+        return check_record_start(buf, 0, hdr), check_record_start_upstream(buf, 0, hdr)
+
+    def test_locus_too_large(self, fx):
+        _, hdr, _, _ = fx
+        buf = _fake_record(pos=hdr.lengths[0] + 10_000)
+        eager, upstream = self._check(buf, hdr.info())
+        assert (eager, upstream) == (False, True)
+
+    def test_invalid_read_name_chars(self, fx):
+        _, hdr, _, _ = fx
+        buf = _fake_record(name=b"a b\x00", l_name=4)
+        eager, upstream = self._check(buf, hdr.info())
+        assert (eager, upstream) == (False, True)
+
+    def test_empty_read_name(self, fx):
+        _, hdr, _, _ = fx
+        buf = _fake_record(name=b"\x00", l_name=1)
+        eager, upstream = self._check(buf, hdr.info())
+        assert (eager, upstream) == (False, True)
+
+    def test_mapped_with_empty_cigar_and_seq(self, fx):
+        _, hdr, _, _ = fx
+        buf = _fake_record(n_cigar=0, l_seq=0, cigar_ops=[], seq_qual=b"")
+        eager, upstream = self._check(buf, hdr.info())
+        assert (eager, upstream) == (False, True)
+
+    def test_valid_record_accepted_by_both(self, fx):
+        _, hdr, _, _ = fx
+        buf = _fake_record()
+        eager, upstream = self._check(buf, hdr.info())
+        assert (eager, upstream) == (True, True)
