@@ -394,3 +394,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+@register(
+    "dedup_survivors",
+    tags=("dedup", "pipeline"),
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM corpus
+    )
+    SELECT COUNT(*) FILTER (rn = 1) AS survivors,
+           COUNT(*) FILTER (rn > 1) AS removed,
+           COUNT(*) AS total
+    FROM ranked
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT: keep the first document of each exact-hash group
+    (window rank over the hash), report survivors/removed. At 100 TB the
+    window is one shuffle on the uniform 128-bit hash — identical cost to
+    the groupBy formulation but yields the cleaned corpus, not just the
+    group list."""
+    from pyspark.sql import Window
+
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    corpus = d.unionAll(
+        d.filter(F.col("doc_id") % 7 == 0).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ranked = corpus.select("doc_id", F.row_number().over(w).alias("rn"))
+    return ranked.agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("survivors"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("removed"),
+        F.count("*").alias("total"),
+    )

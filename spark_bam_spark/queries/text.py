@@ -111,3 +111,52 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "looks_english")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "quality_filter_pipeline",
+    tags=("text", "pipeline"),
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_tok,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x IN {_SW_SQL})) AS DOUBLE)
+               / len(string_split(text, ' ')) AS sw_ratio
+      FROM documents
+    )
+    SELECT CASE
+             WHEN n_tokens < 20 THEN 'too_short'
+             WHEN avg_tok < 3 OR avg_tok > 12 THEN 'bad_token_len'
+             WHEN sw_ratio < 0.01 THEN 'no_stopwords'
+             ELSE 'keep'
+           END AS verdict,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM scored
+    GROUP BY 1
+    ORDER BY verdict
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gating with rejection attribution: first
+    failing rule wins, keep/reject counts per reason. One narrow pass +
+    one tiny agg — the whole filter runs at scan speed at 100 TB."""
+    d = fan_out(table(spark, sf_dir, "documents"))
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ntok = F.size(F.split("text", " "))
+    avg_tok = F.col("n_chars").cast("double") / ntok
+    sw_ratio = F.expr(f"size(filter(split(lower(text), ' '), x -> x IN ({sw})))").cast("double") / ntok
+    verdict = (
+        F.when(ntok < 20, "too_short")
+        .when((avg_tok < 3) | (avg_tok > 12), "bad_token_len")
+        .when(sw_ratio < 0.01, "no_stopwords")
+        .otherwise("keep")
+    )
+    return (
+        d.select(verdict.alias("verdict"), ntok.alias("n_tokens"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        .orderBy("verdict")
+    )
