@@ -160,3 +160,89 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("total_tokens"))
         .orderBy("verdict")
     )
+
+
+_TOPK_GRAMS = 50
+
+
+@register(
+    "langid_ngram_confusion",
+    tags=("text", "langid"),
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, doc_id % 5 = 0 AS is_test,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                   i -> substr(t, i, 3))) AS g
+      FROM (SELECT doc_id, lang, lower(text) AS t FROM documents)
+    ),
+    profile AS (
+      SELECT lang, g FROM (
+        SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rn
+        FROM grams WHERE NOT is_test GROUP BY lang, g
+      ) WHERE rn <= {_TOPK_GRAMS}
+    ),
+    test_grams AS (SELECT DISTINCT doc_id, lang AS true_lang, g FROM grams WHERE is_test),
+    scores AS (
+      SELECT t.doc_id, t.true_lang, p.lang AS pred, COUNT(*) AS score
+      FROM test_grams t JOIN profile p ON t.g = p.g
+      GROUP BY t.doc_id, t.true_lang, p.lang
+    ),
+    best AS (
+      SELECT doc_id, true_lang, pred FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, pred) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT true_lang, pred AS pred_lang, COUNT(*) AS n
+    FROM best GROUP BY 1, 2 ORDER BY true_lang, pred_lang
+    """,
+)
+def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by character-trigram profiles: learn each label's
+    top-K trigrams on a training split (doc_id % 5 != 0), classify the
+    held-out split by profile-overlap count, report the confusion matrix.
+
+    All-integer scoring with total tie-breaks, so Spark and DuckDB agree
+    exactly. Scale shape: profiles are tiny (langs x K rows -> broadcast);
+    the only big shuffle keys are (doc, gram) pairs, uniformly hashed.
+    The synthetic corpus shares one vocabulary across labels, so accuracy
+    is near-chance - the operator, not the classifier, is under test."""
+    from pyspark.sql import Window
+
+    d = fan_out(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.lower("text").alias("t"), (F.col("doc_id") % 5 == 0).alias("is_test")
+    )
+    grams = d.select(
+        "doc_id",
+        "lang",
+        "is_test",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")
+        ).alias("g"),
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("cnt"), "g")
+    profile = (
+        grams.filter(~F.col("is_test"))
+        .groupBy("lang", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= _TOPK_GRAMS)
+        .select(F.col("lang").alias("pred"), "g")
+    )
+    test_grams = (
+        grams.filter(F.col("is_test"))
+        .select("doc_id", F.col("lang").alias("true_lang"), "g")
+        .distinct()
+    )
+    scores = (
+        test_grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "true_lang", "pred")
+        .agg(F.count("*").alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.desc("score"), "pred")
+    best = scores.withColumn("rn", F.row_number().over(w_best)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("true_lang", F.col("pred").alias("pred_lang"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
