@@ -246,3 +246,59 @@ def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    tags=("text", "tfidf"),
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents WHERE doc_id < 100
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency x inverse document frequency, top-3 terms
+    per document (SURVEY §7 text-analysis item).
+
+    Determinism: ranking uses the raw double (tf * ln(N/df) — both
+    engines' libm agree on these magnitudes), ties broken by term;
+    output rounds to 6 decimals. Scale shape: tf is one shuffle on
+    (doc, term); df is a second on term; the df table broadcasts."""
+    from pyspark.sql import Window
+
+    d = fan_out(table(spark, sf_dir, "documents")).filter(F.col("doc_id") < 100)
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = tok.select(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
