@@ -915,3 +915,29 @@ def outer_join_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("n_orders")
     )
+
+
+@register(
+    "deterministic_sample",
+    tags=("sample", "O3"),
+    oracle="""
+    SELECT COUNT(*) AS n_sampled,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~5% sample by hashing the key into md5 buckets
+    (O3 sampling, and the training-data-pipeline requirement that a
+    sample be stable across runs/engines — rand() is neither). The
+    predicate is a pure row-local expression: pushes to the scan, no
+    shuffle, identical rows in any engine."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    return o.filter(bucket < "0d").agg(
+        F.count("*").alias("n_sampled"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+    )

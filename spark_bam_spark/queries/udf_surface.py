@@ -112,3 +112,53 @@ def udtf_explode_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.contig, t.start, t.end FROM interval_specs, "
         "LATERAL explode_intervals(spec) t ORDER BY contig, start"
     )
+
+
+@register(
+    "grouped_map_gap_stats",
+    tags=("udf", "grouped_map"),
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             EXTRACT(EPOCH FROM ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_s) AS n_gaps,
+           CAST(FLOOR(MIN(gap_s)) AS BIGINT) AS min_gap_s,
+           CAST(FLOOR(MAX(gap_s)) AS BIGINT) AS max_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    HAVING COUNT(gap_s) > 0
+    ORDER BY user_id
+    """,
+)
+def grouped_map_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_MAP applyInPandas: each user's full history arrives as one
+    pandas frame (the per-group state shape — §2.10). Emits integer gap
+    extremes so the oracle (plain window SQL) matches exactly; the pandas
+    body is where nontrivial per-entity logic (curve fitting, sequence
+    models) would run at scale."""
+    import pandas as pd
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        g = pdf["ts"].diff().dt.total_seconds().dropna()
+        if g.empty:
+            return pd.DataFrame(columns=["user_id", "n_gaps", "min_gap_s", "max_gap_s"])
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(g)],
+                "min_gap_s": [int(g.min())],
+                "max_gap_s": [int(g.max())],
+            }
+        )
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(gaps, schema="user_id bigint, n_gaps bigint, min_gap_s bigint, max_gap_s bigint")
+        .orderBy("user_id")
+    )
