@@ -65,3 +65,16 @@ def test_fan_out_is_noop_on_wide_input(spark, sf_small):
     assert fan_out(li) is li  # cluster-shaped scans pass through untouched
     one = table(spark, sf_small, "nation")
     assert fan_out(one).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in REGISTRY.items() if s.headline and s.oracle)
+)
+def test_headline_queries_are_run_deterministic(spark, sf_small, name):
+    """Two executions must produce identical rows — guards against
+    nondeterminism (rand(), unordered float accumulation, ties without
+    breaks) regressing into graded queries."""
+    fn = REGISTRY[name].fn
+    a = sorted(map(tuple, fn(spark, sf_small).collect()))
+    b = sorted(map(tuple, fn(spark, sf_small).collect()))
+    assert a == b
