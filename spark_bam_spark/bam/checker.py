@@ -80,16 +80,22 @@ def record_flags(buf: bytes, o: int, hdr: HeaderInfo) -> dict[str, bool]:
     mate_ref, mate_pos = struct.unpack_from("<ii", buf, o + 24)
 
     def pos_errs(idx: int, p: int, neg_i: str, big_i: str, neg_p: str, big_p: str) -> None:
+        # exact RefPosError decision tree (full/error/RefPosError.scala:7-33,
+        # PosChecker.scala:43-63): cases are mutually exclusive except the
+        # combined NegativeRefIdxAndPos / TooLargeRefIdxNegativePos pairs;
+        # too-large-pos means strictly pos > contig_length
         if idx < -1:
             flags[neg_i] = True
+            if p < -1:
+                flags[neg_p] = True
         elif idx >= hdr.n_refs:
             flags[big_i] = True
-        if p < -1:
+            if p < -1:
+                flags[neg_p] = True
+        elif p < -1:
             flags[neg_p] = True
-        elif idx >= -1 and p >= 0:
-            limit = hdr.contig_lengths[idx] if 0 <= idx < hdr.n_refs else 0
-            if p >= limit:
-                flags[big_p] = True
+        elif idx >= 0 and p > hdr.contig_lengths[idx]:
+            flags[big_p] = True
 
     pos_errs(ref_idx, pos, "negative_read_idx", "too_large_read_idx", "negative_read_pos", "too_large_read_pos")
     pos_errs(
@@ -153,16 +159,16 @@ def _check_one(buf: bytes, o: int, hdr: HeaderInfo, max_read_size: int) -> int |
         return None
     if pos < -1:
         return None
-    if ref_idx >= 0 and pos >= hdr.contig_lengths[ref_idx]:
-        return None
-    if ref_idx == -1 and pos != -1:
+    # strictly > (PosChecker.scala:59); ref_idx==-1 with pos>=0 is NOT
+    # rejected by the reference — parity over intuition
+    if ref_idx >= 0 and pos > hdr.contig_lengths[ref_idx]:
         return None
     mate_ref, mate_pos = struct.unpack_from("<ii", buf, o + 24)
     if not (-1 <= mate_ref < hdr.n_refs):
         return None
     if mate_pos < -1:
         return None
-    if mate_ref >= 0 and mate_pos >= hdr.contig_lengths[mate_ref]:
+    if mate_ref >= 0 and mate_pos > hdr.contig_lengths[mate_ref]:
         return None
     l_name = buf[o + 12]
     if l_name <= 1:
@@ -197,19 +203,38 @@ def check_record_start(
     hdr: HeaderInfo,
     reads_to_check: int = DEFAULT_READS_TO_CHECK,
     max_read_size: int = DEFAULT_MAX_READ_SIZE,
+    ensure=None,
 ) -> bool:
     """Eager validity predicate: ``reads_to_check`` consecutive records
-    parse from ``o`` (EOF short of the count is success — eager:38-43)."""
-    n = len(buf)
+    parse from ``o`` (EOF short of the count is success — eager:38-43).
+
+    ``ensure(nbytes)``: optional callback that extends ``buf`` in place
+    (``buf`` must then be a growable bytearray, e.g. a block window). With
+    it, a presumptive record extending past the current window triggers a
+    window extension instead of blind acceptance; if the window cannot
+    grow (true file EOF) the mid-record-EOF position is REJECTED — the
+    reference treats a record extending past EOF as failure. Without
+    ``ensure`` the window is taken as a hard horizon and the historical
+    accept-on-overflow applies (fixed-lookahead sweeps)."""
     for _ in range(reads_to_check):
+        if ensure is not None:
+            ensure(o + _FIXED)  # window end is not EOF until it can't grow
+        n = len(buf)
         if o == n:
             return True  # clean EOF
         nxt = _check_one(buf, o, hdr, max_read_size)
         if nxt is None:
             return False
         if nxt > n:
-            # record extends past the window; every in-window check passed
-            return True
+            if ensure is None:
+                # record extends past the window; every in-window check passed
+                return True
+            ensure(nxt)
+            if nxt > len(buf):
+                return False  # extends past true EOF: mid-record EOF fails
+            # window grew: re-validate this record with the full bytes
+            if _check_one(buf, o, hdr, max_read_size) is None:
+                return False
         o = nxt
     return True
 
@@ -242,12 +267,14 @@ def find_record_start(
     max_search: int = DEFAULT_MAX_READ_SIZE,
     reads_to_check: int = DEFAULT_READS_TO_CHECK,
     max_read_size: int = DEFAULT_MAX_READ_SIZE,
+    ensure=None,
 ) -> int | None:
     """Probe successive offsets until the eager predicate passes
-    (FindRecordStart.scala:30-63)."""
+    (FindRecordStart.scala:30-63). ``ensure`` is threaded to the checker
+    so candidate records spanning the window edge extend it."""
     limit = min(len(buf), from_off + max_search)
     for cand in range(from_off, limit + 1):
-        if check_record_start(buf, cand, hdr, reads_to_check, max_read_size):
+        if check_record_start(buf, cand, hdr, reads_to_check, max_read_size, ensure=ensure):
             return cand
     return None
 

@@ -229,6 +229,14 @@ class BamReader(DataSourceReader):
         from spark_bam_spark.bam.bai import parse_bai, query_chunks
 
         idx = parse_bai(bai_path)
+        # The BAI only indexes placed records (ref_idx >= 0). A pushed
+        # ref outside its range (unplaced -1, or out-of-dictionary)
+        # cannot be answered by chunk lookup — disable BAI pruning so
+        # the zone-map / full-scan path preserves "pruning can only
+        # skip, never corrupt" (unplaced reads live in the tail, which
+        # the BAI has no chunks for).
+        if any(r < 0 or r >= len(idx.bins) for r in self._ref_idxs):
+            return None
         hdr = self.headers.get(path)
         beg = self._pos_lo or 0
         end = self._pos_hi + 1 if self._pos_hi is not None else 1 << 29
@@ -272,7 +280,8 @@ class BamReader(DataSourceReader):
                 else:
                     win.ensure(4 * MAX_BLOCK_SIZE)  # lookahead for readsToCheck successors
                     start_u = find_record_start(
-                        win.buf, 0, info, reads_to_check=self.reads_to_check, max_read_size=self.max_read_size
+                        win.buf, 0, info, reads_to_check=self.reads_to_check,
+                        max_read_size=self.max_read_size, ensure=win.ensure,
                     )
                     if start_u is None:
                         return
@@ -445,27 +454,34 @@ class BamWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         recs = []
         name_to_idx = {n: i for i, n in enumerate(self.names)}
+        def val(d: dict, key: str, default):
+            # d.get(key, default) returns None (not default) when the
+            # column exists but the row value is NULL — coalesce both
+            v = d.get(key)
+            return default if v is None else v
+
         for row in rows:
             d = row.asDict()
             ref_idx = d.get("ref_idx")
             if ref_idx is None:
                 ref_idx = name_to_idx.get(d.get("rname"), -1)
-            cigar = _parse_cigar(d.get("cigar") or "*")
-            qual_s = d.get("qual") or ""
+            cigar = _parse_cigar(val(d, "cigar", "*"))
+            qual_s = val(d, "qual", "")
             recs.append(
                 BamRecord(
-                    qname=d["qname"],
-                    flag=int(d["flag"]),
+                    qname=val(d, "qname", ""),
+                    flag=int(val(d, "flag", 0)),
                     ref_idx=int(ref_idx),
-                    pos=int(d["pos"]),
-                    mapq=int(d.get("mapq") or 0),
+                    pos=int(val(d, "pos", -1)),
+                    mapq=int(val(d, "mapq", 0)),
                     cigar=cigar,
-                    mate_ref_idx=int(d.get("mate_ref_idx", -1)),
-                    mate_pos=int(d.get("mate_pos", -1)),
-                    tlen=int(d.get("tlen") or 0),
-                    seq=d.get("seq") or "",
-                    qual=bytes(ord(c) - 33 for c in qual_s),
-                    tags=dict(d.get("tags") or {}),
+                    mate_ref_idx=int(val(d, "mate_ref_idx", -1)),
+                    mate_pos=int(val(d, "mate_pos", -1)),
+                    tlen=int(val(d, "tlen", 0)),
+                    seq=val(d, "seq", ""),
+                    # phred+33 text → raw scores, clamped to a legal byte
+                    qual=bytes(min(max(ord(c) - 33, 0), 255) for c in qual_s),
+                    tags=dict(val(d, "tags", {})),
                 )
             )
         out = os.path.join(self.path, f"part-{pid:05d}.bam")
@@ -484,6 +500,10 @@ def _parse_cigar(s: str) -> list[tuple[int, int]]:
         if ch.isdigit():
             num += ch
         else:
+            if ch not in CIGAR_OPS or not num:
+                raise ValueError(
+                    f"invalid cigar string {s!r}: expected (<digits><op in {CIGAR_OPS}>)*"
+                )
             out.append((CIGAR_OPS.index(ch), int(num)))
             num = ""
     return out

@@ -102,9 +102,16 @@ def load_sam(spark: SparkSession, path: str) -> DataFrame:
             F.map_from_entries(
                 F.transform(
                     F.slice(f, 12, 4096),
+                    # value = everything after the SECOND colon — Z-type
+                    # values legally contain ':' (URLs, program lines);
+                    # substring_index(s, ':', -1) would truncate them
                     lambda s: F.struct(
                         F.substring_index(s, ":", 1).alias("key"),
-                        F.substring_index(s, ":", -1).alias("value"),
+                        F.substring(
+                            s,
+                            F.length(F.substring_index(s, ":", 2)) + 2,
+                            F.length(s),
+                        ).alias("value"),
                     ),
                 )
             ).alias("tags"),
