@@ -1,0 +1,382 @@
+"""Vectorized BAM record decode: numpy batch extraction → Arrow arrays.
+
+The scale-critical replacement for per-record Python decode. The
+reference chose its record decoder explicitly for scan throughput
+(load/.../CanLoadBam.scala:116-120 uses the fast JVM codec); the
+PySpark-native equivalent is: given all record start offsets in an
+uncompressed buffer, decode EVERY fixed field of EVERY record with
+numpy gathers (one (n, 36) byte matrix, little-endian views), build the
+variable-length columns (qname/cigar/seq/qual) as Arrow string arrays
+directly from flat value+offset buffers (zero Python objects in the hot
+path), and only fall back to per-record Python for the rare non-ASCII
+case and for the typed-tags map.
+
+Record layout: SAM/BAM spec §4.2 — block_size, refID, pos, l_read_name,
+mapq, bin, n_cigar_op, flag, l_seq, next_refID, next_pos, tlen, then
+read_name cigar seq(4-bit) qual tags.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_FIXED = 36  # 4 (block_size) + 32 fixed bytes
+
+# op nibble → ascii op char; nibbles 9-15 are invalid (checker's job)
+_CIGAR_CHARS = np.frombuffer(b"MIDNSHP=X???????", dtype=np.uint8)
+# reference-consuming ops for end_pos: M/D/N/=/X
+_REF_CONSUMING = np.zeros(16, dtype=bool)
+_REF_CONSUMING[[0, 2, 3, 7, 8]] = True
+# 4-bit seq code → base letter
+_SEQ_CHARS = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+# packed seq byte → TWO base chars at once (little-endian uint16: first
+# char in the low byte) — one gather instead of two + interleave
+_SEQ_PAIRS = (
+    _SEQ_CHARS[np.arange(256) >> 4].astype(np.uint16)
+    | (_SEQ_CHARS[np.arange(256) & 0xF].astype(np.uint16) << 8)
+)
+# qual byte → phred+33 byte (wraps at 256 like the scalar path)
+_QUAL33 = np.arange(256, dtype=np.uint16).astype(np.uint8) + np.uint8(33)
+# tag type byte → fixed payload size; -1 = variable (Z) or scan-stopper (H/B)
+_TAG_SIZES = np.full(256, -1, dtype=np.int64)
+for _c, _s in ((0x63, 1), (0x43, 1), (0x73, 2), (0x53, 2), (0x69, 4), (0x49, 4), (0x66, 4)):
+    _TAG_SIZES[_c] = _s
+_TAG_SIZES[0x5A] = -1  # 'Z' handled via NUL scan
+
+
+def ranges_concat(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flat index array concatenating [s_i, s_i + len_i) ranges — the
+    segment-gather primitive every variable-length column uses.
+
+    Built as diff → scatter → cumsum (one output-sized pass) instead of
+    two output-sized ``np.repeat``s + ``arange`` — ~3× less memory
+    traffic, which matters when the output is the seq/qual buffer."""
+    starts = starts.astype(np.int64, copy=False)
+    lengths = lengths.astype(np.int64, copy=False)
+    nz = lengths > 0
+    if not nz.all():
+        starts, lengths = starts[nz], lengths[nz]
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.int64)
+    # int32 output when the buffer is small enough (it always is for a
+    # per-split window): halves cumsum/gather memory traffic
+    dt = np.int32 if (starts[-1] + lengths[-1]) < (1 << 31) else np.int64
+    ends = np.cumsum(lengths)
+    d = np.ones(int(ends[-1]), dtype=dt)
+    d[0] = starts[0]
+    # at each segment boundary jump from (prev start + prev len - 1) + 1
+    d[ends[:-1]] += (starts[1:] - starts[:-1] - lengths[:-1]).astype(dt)
+    return np.cumsum(d)
+
+
+def _utf8(values: np.ndarray, lengths: np.ndarray) -> pa.Array:
+    """Arrow string array from a flat uint8 value buffer + per-item
+    lengths (no Python string objects; zero-copy buffer wrap)."""
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.StringArray.from_buffers(
+        len(lengths),
+        pa.py_buffer(offsets),
+        pa.py_buffer(np.ascontiguousarray(values)),
+    )
+
+
+def _utf8_checked(values: np.ndarray, lengths: np.ndarray) -> pa.Array:
+    """Like _utf8 but tolerates non-ASCII bytes (possible in permissive
+    mode on corrupt data) by falling back to latin-1 Python decoding —
+    matching the scalar decoder's errors-tolerant behavior."""
+    if values.size == 0 or values.max(initial=0) < 0x80:
+        return _utf8(values, lengths)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    raw = values.tobytes()
+    return pa.array(
+        [raw[offsets[i] : offsets[i + 1]].decode("latin1") for i in range(len(lengths))],
+        type=pa.string(),
+    )
+
+
+class DecodedBatch:
+    """Column accessors over one batch of records; every accessor is a
+    numpy/Arrow computation over all records at once."""
+
+    def __init__(self, buf, starts: np.ndarray, names: list[str]) -> None:
+        self.np_buf = np.frombuffer(buf, dtype=np.uint8, count=len(buf))
+        self.starts = starts.astype(np.int64, copy=False)
+        self.names = names
+        n = len(starts)
+        # one gather for all fixed fields: (n, 36) byte matrix
+        fixed = self.np_buf[self.starts[:, None] + np.arange(_FIXED)]
+        self._f = np.ascontiguousarray(fixed)
+        self.n = n
+
+    def _i32(self, byte_off: int) -> np.ndarray:
+        return self._f[:, byte_off : byte_off + 4].copy().view("<i4").ravel()
+
+    def _u16(self, byte_off: int) -> np.ndarray:
+        return self._f[:, byte_off : byte_off + 2].copy().view("<u2").ravel()
+
+    # -- fixed fields -------------------------------------------------------
+    @property
+    def block_size(self) -> np.ndarray:
+        return self._i32(0)
+
+    @property
+    def ref_idx(self) -> np.ndarray:
+        return self._i32(4)
+
+    @property
+    def pos(self) -> np.ndarray:
+        return self._i32(8)
+
+    @property
+    def l_name(self) -> np.ndarray:
+        return self._f[:, 12].astype(np.int64)
+
+    @property
+    def mapq(self) -> np.ndarray:
+        return self._f[:, 13].astype(np.int32)
+
+    @property
+    def n_cigar(self) -> np.ndarray:
+        return self._u16(16).astype(np.int64)
+
+    @property
+    def flag(self) -> np.ndarray:
+        return self._u16(18).astype(np.int32)
+
+    @property
+    def l_seq(self) -> np.ndarray:
+        return np.maximum(self._i32(20), 0).astype(np.int64)
+
+    @property
+    def mate_ref_idx(self) -> np.ndarray:
+        return self._i32(24)
+
+    @property
+    def mate_pos(self) -> np.ndarray:
+        return self._i32(28)
+
+    @property
+    def tlen(self) -> np.ndarray:
+        return self._i32(32)
+
+    # -- derived layout offsets --------------------------------------------
+    @property
+    def name_start(self) -> np.ndarray:
+        return self.starts + _FIXED
+
+    @property
+    def cigar_start(self) -> np.ndarray:
+        return self.name_start + self.l_name
+
+    @property
+    def seq_start(self) -> np.ndarray:
+        return self.cigar_start + 4 * self.n_cigar
+
+    @property
+    def packed_seq_len(self) -> np.ndarray:
+        return (self.l_seq + 1) // 2
+
+    @property
+    def qual_start(self) -> np.ndarray:
+        return self.seq_start + self.packed_seq_len
+
+    @property
+    def tag_start(self) -> np.ndarray:
+        return self.qual_start + self.l_seq
+
+    @property
+    def record_end(self) -> np.ndarray:
+        return self.starts + 4 + self.block_size.astype(np.int64)
+
+    # -- cigar --------------------------------------------------------------
+    def _cigar_words(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(ops, lens, seg) flat over all records; seg = record index."""
+        idx = ranges_concat(self.cigar_start, 4 * self.n_cigar)
+        words = self.np_buf[idx].copy().view("<u4")
+        seg = np.repeat(np.arange(self.n, dtype=np.int64), self.n_cigar)
+        return (words & 0xF).astype(np.int64), (words >> 4).astype(np.int64), seg
+
+    def ref_consumed(self) -> np.ndarray:
+        ops, lens, seg = self._cigar_words()
+        consumed = np.bincount(
+            seg, weights=np.where(_REF_CONSUMING[ops], lens, 0), minlength=self.n
+        )
+        return consumed.astype(np.int64)
+
+    def end_pos(self) -> np.ndarray:
+        pos = self.pos.astype(np.int64)
+        return np.where(pos < 0, np.int64(-1), pos + self.ref_consumed())
+
+    def cigar_str(self) -> pa.Array:
+        """'4S96M'-style strings, built entirely in Arrow C++: int→str
+        cast, 1-char op strings, element-wise concat, per-record join."""
+        ops, lens, _ = self._cigar_words()
+        lens_str = pc.cast(pa.array(lens), pa.string())
+        op_str = _utf8(_CIGAR_CHARS[ops], np.ones(len(ops), dtype=np.int32))
+        items = pc.binary_join_element_wise(lens_str, op_str, "")
+        list_offsets = np.zeros(self.n + 1, dtype=np.int32)
+        np.cumsum(self.n_cigar, out=list_offsets[1:])
+        per_rec = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), items)
+        joined = pc.binary_join(per_rec, "")
+        return pc.if_else(pa.array(self.n_cigar == 0), pa.scalar("*"), joined)
+
+    # -- strings ------------------------------------------------------------
+    def qname(self) -> pa.Array:
+        lens = self.l_name - 1  # strip trailing NUL
+        values = self.np_buf[ranges_concat(self.name_start, lens)]
+        return _utf8_checked(values, lens)
+
+    def seq(self) -> pa.Array:
+        packed = self.np_buf[ranges_concat(self.seq_start, self.packed_seq_len)]
+        chars = _SEQ_PAIRS[packed].view(np.uint8)
+        # odd l_seq → drop the pad nibble's char at each record's end
+        valid = np.ones(chars.size, dtype=bool)
+        char_ends = 2 * np.cumsum(self.packed_seq_len)
+        odd = (self.l_seq % 2).astype(bool)
+        valid[char_ends[odd] - 1] = False
+        return _utf8(chars[valid], self.l_seq)
+
+    def qual(self) -> pa.Array:
+        raw = self.np_buf[ranges_concat(self.qual_start, self.l_seq)]
+        return _utf8_checked(_QUAL33[raw], self.l_seq)
+
+    def rname(self) -> pa.Array:
+        names = pa.array(list(self.names) + [None], type=pa.string())
+        idx = self.ref_idx.astype(np.int64)
+        safe = np.where((idx >= 0) & (idx < len(self.names)), idx, len(self.names))
+        return names.take(pa.array(safe))
+
+    # -- tags (vectorized typed-stream scan) ---------------------------------
+    def tags(self) -> pa.Array:
+        """Auxiliary-field map (Z-typed values surfaced; fixed-size typed
+        tags skipped; scan stops at H/B/unknown — matching the scalar
+        decoder). Vectorized as ROUNDS over tag ordinals: round k
+        processes the k-th tag of every still-active record at once.
+        Z-value ends resolve via one searchsorted into the positions of
+        all NUL bytes — no per-record memchr."""
+        n = self.n
+        t_starts = self.tag_start
+        t_lens = np.maximum(self.record_end - t_starts, 0)
+        flat = self.np_buf[ranges_concat(t_starts, t_lens)]
+        seg_end = np.cumsum(t_lens)
+        base = seg_end - t_lens  # region start per record, in flat coords
+        zpos = np.flatnonzero(flat == 0)
+
+        p = base.copy()
+        active = p + 3 <= seg_end
+        em_rec, em_round, em_key, em_vstart, em_vlen = [], [], [], [], []
+        rnd = 0
+        while active.any():
+            ai = np.flatnonzero(active)
+            pp = p[ai]
+            typ = flat[pp + 2]
+            is_z = typ == 0x5A
+            zi = np.searchsorted(zpos, pp + 3)
+            has_z = zi < len(zpos)
+            z = np.where(has_z, zpos[np.minimum(zi, len(zpos) - 1)], np.int64(-1))
+            z_ok = is_z & has_z & (z < seg_end[ai])
+            fixed_sz = _TAG_SIZES[typ]
+            is_fixed = fixed_sz > 0
+            dead = ~(z_ok | is_fixed)  # H/B/unknown or corrupt Z: stop scan
+            emit = np.flatnonzero(z_ok)
+            if emit.size:
+                eidx = ai[emit]
+                em_rec.append(eidx)
+                em_round.append(np.full(emit.size, rnd, dtype=np.int32))
+                em_key.append(pp[emit])
+                em_vstart.append(pp[emit] + 3)
+                em_vlen.append(z[emit] - pp[emit] - 3)
+            adv = np.where(z_ok, z - pp + 1, 3 + fixed_sz)
+            p[ai] = np.where(dead, pp, pp + adv)
+            active[ai[dead]] = False
+            live = ai[~dead]
+            active[live] = p[live] + 3 <= seg_end[live]
+            rnd += 1
+
+        if not em_rec:
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            return pa.MapArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array([], pa.string()),
+                pa.array([], pa.string()),
+            )
+        rec = np.concatenate(em_rec)
+        rounds = np.concatenate(em_round)
+        keys = np.concatenate(em_key)
+        vstarts = np.concatenate(em_vstart)
+        vlens = np.concatenate(em_vlen)
+        order = np.lexsort((rounds, rec))
+        rec, keys, vstarts, vlens = rec[order], keys[order], vstarts[order], vlens[order]
+        m = len(rec)
+        key_bytes = np.empty(2 * m, dtype=np.uint8)
+        key_bytes[0::2] = flat[keys]
+        key_bytes[1::2] = flat[keys + 1]
+        key_arr = _utf8_checked(key_bytes, np.full(m, 2, dtype=np.int32))
+        val_arr = _utf8_checked(flat[ranges_concat(vstarts, vlens)], vlens)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(np.bincount(rec, minlength=n), out=offsets[1:])
+        return pa.MapArray.from_arrays(pa.array(offsets, pa.int32()), key_arr, val_arr)
+
+
+def decode_batch(
+    buf,
+    starts: np.ndarray,
+    block_pos: np.ndarray,
+    offsets: np.ndarray,
+    names: list[str],
+    columns: list[str],
+    arrow_schema: pa.Schema,
+) -> pa.RecordBatch:
+    """Decode the records at ``starts`` into ONE Arrow RecordBatch with
+    exactly ``columns`` (schema order), touching only the byte regions
+    the requested columns need."""
+    d = DecodedBatch(buf, starts, names)
+
+    built: dict[str, pa.Array] = {}
+
+    def col(name: str) -> pa.Array:
+        if name == "qname":
+            return d.qname()
+        if name == "flag":
+            return pa.array(d.flag, type=pa.int32())
+        if name == "ref_idx":
+            return pa.array(d.ref_idx, type=pa.int32())
+        if name == "rname":
+            return d.rname()
+        if name == "pos":
+            return pa.array(d.pos.astype(np.int64), type=pa.int64())
+        if name == "end_pos":
+            return pa.array(d.end_pos(), type=pa.int64())
+        if name == "mapq":
+            return pa.array(d.mapq, type=pa.int32())
+        if name == "cigar":
+            return d.cigar_str()
+        if name == "n_cigar_ops":
+            return pa.array(d.n_cigar.astype(np.int32), type=pa.int32())
+        if name == "mate_ref_idx":
+            return pa.array(d.mate_ref_idx, type=pa.int32())
+        if name == "mate_pos":
+            return pa.array(d.mate_pos.astype(np.int64), type=pa.int64())
+        if name == "tlen":
+            return pa.array(d.tlen, type=pa.int32())
+        if name == "seq":
+            return d.seq()
+        if name == "seq_len":
+            return pa.array(d.l_seq.astype(np.int32), type=pa.int32())
+        if name == "qual":
+            return d.qual()
+        if name == "tags":
+            return d.tags()
+        if name == "block_pos":
+            return pa.array(block_pos.astype(np.int64), type=pa.int64())
+        if name == "offset":
+            return pa.array(offsets.astype(np.int32), type=pa.int32())
+        raise KeyError(name)
+
+    for c in columns:
+        built[c] = col(c)
+    return pa.RecordBatch.from_arrays([built[c] for c in columns], schema=arrow_schema)

@@ -208,3 +208,68 @@ def bam_scan_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("seq_len").cast("bigint").alias("total_bases"),
         F.count_distinct("rname").alias("n_contigs"),
     )
+
+
+_HUGE_FIXTURE = "/tmp/spark_bam_spark_fixture/scan1m.bam"
+
+
+def _tile_bam(src: str, dst: str, tiles: int) -> None:
+    """Build a large BAM by tiling ``src``'s record stream ``tiles``×:
+    decompress once, replicate the post-header bytes, re-chunk into BGZF
+    blocks. Orders of magnitude faster than re-encoding records, and the
+    result exercises the identical decode path (records stay
+    block-unaligned)."""
+    from spark_bam_spark.bam import bgzf
+    from spark_bam_spark.bam.bgzf import EOF_BLOCK, compress_block
+    from spark_bam_spark.bam.header import parse_header
+
+    with open(src, "rb") as f:
+        hdr = parse_header(f)
+    flat = bytearray()
+    ustart_of: dict[int, int] = {}
+    with open(src, "rb") as f:
+        for meta, data in bgzf.block_stream(f):
+            ustart_of[meta.start] = len(flat)
+            flat.extend(data)
+    hlen = ustart_of[hdr.end.block_pos] + hdr.end.offset
+    stream = bytes(flat[:hlen]) + bytes(flat[hlen:]) * tiles
+    payload = 0xFF00
+    with open(dst, "wb") as f:
+        for off in range(0, len(stream), payload):
+            f.write(compress_block(stream[off : off + payload], level=1))
+        f.write(EOF_BLOCK)
+
+
+@register(
+    "bam_scan_1m",
+    doc="S3 at decode-bound scale: 1M-record full-width scan (vectorized decoder probe)",
+    headline=True,
+)
+def bam_scan_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput probe sized so record decode (not task overhead)
+    dominates: ~1M records, full schema incl. seq/qual/tags. The r1
+    verdict flagged per-record Python decode as the one 100× scale
+    killer; this query is the regression guard for the numpy→Arrow batch
+    decoder (vectordecode.py)."""
+    if not os.path.exists(_HUGE_FIXTURE):
+        # reuse the 50k fixture as the tile source
+        if not os.path.exists(_BIG_FIXTURE):
+            os.makedirs(os.path.dirname(_BIG_FIXTURE), exist_ok=True)
+            from spark_bam_spark.bam.writer import make_fixture
+
+            make_fixture(_BIG_FIXTURE, n=50000, block_payload=0xFF00)
+        _tile_bam(_BIG_FIXTURE, _HUGE_FIXTURE, tiles=20)
+    from spark_bam_spark.bam.datasource import register as reg
+
+    key = (id(spark), _HUGE_FIXTURE, 1 << 22, None)
+    reads = _PLAN_CACHE.get(key)
+    if reads is None:
+        reg(spark)
+        reads = spark.read.format("bam").option("split_size", 1 << 22).load(_HUGE_FIXTURE)
+        _PLAN_CACHE[key] = reads
+    return reads.agg(
+        F.count("*").alias("n_reads"),
+        F.sum("seq_len").cast("bigint").alias("total_bases"),
+        F.sum(F.length("qual")).cast("bigint").alias("total_quals"),
+        F.count_distinct("rname").alias("n_contigs"),
+    )
