@@ -88,15 +88,20 @@ def calls(spark: SparkSession, bam_path: str, stride: int = 1) -> DataFrame:
     """Per-position eager-checker calls joined to ground truth — the
     check-bam fact table (CallPartition.scala:23-53 → RDD[(Pos,(call,truth))];
     PosIterator.scala:5-15 enumerates every uncompressed offset).
+    EVERY position is swept (stride=1 default) — the vectorized
+    prescreen (vectorcheck.sweep_calls) makes the full sweep cheaper
+    than the old strided Python loop.
 
     Scale shape: the blocks table is the driver of parallelism (balanced
     byte ranges); each task initializes one header + reuses decompressed
     windows; output is hash-partitionable on (block_pos, offset)."""
+    import numpy as np
+
     blocks = _blocks_df(spark, bam_path)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_bam_spark.bam.checker import check_record_start, check_record_start_upstream
         from spark_bam_spark.bam.header import parse_header
+        from spark_bam_spark.bam.vectorcheck import sweep_calls
 
         headers: dict[str, object] = {}
         for pdf in batches:
@@ -106,20 +111,19 @@ def calls(spark: SparkSession, bam_path: str, stride: int = 1) -> DataFrame:
                         headers[row.path] = parse_header(f).info()
                 info = headers[row.path]
                 flat = _open_window(row.path, row.start, _LOOKAHEAD_BLOCKS)
-                offs = list(range(0, row.uncompressed_size, stride))
-                out = pd.DataFrame(
+                count = row.uncompressed_size
+                eager, upstream = sweep_calls(flat, count, info)
+                offs = np.arange(0, count, stride, dtype=np.int32)
+                if stride > 1:
+                    eager, upstream = eager[offs], upstream[offs]
+                yield pd.DataFrame(
                     {
-                        "block_pos": pd.Series([row.start] * len(offs), dtype="int64"),
-                        "offset": pd.Series(offs, dtype="int32"),
-                        "eager_call": pd.Series(
-                            [check_record_start(flat, o, info) for o in offs], dtype="bool"
-                        ),
-                        "upstream_call": pd.Series(
-                            [check_record_start_upstream(flat, o, info) for o in offs], dtype="bool"
-                        ),
+                        "block_pos": np.full(len(offs), row.start, dtype=np.int64),
+                        "offset": offs,
+                        "eager_call": eager,
+                        "upstream_call": upstream,
                     }
                 )
-                yield out
 
     c = blocks.mapInPandas(
         gen, schema="block_pos long, offset int, eager_call boolean, upstream_call boolean"
@@ -146,16 +150,22 @@ def three_way_confusion(calls_df: DataFrame) -> DataFrame:
     )
 
 
-def flags_histogram(spark: SparkSession, bam_path: str, limit_blocks: int | None = None) -> DataFrame:
-    """full-check: per failing position collect the 19-flag struct, keyed
-    by #failing flags (FullCheck.scala:86-325, A3) + histogram (A2)."""
+def flags_sweep(spark: SparkSession, bam_path: str, limit_blocks: int | None = None) -> DataFrame:
+    """full-check fact table: for EVERY position with ≥1 failing flag,
+    one row with num_flags + the 19 individual flag booleans
+    (FullCheck.scala:86-325; Flags struct full/error/Flags.scala:21-45).
+    Vectorized sweep (vectorcheck.full_flags) — no per-position Python."""
+    import numpy as np
+
+    from spark_bam_spark.bam.checker import FLAG_NAMES
+
     blocks = _blocks_df(spark, bam_path)
     if limit_blocks:
         blocks = blocks.orderBy("start").limit(limit_blocks)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_bam_spark.bam.checker import FLAG_NAMES, record_flags
         from spark_bam_spark.bam.header import parse_header
+        from spark_bam_spark.bam.vectorcheck import full_flags
 
         headers: dict[str, object] = {}
         for pdf in batches:
@@ -165,18 +175,31 @@ def flags_histogram(spark: SparkSession, bam_path: str, limit_blocks: int | None
                         headers[row.path] = parse_header(f).info()
                 info = headers[row.path]
                 flat = _open_window(row.path, row.start, _LOOKAHEAD_BLOCKS)
-                rows = []
-                for o in range(row.uncompressed_size):
-                    flags = record_flags(flat, o, info)
-                    nf = sum(flags.values())
-                    if nf:
-                        rows.append((row.start, o, nf, [k for k, v in flags.items() if v]))
-                yield pd.DataFrame(rows, columns=["block_pos", "offset", "num_flags", "flags"])
+                flags = full_flags(flat, row.uncompressed_size, info)
+                num = np.zeros(row.uncompressed_size, dtype=np.int32)
+                for a in flags.values():
+                    num += a
+                nz = np.flatnonzero(num)
+                data = {
+                    "block_pos": np.full(nz.size, row.start, dtype=np.int64),
+                    "offset": nz.astype(np.int32),
+                    "num_flags": num[nz],
+                }
+                for k in FLAG_NAMES:
+                    data[k] = flags[k][nz]
+                yield pd.DataFrame(data)
 
-    gen_schema = "block_pos long, offset int, num_flags int, flags array<string>"
-    df = blocks.mapInPandas(gen, schema=gen_schema)
+    flag_cols = ", ".join(f"{k} boolean" for k in FLAG_NAMES)
+    return blocks.mapInPandas(
+        gen, schema=f"block_pos long, offset int, num_flags int, {flag_cols}"
+    )
+
+
+def flags_histogram(spark: SparkSession, bam_path: str, limit_blocks: int | None = None) -> DataFrame:
+    """full-check: positions-by-#failing-flags histogram (A2/A3)."""
     return (
-        df.groupBy("num_flags")
+        flags_sweep(spark, bam_path, limit_blocks)
+        .groupBy("num_flags")
         .agg(F.count("*").alias("n_positions"))
         .orderBy("num_flags")
     )

@@ -93,8 +93,9 @@ def bam_blocks_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bam_check_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import qa
 
-    # stride keeps the per-position sweep cheap at driver time; tests run stride=1
-    return qa.confusion_matrix(qa.calls(spark, _fixture_path(), stride=8))
+    # stride=1: EVERY uncompressed position, the reference's core
+    # differential claim — affordable since the sweep is vectorized
+    return qa.confusion_matrix(qa.calls(spark, _fixture_path(), stride=1))
 
 
 @register("bam_compute_splits", doc="compute-splits: partition-first positions + lead() ranges")
@@ -124,9 +125,8 @@ def sam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bam_full_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import qa
 
-    # limit_blocks bounds the per-position sweep at driver-check time;
-    # tests run the unbounded version on a smaller fixture
-    return qa.flags_histogram(spark, _fixture_path(), limit_blocks=8)
+    # unbounded: the vectorized 19-flag sweep covers the whole fixture
+    return qa.flags_histogram(spark, _fixture_path())
 
 
 @register("bam_count_reads", doc="count-reads: scan count vs sidecar ground-truth count")
@@ -160,7 +160,7 @@ def bam_time_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bam_check_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import qa
 
-    return qa.three_way_confusion(qa.calls(spark, _fixture_path(), stride=8))
+    return qa.three_way_confusion(qa.calls(spark, _fixture_path(), stride=1))
 
 
 @register(
