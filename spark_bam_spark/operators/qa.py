@@ -336,3 +336,163 @@ def sorted_range_repartition(reads: DataFrame, n: int = 8) -> DataFrame:
     return reads.repartitionByRange(n, "block_pos", "offset").sortWithinPartitions(
         "block_pos", "offset"
     )
+
+
+# ---------------------------------------------------------------------------
+# full-check reports: CDF, critical/close calls, FP PosMetadata
+# (FullCheck.scala:150-260; CheckerApp.scala:90-140; PosMetadata.scala:40-88)
+# ---------------------------------------------------------------------------
+
+
+def blocks_with_ustart(spark: SparkSession, bam_path: str) -> DataFrame:
+    """Blocks + global uncompressed start offset (prefix sum A5): maps any
+    (block_pos, offset) virtual position to a total uncompressed
+    coordinate — what the reference's SeekableUncompressedBytes positions
+    are measured in."""
+    blocks = _blocks_df(spark, bam_path)
+    w = W.orderBy("start").rowsBetween(W.unboundedPreceding, -1)
+    return blocks.select(
+        F.col("start").alias("block_pos"),
+        "uncompressed_size",
+        F.coalesce(F.sum("uncompressed_size").over(w), F.lit(0)).alias("block_ustart"),
+    )
+
+
+def flags_cdf(spark: SparkSession, bam_path: str, limit_blocks: int | None = None) -> DataFrame:
+    """negativesByNumNonzeroFields + its CDF (FullCheck.scala:150-188):
+    long-format (num_flags, flag, n_flag, n_flag_cum) — per #failing-flags
+    group, how often each flag fires, and cumulatively over groups ≤ n.
+    The n=1 row per flag is the reference's 'critical error count'."""
+    from spark_bam_spark.bam.checker import FLAG_NAMES
+
+    sweep = flags_sweep(spark, bam_path, limit_blocks)
+    agg = sweep.groupBy("num_flags").agg(
+        F.count("*").alias("n_positions"),
+        *[F.sum(F.col(k).cast("long")).alias(k) for k in FLAG_NAMES],
+    )
+    stack_expr = "stack({n}, {args}) as (flag, n_flag)".format(
+        n=len(FLAG_NAMES), args=", ".join(f"'{k}', {k}" for k in FLAG_NAMES)
+    )
+    long = agg.select("num_flags", "n_positions", F.expr(stack_expr))
+    w = W.partitionBy("flag").orderBy("num_flags").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        long.withColumn("n_flag_cum", F.sum("n_flag").over(w))
+        .filter(F.col("n_flag") > 0)
+        .orderBy("num_flags", "flag")
+    )
+
+
+def _positions_u(df: DataFrame, ublocks: DataFrame) -> DataFrame:
+    return df.join(F.broadcast(ublocks.select("block_pos", "block_ustart")), "block_pos").withColumn(
+        "u", F.col("block_ustart") + F.col("offset")
+    ).drop("block_ustart")
+
+
+def annotate_positions(
+    spark: SparkSession, bam_path: str, positions: DataFrame
+) -> DataFrame:
+    """PosMetadata (PosMetadata.scala:56-88): for each input position,
+    the NEXT true record start at/after it (ground-truth .records), the
+    uncompressed-byte delta to it, and that record's identifying fields.
+
+    Spark-first: one union + window sort instead of per-position seeks —
+    the record stream is scanned once regardless of how many positions
+    are annotated."""
+    from spark_bam_spark.bam.datasource import register as reg
+
+    reg(spark)
+    ublocks = blocks_with_ustart(spark, bam_path)
+    recs = (
+        spark.read.csv(bam_path + ".records", schema="block_pos long, offset int")
+        .transform(lambda d: _positions_u(d, ublocks))
+        .select(F.col("u").alias("rec_u"), "block_pos", "offset")
+    )
+    pos_u = _positions_u(positions, ublocks)
+
+    evts = recs.select(
+        F.col("rec_u").alias("evt_u"),
+        F.lit(True).alias("is_rec"),
+        F.col("rec_u"),
+        F.col("block_pos").alias("rec_block_pos"),
+        F.col("offset").alias("rec_offset"),
+        *[F.lit(None).cast(t).alias(c) for c, t in
+          [("block_pos", "long"), ("offset", "int"), ("u", "long")]],
+    ).unionByName(
+        pos_u.select(
+            F.col("u").alias("evt_u"),
+            F.lit(False).alias("is_rec"),
+            F.lit(None).cast("long").alias("rec_u"),
+            F.lit(None).cast("long").alias("rec_block_pos"),
+            F.lit(None).cast("int").alias("rec_offset"),
+            "block_pos",
+            "offset",
+            "u",
+        )
+    )
+    # descending scan: within the frame (all events with u >= current),
+    # last() = the event closest to the current row = the NEXT record
+    # at/after this position (records sort before positions at equal u
+    # so an exact record start annotates itself)
+    w = (
+        W.orderBy(F.col("evt_u").desc(), F.col("is_rec").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ann = (
+        evts.select(
+            "*",
+            F.last("rec_u", ignorenulls=True).over(w).alias("next_rec_u"),
+            F.last("rec_block_pos", ignorenulls=True).over(w).alias("next_rec_block_pos"),
+            F.last("rec_offset", ignorenulls=True).over(w).alias("next_rec_offset"),
+        )
+        .filter(~F.col("is_rec"))
+        .select(
+            "block_pos",
+            "offset",
+            (F.col("next_rec_u") - F.col("u")).alias("delta"),
+            "next_rec_block_pos",
+            "next_rec_offset",
+        )
+    )
+    reads = (
+        spark.read.format("bam")
+        .option("columns", "qname,rname,pos,flag,block_pos,offset")
+        .load(bam_path)
+        .select(
+            F.col("block_pos").alias("next_rec_block_pos"),
+            F.col("offset").alias("next_rec_offset"),
+            F.col("qname").alias("next_qname"),
+            F.col("rname").alias("next_rname"),
+            F.col("pos").alias("next_pos"),
+            F.col("flag").alias("next_flag"),
+        )
+    )
+    return ann.join(reads, ["next_rec_block_pos", "next_rec_offset"], "left")
+
+
+def close_calls(spark: SparkSession, bam_path: str, max_flags: int = 2) -> DataFrame:
+    """closeCalls (FullCheck.scala:199-218): positions ruled out by at
+    most ``max_flags`` checks, annotated with next-record metadata;
+    num_flags==1 rows are the reference's 'critical positions'."""
+    sweep = flags_sweep(spark, bam_path).filter(F.col("num_flags") <= max_flags)
+    ann = annotate_positions(spark, bam_path, sweep.select("block_pos", "offset"))
+    return sweep.select("block_pos", "offset", "num_flags").join(
+        ann, ["block_pos", "offset"]
+    )
+
+
+def fp_metadata(spark: SparkSession, bam_path: str) -> DataFrame:
+    """CheckerApp.scala:103-134: false-positive positions of the
+    upstream-emulating checker (the eager checker has none — pinned by
+    tests), annotated with the full checker's flags and next-record
+    PosMetadata. The reference throws if the full checker calls an FP
+    position a Success; here full-flag presence is part of the output
+    (num_flags >= 1 for every FP)."""
+    c = calls(spark, bam_path)
+    fps = c.filter(F.col("upstream_call") & ~F.col("oracle_call")).select("block_pos", "offset")
+    sweep = flags_sweep(spark, bam_path).select("block_pos", "offset", "num_flags")
+    ann = annotate_positions(spark, bam_path, fps)
+    return (
+        fps.join(sweep, ["block_pos", "offset"], "left")
+        .join(ann, ["block_pos", "offset"])
+        .fillna({"num_flags": 0})
+    )

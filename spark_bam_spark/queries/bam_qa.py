@@ -273,3 +273,40 @@ def bam_scan_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("qual")).cast("bigint").alias("total_quals"),
         F.count_distinct("rname").alias("n_contigs"),
     )
+
+
+@register(
+    "bam_full_check_cdf",
+    doc="full-check CDF: per-flag counts cumulative over #failing-flags groups (critical flags at n=1)",
+)
+def bam_full_check_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FullCheck.scala:150-188 negativesByNumNonzeroFields + CDF."""
+    from spark_bam_spark.operators import qa
+
+    return qa.flags_cdf(spark, _fixture_path())
+
+
+@register(
+    "bam_close_calls",
+    doc="full-check close calls: positions ruled out by <=2 flags, with next-record PosMetadata",
+)
+def bam_close_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FullCheck.scala:199-218 closeCalls + PosMetadata annotation."""
+    from spark_bam_spark.operators import qa
+
+    return qa.close_calls(spark, _fixture_path()).select(
+        "block_pos", "offset", "num_flags", "delta", "next_qname", "next_rname", "next_pos"
+    )
+
+
+@register(
+    "bam_fp_metadata",
+    doc="check-bam FP annotation: upstream-checker false positives with flags + next-record metadata",
+)
+def bam_fp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheckerApp.scala:103-134 fpsWithMetadata (upstream FPs; eager has none)."""
+    from spark_bam_spark.operators import qa
+
+    return qa.fp_metadata(spark, _fixture_path()).select(
+        "block_pos", "offset", "num_flags", "delta", "next_qname", "next_rname", "next_pos"
+    )

@@ -149,3 +149,55 @@ def test_sorted_range_repartition_disjoint_ordered(spark_bam, bam):
     assert len(bounds) > 1
     for a, b in zip(bounds, bounds[1:]):
         assert (a["hi"]["block_pos"], a["hi"]["offset"]) <= (b["lo"]["block_pos"], b["lo"]["offset"])
+
+
+class TestFullCheckReports:
+    """CDF / close-calls / FP PosMetadata (FullCheck.scala:150-260,
+    CheckerApp.scala:90-140, PosMetadata.scala:40-88)."""
+
+    def test_flags_cdf_matches_histogram_totals(self, spark_bam, bam):
+        from spark_bam_spark.operators import qa
+        import pyspark.sql.functions as F
+
+        cdf = qa.flags_cdf(spark_bam, bam.path).collect()
+        assert cdf, "cdf empty"
+        # cumulative counts are monotone per flag and >= the group count
+        by_flag = {}
+        for r in cdf:
+            prev = by_flag.get(r.flag, 0)
+            assert r.n_flag_cum == prev + r.n_flag, (r.flag, r.num_flags)
+            by_flag[r.flag] = r.n_flag_cum
+        # per-flag totals must equal direct sums over the sweep
+        sweep = qa.flags_sweep(spark_bam, bam.path)
+        direct = sweep.agg(
+            *[F.sum(F.col(k).cast("long")).alias(k) for k in by_flag]
+        ).first()
+        for k, cum in by_flag.items():
+            assert cum == direct[k], k
+
+    def test_close_calls_annotated_with_next_record(self, spark_bam, bam):
+        from spark_bam_spark.operators import qa
+
+        cc = qa.close_calls(spark_bam, bam.path).collect()
+        assert cc
+        assert all(r.num_flags <= 2 for r in cc)
+        annotated = [r for r in cc if r.delta is not None]
+        assert annotated, "no close call has a next record"
+        truth = {(p.block_pos, p.offset) for p in bam.record_positions}
+        for r in annotated[:50]:
+            assert r.delta > 0  # a close call is never a true start
+            assert (r.next_rec_block_pos, r.next_rec_offset) in truth
+
+    def test_fp_metadata_annotates_upstream_fps(self, spark_bam, bam):
+        from spark_bam_spark.operators import qa
+
+        fps = qa.fp_metadata(spark_bam, bam.path).collect()
+        # the synthetic fixture has upstream FPs only if block-boundary
+        # garbage happens to parse — assert consistency, not count
+        truth = {(p.block_pos, p.offset) for p in bam.record_positions}
+        for r in fps:
+            assert (r.block_pos, r.offset) not in truth  # FPs are not true starts
+            assert r.num_flags >= 1  # full checker must flag every FP
+            if r.delta is not None:
+                assert r.delta > 0
+                assert (r.next_rec_block_pos, r.next_rec_offset) in truth
