@@ -125,6 +125,52 @@ class BamSplit(InputPartition):
     path: str
     start: int
     end: int
+    # indexed scans: multiple candidate byte ranges packed into one
+    # partition by estimated uncompressed cost (cappedCostGroups,
+    # Intervals.scala:110-117); None = the contiguous [start, end) split
+    ranges: list | None = None
+
+
+def pack_ranges(
+    ranges: list[tuple[int, int]], split_size: int, compression_ratio: float = 3.0
+) -> list[list[tuple[int, int]]]:
+    """Greedy cost-capped grouping of candidate compressed-byte ranges —
+    the reference's ``cappedCostGroups(_.size, splitSize)`` with
+    ``EstimatedCompressionRatio`` (Intervals.scala:110-117;
+    EstimatedCompressionRatio.scala:13, default 3.0).
+
+    Cost of a range = compressed span × ratio (estimated uncompressed
+    bytes); each group's total cost ≤ ``split_size``; oversized ranges
+    are cut at the cap. Skewed interval queries thus get partitions
+    proportional to DATA VOLUME, not to file position — the property
+    fixed-size splits lose when candidates cluster."""
+    cap = max(1, int(split_size / compression_ratio))  # compressed-byte cap
+    merged: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        elif hi > lo:
+            merged.append([lo, hi])
+    groups: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    cost = 0
+    for lo, hi in merged:
+        while hi - lo > cap:
+            if cur:
+                groups.append(cur)
+                cur, cost = [], 0
+            groups.append([(lo, lo + cap)])
+            lo += cap
+        if lo == hi:
+            continue
+        if cost + (hi - lo) > cap and cur:
+            groups.append(cur)
+            cur, cost = [], 0
+        cur.append((lo, hi))
+        cost += hi - lo
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 def _bam_paths(path: str) -> list[str]:
@@ -141,6 +187,7 @@ class BamReader(DataSourceReader):
         if not self.path:
             raise ValueError("bam source requires a path")
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        self.compression_ratio = float(options.get("compression_ratio", 3.0))
         self.reads_to_check = int(options.get("reads_to_check", DEFAULT_READS_TO_CHECK))
         self.max_read_size = int(options.get("max_read_size", DEFAULT_MAX_READ_SIZE))
         ranges_opt = options.get("ranges")
@@ -202,17 +249,22 @@ class BamReader(DataSourceReader):
         zones_path = path + ".zones"
         if not os.path.exists(zones_path):
             return None
-        keep: list[tuple[int, int]] = []
         with open(zones_path) as f:
-            for line in f:
-                bstart, rmin, rmax, pmin, pmax = map(int, line.strip().split(","))
-                if self._ref_idxs is not None and not any(rmin <= r <= rmax for r in self._ref_idxs):
-                    continue
-                if self._pos_lo is not None and pmax < self._pos_lo:
-                    continue
-                if self._pos_hi is not None and pmin > self._pos_hi:
-                    continue
-                keep.append((bstart, bstart + 1))
+            rows = [tuple(map(int, line.strip().split(","))) for line in f if line.strip()]
+        keep: list[tuple[int, int]] = []
+        for i, (bstart, rmin, rmax, pmin, pmax) in enumerate(rows):
+            if self._ref_idxs is not None and not any(rmin <= r <= rmax for r in self._ref_idxs):
+                continue
+            if self._pos_lo is not None and pmax < self._pos_lo:
+                continue
+            if self._pos_hi is not None and pmin > self._pos_hi:
+                continue
+            # true block span (next zone row's start bounds this block's
+            # compressed size) — real spans make the cost-packing
+            # estimates meaningful and let adjacent kept blocks merge
+            # into one scan window
+            end = rows[i + 1][0] if i + 1 < len(rows) else bstart + MAX_BLOCK_SIZE
+            keep.append((bstart, min(end, bstart + MAX_BLOCK_SIZE)))
         return keep
 
     def _candidate_ranges_bai(self, path: str) -> list[tuple[int, int]] | None:
@@ -249,10 +301,26 @@ class BamReader(DataSourceReader):
         for p in _bam_paths(self.path):
             size = os.path.getsize(p)
             candidates = self._candidate_blocks(p)
+            if candidates is not None:
+                # indexed scan: pack candidate ranges into partitions by
+                # estimated uncompressed cost (O4 cappedCostGroups) —
+                # partition count tracks surviving data volume, not file
+                # size, so skewed interval queries stay balanced
+                clipped = [(max(lo, 0), min(hi, size)) for lo, hi in candidates]
+                if self.byte_ranges is not None:
+                    clipped = [
+                        (max(lo, blo), min(hi, bhi))
+                        for lo, hi in clipped
+                        for blo, bhi in self.byte_ranges
+                        if lo < bhi and hi > blo
+                    ]
+                for group in pack_ranges(clipped, self.split_size, self.compression_ratio):
+                    splits.append(
+                        BamSplit(p, group[0][0], group[-1][1], ranges=list(group))
+                    )
+                continue
             for s in range(0, size, self.split_size):
                 e = min(s + self.split_size, size)
-                if candidates is not None and not any(lo < e and hi > s for lo, hi in candidates):
-                    continue
                 if self.byte_ranges is not None and not any(
                     lo < e and hi > s for lo, hi in self.byte_ranges
                 ):
@@ -262,16 +330,22 @@ class BamReader(DataSourceReader):
 
     # -- execution ---------------------------------------------------------
     def read(self, split: BamSplit) -> Iterator[pa.RecordBatch]:
-        if split.end <= split.start:
+        for lo, hi in split.ranges or [(split.start, split.end)]:
+            yield from self._read_range(split.path, lo, hi)
+
+    def _read_range(self, path: str, start: int, end: int) -> Iterator[pa.RecordBatch]:
+        """One contiguous byte range under the ownership rule: records
+        starting in blocks at/after ``start`` and before ``end``."""
+        if end <= start:
             return
-        hdr = self.headers[split.path]
+        hdr = self.headers[path]
         info = hdr.info()
         try:
-            with open(split.path, "rb") as f:
-                win = _Window(f, split.start, hdr)
+            with open(path, "rb") as f:
+                win = _Window(f, start, hdr)
                 if win.empty:
                     return
-                if split.start == 0:
+                if start == 0:
                     start_u = win.u_of(hdr.end)
                 else:
                     win.ensure(4 * MAX_BLOCK_SIZE)  # lookahead for readsToCheck successors
@@ -281,9 +355,9 @@ class BamReader(DataSourceReader):
                     )
                     if start_u is None:
                         return
-                yield from self._decode_from(win, start_u, split.end, hdr)
+                yield from self._decode_from(win, start_u, end, hdr)
         except Exception:
-            # permissive mode: salvage whatever this split already
+            # permissive mode: salvage whatever this range already
             # produced and drop the rest of it (a corrupt BGZF payload /
             # truncated record makes the remainder of the window
             # undecodable; other splits re-sync independently via

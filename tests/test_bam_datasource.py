@@ -183,3 +183,51 @@ def test_permissive_mode_salvages_corrupt_file(spark_bam, bam, tmp_path):
 
     with _p.raises(Exception):
         spark_bam.read.format("bam").option("split_size", 4096).load(corrupt).count()
+
+
+def test_cost_packed_indexed_partitions_balanced(spark_bam, tmp_path):
+    """O4 cappedCostGroups: on a SKEWED interval query (all matching data
+    clustered in one region of the file), packed partitions must track
+    data volume — no partition's candidate byte volume may exceed the
+    cap, and the plan must not degenerate to one fat partition plus
+    empties."""
+    from spark_bam_spark.bam.datasource import BamReader
+    from spark_bam_spark.bam.records import BamRecord
+    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES, write_bam
+
+    # skew: 5000 reads on contig 1 in [0, 50k) (dense), 200 reads on
+    # contig 2 spread wide — a rname='1' query hits a dense cluster
+    recs = []
+    for i in range(5000):
+        recs.append(BamRecord(
+            qname=f"d{i:05d}", flag=0x1, ref_idx=0, pos=10 * i, mapq=30,
+            cigar=[(0, 50)], mate_ref_idx=0, mate_pos=10 * i + 60, tlen=100,
+            seq="A" * 50, qual=bytes([30] * 50)))
+    for i in range(200):
+        recs.append(BamRecord(
+            qname=f"s{i:05d}", flag=0x1, ref_idx=1, pos=1_000_000 * i, mapq=30,
+            cigar=[(0, 50)], mate_ref_idx=1, mate_pos=1_000_000 * i + 60, tlen=100,
+            seq="C" * 50, qual=bytes([30] * 50)))
+    recs.sort(key=lambda r: (r.ref_idx, r.pos))
+    path = str(tmp_path / "skew.bam")
+    write_bam(path, CONTIG_NAMES, CONTIG_LENGTHS, recs, block_payload=4096)
+
+    split_size = 32768
+    r = BamReader({"path": path, "split_size": str(split_size)})
+    # push the skewed predicate the way Spark would
+    from pyspark.sql.datasource import EqualTo
+
+    r.pushFilters([EqualTo(("rname",), "1")])
+    splits = r.partitions()
+    assert all(s.ranges for s in splits), "indexed scan must use packed ranges"
+    vols = [sum(hi - lo for lo, hi in s.ranges) for s in splits]
+    cap = split_size / 3.0  # compressed cap = split_size / est ratio
+    assert max(vols) <= cap * 1.5 + 65536 / 4, (vols, cap)  # cut at cap (+1 block slack)
+    assert len(vols) >= 3, f"dense region should spread over partitions: {vols}"
+    # and correctness: the packed scan returns exactly the dense reads
+    spark_bam.dataSource  # session fixture already registered 'bam'
+    df = (
+        spark_bam.read.format("bam").option("split_size", split_size).load(path)
+        .filter("rname = '1'")
+    )
+    assert df.count() == 5000
