@@ -496,3 +496,146 @@ def fp_metadata(spark: SparkSession, bam_path: str) -> DataFrame:
         .join(ann, ["block_pos", "offset"])
         .fillna({"num_flags": 0})
     )
+
+
+# ---------------------------------------------------------------------------
+# compare-splits over a file list (CompareSplits.scala:40-110): per-file
+# Result (split counts, diffs, timings) + A9/A10 stats reduction
+# ---------------------------------------------------------------------------
+
+
+def _window_with_bounds(path: str, block_start: int, n_blocks: int):
+    """(flat bytes, block u-starts, block c-starts) for Pos mapping."""
+    parts, ustarts, bstarts = [], [], []
+    s, u = block_start, 0
+    for _ in range(n_blocks):
+        data, nxt = _cached_block(path, s)
+        if not data:
+            break
+        ustarts.append(u)
+        bstarts.append(s)
+        parts.append(data)
+        u += len(data)
+        s = nxt
+    return b"".join(parts), ustarts, bstarts
+
+
+def _compute_splits_one(path: str, split_size: int, upstream: bool) -> tuple[list, float]:
+    """Sequentially compute the split→first-record map for ONE file with
+    one checker — the per-file unit of work the reference times
+    (PathChecks; each file is handled by one task)."""
+    import bisect
+    import time as _time
+
+    from spark_bam_spark.bam import bgzf
+    from spark_bam_spark.bam.checker import (
+        check_record_start,
+        check_record_start_upstream,
+    )
+    from spark_bam_spark.bam.header import parse_header
+
+    check = check_record_start_upstream if upstream else check_record_start
+    t0 = _time.perf_counter()
+    out: list[tuple[int, int]] = []
+    import os as _os
+
+    size = _os.path.getsize(path)
+    with open(path, "rb") as f:
+        hdr = parse_header(f)
+    for s in range(0, size, split_size):
+        if s == 0:
+            out.append((hdr.end.block_pos, hdr.end.offset))
+            continue
+        with open(path, "rb") as f:
+            f.seek(s)
+            probe = f.read(MAX_BLOCK_SIZE * 2)
+        rel = bgzf.find_block_start(probe, 0)
+        if rel is None:
+            continue
+        bstart = s + rel
+        flat, ustarts, bstarts = _window_with_bounds(path, bstart, _LOOKAHEAD_BLOCKS)
+        info = hdr.info()
+        found = None
+        for cand in range(len(flat)):
+            if check(flat, cand, info):
+                found = cand
+                break
+        if found is None:
+            continue
+        i = bisect.bisect_right(ustarts, found) - 1
+        out.append((bstarts[i], found - ustarts[i]))
+    ms = (_time.perf_counter() - t0) * 1000
+    # collapse duplicate starts (several byte splits can resolve to the
+    # same first record near EOF)
+    dedup = sorted(set(out))
+    return dedup, ms
+
+
+def compare_splits_multi(spark: SparkSession, paths: list[str], split_size: int = 65536) -> DataFrame:
+    """Per-file Result rows (CompareSplits.scala Result): split counts
+    from the eager vs upstream-emulating checkers, both-only diffs, and
+    per-checker timings. The FILE LIST is the axis of parallelism (one
+    task per file — exactly the reference's PathChecks shape)."""
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        max(1, min(len(paths), 32))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                eager, eager_ms = _compute_splits_one(row.path, split_size, upstream=False)
+                up, up_ms = _compute_splits_one(row.path, split_size, upstream=True)
+                se, su = set(eager), set(up)
+                rows.append(
+                    (
+                        row.path,
+                        len(eager),
+                        len(up),
+                        len(se & su),
+                        len(se - su),
+                        len(su - se),
+                        round(eager_ms, 3),
+                        round(up_ms, 3),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "n_eager_splits",
+                    "n_upstream_splits",
+                    "n_both",
+                    "n_eager_only",
+                    "n_upstream_only",
+                    "eager_ms",
+                    "upstream_ms",
+                ],
+            )
+
+    schema = (
+        "path string, n_eager_splits int, n_upstream_splits int, n_both int, "
+        "n_eager_only int, n_upstream_only int, eager_ms double, upstream_ms double"
+    )
+    return files.mapInPandas(gen, schema=schema)
+
+
+def compare_splits_stats(spark: SparkSession, paths: list[str], split_size: int = 65536) -> DataFrame:
+    """A9/A10 reduction over the per-file Results: summed split counts +
+    Stats over per-file timing ratios (CompareSplits.scala:61-106 sums
+    the Int fields and shows Stats(timingRatios))."""
+    per_file = compare_splits_multi(spark, paths, split_size)
+    ratio = (F.col("upstream_ms") / F.col("eager_ms")).alias("r")
+    return per_file.select("*", ratio).agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_eager_splits").alias("total_eager_splits"),
+        F.sum("n_upstream_splits").alias("total_upstream_splits"),
+        F.sum("n_both").alias("total_both"),
+        F.sum("n_eager_only").alias("total_eager_only"),
+        F.sum("n_upstream_only").alias("total_upstream_only"),
+        F.round(F.avg("r"), 4).alias("ratio_mean"),
+        F.round(F.stddev_pop("r"), 4).alias("ratio_stddev"),
+        F.round(F.min("r"), 4).alias("ratio_min"),
+        F.round(F.expr("percentile(r, 0.5)"), 4).alias("ratio_median"),
+        F.round(F.max("r"), 4).alias("ratio_max"),
+    )

@@ -310,3 +310,36 @@ def bam_fp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa.fp_metadata(spark, _fixture_path()).select(
         "block_pos", "offset", "num_flags", "delta", "next_qname", "next_rname", "next_pos"
     )
+
+
+_MULTI_FIXTURES = [
+    ("/tmp/spark_bam_spark_fixture/cmp_a.bam", 1200, 11),
+    ("/tmp/spark_bam_spark_fixture/cmp_b.bam", 1800, 12),
+    ("/tmp/spark_bam_spark_fixture/cmp_c.bam", 2400, 13),
+]
+
+
+def _multi_fixture_paths() -> list[str]:
+    from spark_bam_spark.bam.writer import make_fixture
+
+    paths = []
+    for path, n, seed in _MULTI_FIXTURES:
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            make_fixture(path, n=n, block_payload=4096, seed=seed)
+        paths.append(path)
+    return paths
+
+
+@register(
+    "compare_splits_stats",
+    doc="compare-splits over a file list: per-file eager-vs-upstream split diffs + A9/A10 stats reduction",
+)
+def compare_splits_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompareSplits.scala:40-110: the file list is the parallelism axis;
+    per-file Results are monoid-summed and timing ratios reduced to
+    Stats. Deterministic columns: split counts and diffs; ratio stats
+    depend on wall-clock (rows-only driver check)."""
+    from spark_bam_spark.operators import qa
+
+    return qa.compare_splits_stats(spark, _multi_fixture_paths(), split_size=16384)

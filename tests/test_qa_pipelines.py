@@ -201,3 +201,38 @@ class TestFullCheckReports:
             if r.delta is not None:
                 assert r.delta > 0
                 assert (r.next_rec_block_pos, r.next_rec_offset) in truth
+
+
+class TestCompareSplitsMulti:
+    def test_per_file_results_and_agreement(self, spark_bam, tmp_path):
+        from spark_bam_spark.bam.writer import make_fixture
+        from spark_bam_spark.operators import qa
+
+        paths = []
+        for i, n in enumerate((400, 700)):
+            p = str(tmp_path / f"cmp{i}.bam")
+            make_fixture(p, n=n, block_payload=4096, seed=20 + i)
+            paths.append(p)
+        per_file = {r.path: r for r in qa.compare_splits_multi(spark_bam, paths, 16384).collect()}
+        assert set(per_file) == set(paths)
+        for p, r in per_file.items():
+            # on clean fixtures both checkers resolve identical splits
+            assert r.n_eager_splits > 1
+            assert r.n_eager_only == 0 and r.n_upstream_only == 0
+            assert r.n_both == r.n_eager_splits == r.n_upstream_splits
+            assert r.eager_ms > 0 and r.upstream_ms > 0
+
+    def test_stats_reduction(self, spark_bam, tmp_path):
+        from spark_bam_spark.bam.writer import make_fixture
+        from spark_bam_spark.operators import qa
+
+        paths = []
+        for i, n in enumerate((400, 700, 900)):
+            p = str(tmp_path / f"st{i}.bam")
+            make_fixture(p, n=n, block_payload=4096, seed=30 + i)
+            paths.append(p)
+        row = qa.compare_splits_stats(spark_bam, paths, 16384).first()
+        assert row.n_files == 3
+        assert row.total_eager_splits == row.total_both == row.total_upstream_splits
+        assert row.total_eager_only == 0 and row.total_upstream_only == 0
+        assert row.ratio_min <= row.ratio_median <= row.ratio_max
