@@ -35,9 +35,9 @@ def main() -> None:
             except Exception:
                 pass
 
-    # SPARK_GRAFT_BENCH_REPEAT > 1 reports min-of-N (steadier numbers;
-    # default 1 keeps the driver's wall-clock budget unchanged)
-    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+    # min-of-N (default 2): steadier numbers at modest wall-clock cost;
+    # override with SPARK_GRAFT_BENCH_REPEAT
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         best = float("inf")

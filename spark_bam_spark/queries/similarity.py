@@ -130,6 +130,11 @@ def cosine_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coarse id (label), so probing the query's cell is hive-style
     partition pruning — the scan reads one directory, not the table.
     Same oracle as cosine_topk_ivf (identical semantics, better layout).
+
+    Fully declarative: the probe joins the one-row query cell on the
+    partition column under a broadcast hash join, so Catalyst inserts a
+    dynamic-partition-pruning subquery (``dynamicpruning#…`` in the scan's
+    PartitionFilters) — no driver-side ``.first()`` to look up the cell.
     """
     import os
 
@@ -140,10 +145,7 @@ def cosine_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("label").alias("q_label"), F.col("embedding").alias("qv")
     )
-    q_label = q.first()["q_label"]
-    # literal partition filter -> PartitionFilters pruning at the scan
-    cell = emb.filter(F.col("label") == q_label)
-    j = cell.crossJoin(F.broadcast(q))
+    j = emb.join(F.broadcast(q), emb["label"] == q["q_label"])
     prod = f"zip_with(embedding, qv, (x, y) -> cast(cast(x as double) * cast(y as double) as {_DEC}))"
     sq = f"transform(embedding, x -> cast(cast(x as double) * cast(x as double) as {_DEC}))"
     qsq = f"transform(qv, y -> cast(cast(y as double) * cast(y as double) as {_DEC}))"

@@ -302,3 +302,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
         .orderBy("doc_id", F.desc("tfidf"), "term")
     )
+
+
+# GPT-2-style pre-tokenizer: contraction suffixes, letter runs, digit runs,
+# punctuation runs (each optionally space-prefixed), residual whitespace.
+# ASCII classes only so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+@register(
+    "text_bpe_token_stats",
+    tags=("text",),
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))) AS DOUBLE)
+             / SUM(len(string_split(text, ' '))) AS bpe_per_ws
+    FROM documents GROUP BY source
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex, counted
+    per source next to the whitespace baseline.
+
+    The regex runs inside whole-stage codegen (``regexp_extract_all`` is a
+    JVM expression) — token counting at 100 TB is a narrow scan-speed map,
+    one partial-aggregated shuffle on ``source``."""
+    d = fan_out(table(spark, sf_dir, "documents"))
+    nbpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    nws = F.size(F.split("text", " "))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(nbpe).cast("bigint").alias("total_bpe_tokens"),
+        F.sum(nws).cast("bigint").alias("total_ws_tokens"),
+        (F.sum(nbpe).cast("double") / F.sum(nws)).alias("bpe_per_ws"),
+    )
