@@ -50,9 +50,9 @@ def ranges_concat(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Flat index array concatenating [s_i, s_i + len_i) ranges — the
     segment-gather primitive every variable-length column uses.
 
-    Built as diff → scatter → cumsum (one output-sized pass) instead of
-    two output-sized ``np.repeat``s + ``arange`` — ~3× less memory
-    traffic, which matters when the output is the seq/qual buffer."""
+    Built as repeat(per-segment base) + arange: both are vectorizable
+    output-sized passes, ~12× faster than an output-sized ``cumsum``
+    (whose loop-carried dependency defeats SIMD)."""
     starts = starts.astype(np.int64, copy=False)
     lengths = lengths.astype(np.int64, copy=False)
     nz = lengths > 0
@@ -61,14 +61,15 @@ def ranges_concat(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     if len(starts) == 0:
         return np.empty(0, dtype=np.int64)
     # int32 output when the buffer is small enough (it always is for a
-    # per-split window): halves cumsum/gather memory traffic
+    # per-split window): halves repeat/gather memory traffic
     dt = np.int32 if (starts[-1] + lengths[-1]) < (1 << 31) else np.int64
     ends = np.cumsum(lengths)
-    d = np.ones(int(ends[-1]), dtype=dt)
-    d[0] = starts[0]
-    # at each segment boundary jump from (prev start + prev len - 1) + 1
-    d[ends[:-1]] += (starts[1:] - starts[:-1] - lengths[:-1]).astype(dt)
-    return np.cumsum(d)
+    total = int(ends[-1])
+    # element i of segment k lands at starts[k] + i; arange supplies the
+    # global position, repeat rebases each segment to its own start
+    base = np.repeat((starts - (ends - lengths)).astype(dt), lengths)
+    base += np.arange(total, dtype=dt)
+    return base
 
 
 def _utf8(values: np.ndarray, lengths: np.ndarray) -> pa.Array:
