@@ -1,0 +1,352 @@
+"""Training-data-pipeline operators beyond the dedup/similarity families:
+signed-random-projection LSH, iterative k-means (Lloyd), embedding column
+statistics, stratified deterministic sampling, and intra-document
+repetition scoring (Gopher-style quality signal).
+
+Scale notes (the 100 TB design point these are written for):
+
+- ``dedup_srp_lsh``: signatures are a narrow map over the scan (one pass,
+  per-row array math, no explode); the only shuffle is the bucket
+  self-join — the canonical LSH shape, never all-pairs.
+- ``kmeans_lloyd``: each Lloyd iteration is one broadcast join (k rows)
+  plus one k-bounded aggregation with map-side partial aggregation; the
+  centroid table never leaves the driver-side plan as anything bigger
+  than k×dim doubles. No ``collect()`` — the loop is a fixed unrolled
+  plan, so Catalyst sees the whole pipeline.
+- ``embedding_norm_stats``: pure map + one partial-aggregated shuffle.
+- ``sample_stratified``: row-local md5 predicate — pushes to the scan,
+  no shuffle at all (deterministic replacement for ``sampleBy``).
+- ``text_repetition``: the bigram explode is a narrow generate; the
+  (doc, bigram) count shuffle is uniform (keys are per-doc).
+
+Determinism contract with the DuckDB oracle: every floating accumulation
+is cast to DECIMAL(28,12) per term and summed exactly (order-independent,
+identical across engines); divisions happen once, in DOUBLE, from exact
+integer/decimal inputs on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_bam_spark.queries import register
+from spark_bam_spark.tables import fan_out, table
+
+_DEC = "decimal(28,12)"
+
+# --------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH over embeddings
+# --------------------------------------------------------------------------
+
+SRP_PLANES = 8
+
+# Deterministic ±1 hyperplane component for (plane p, 0-based dim d):
+# +1 when ((31*p + 17*d) mod 5) >= 2 else -1 — a fixed pseudo-random
+# pattern both engines compute from integers (no RNG, no literals table).
+
+
+def _srp_bucket_expr() -> str:
+    bits = []
+    for p in range(SRP_PLANES):
+        prod = (
+            f"aggregate(transform(embedding, (x, d) -> cast(cast(x as double) * "
+            f"(case when ((31*{p} + 17*d) % 5) >= 2 then 1.0d else -1.0d end) as {_DEC})), "
+            f"cast(0 as {_DEC}), (a, v) -> cast(a + v as {_DEC}))"
+        )
+        bits.append(f"(case when {prod} >= 0 then {1 << p} else 0 end)")
+    return "cast(" + " + ".join(bits) + " as bigint)"
+
+
+def _srp_oracle() -> str:
+    return f"""
+    WITH terms AS (
+      SELECT e.vec_id, p.p,
+             unnest(list_transform(e.embedding, (x, i) -> CAST(CAST(x AS DOUBLE) *
+                    (CASE WHEN ((31*p.p + 17*(i - 1)) % 5) >= 2 THEN 1.0 ELSE -1.0 END)
+                    AS DECIMAL(28,12)))) AS t
+      FROM embeddings e, range(0, {SRP_PLANES}) p(p)
+    ),
+    bits AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(t) >= 0 THEN (1 << p) ELSE 0 END AS bit
+      FROM terms GROUP BY vec_id, p
+    ),
+    sigs AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket
+    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """
+
+
+@register(
+    "dedup_srp_lsh",
+    tags=("dedup", "lsh", "embedding"),
+    oracle=_srp_oracle(),
+)
+def dedup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SRP) LSH candidate pairs over embeddings.
+
+    Complements MinHash (token sets) and SimHash (token weights) with the
+    embedding-space variant: sign of the dot product with each of
+    ``SRP_PLANES`` fixed hyperplanes packs into a bucket id; vectors in
+    the same bucket are near-duplicate candidates (cosine-similar vectors
+    agree on most signs). Signature computation is a narrow map; the
+    bucket self-join is the only shuffle — never all-pairs.
+    """
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", F.expr(_srp_bucket_expr()).alias("bucket"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.bucket").alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding column statistics
+# --------------------------------------------------------------------------
+
+_NORM2 = (
+    f"aggregate(transform(embedding, x -> cast(cast(x as double) * cast(x as double) as {_DEC})), "
+    f"cast(0 as {_DEC}), (a, v) -> cast(a + v as {_DEC}))"
+)
+
+
+@register(
+    "embedding_norm_stats",
+    tags=("embedding", "agg"),
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, label,
+             unnest(list_transform(embedding,
+                    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS v
+      FROM embeddings
+    ),
+    n2 AS (SELECT vec_id, label, SUM(v) AS norm2 FROM t GROUP BY vec_id, label)
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(norm2) AS DOUBLE) / COUNT(*) AS mean_sq_norm,
+           sqrt(CAST(MIN(norm2) AS DOUBLE)) AS min_norm,
+           sqrt(CAST(MAX(norm2) AS DOUBLE)) AS max_norm
+    FROM n2 GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics of the embedding column.
+
+    The per-row squared norm accumulates in DECIMAL (exact), so the group
+    SUM/MIN/MAX are order-independent — mean of squared norms instead of
+    mean of norms precisely so no cross-row float addition ever happens.
+    One narrow map + one partially-aggregated shuffle on ``label``.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    n2 = emb.select("label", F.expr(_NORM2).alias("norm2"))
+    return n2.groupBy("label").agg(
+        F.count("*").alias("n"),
+        (F.sum("norm2").cast("double") / F.count("*")).alias("mean_sq_norm"),
+        F.sqrt(F.min("norm2").cast("double")).alias("min_norm"),
+        F.sqrt(F.max("norm2").cast("double")).alias("max_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-means: two unrolled Lloyd iterations (iterative algorithm, declarative)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 4
+EMB_DIM = 64  # embeddings.embedding is FLOAT[64] in the synthetic corpus
+
+
+def _dec_sum(arr: str) -> str:
+    return f"aggregate({arr}, cast(0 as {_DEC}), (a, v) -> cast(a + v as {_DEC}))"
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    exact DECIMAL distance accumulation, ties broken by lowest cluster id
+    (struct-min ordering matches the oracle's ORDER BY d2, cluster)."""
+    j = emb.crossJoin(F.broadcast(cents))
+    d2 = F.expr(_dec_sum(f"zip_with(v, c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))"))
+    return (
+        j.select("vec_id", "cluster", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"))
+    )
+
+
+@register(
+    "kmeans_lloyd",
+    tags=("embedding", "iterative"),
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {KMEANS_K}),
+    t1 AS (SELECT e.vec_id, c0.cluster,
+                  unnest(list_transform(e.v, (x, i) ->
+                         CAST((x - c0.c[i]) * (x - c0.c[i]) AS DECIMAL(28,12)))) AS t
+           FROM e, c0),
+    d1 AS (SELECT vec_id, cluster, SUM(t) AS d2 FROM t1 GROUP BY vec_id, cluster),
+    a1 AS (SELECT vec_id, cluster FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+    m1 AS (SELECT a1.cluster, i.i AS i,
+                  CAST(SUM(CAST(e.v[i.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+           FROM a1 JOIN e USING (vec_id), range(1, {EMB_DIM + 1}) i(i)
+           GROUP BY a1.cluster, i.i),
+    t2 AS (SELECT e.vec_id, m1.cluster,
+                  CAST((e.v[m1.i] - m1.cv) * (e.v[m1.i] - m1.cv) AS DECIMAL(28,12)) AS t
+           FROM e, m1),
+    d2 AS (SELECT vec_id, cluster, SUM(t) AS d2 FROM t2 GROUP BY vec_id, cluster),
+    a2 AS (SELECT vec_id, cluster FROM d2
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+    n1 AS (SELECT cluster, COUNT(*) AS n_iter1 FROM a1 GROUP BY cluster),
+    n2 AS (SELECT cluster, COUNT(*) AS n_iter2 FROM a2 GROUP BY cluster)
+    SELECT COALESCE(n1.cluster, n2.cluster) AS cluster,
+           COALESCE(n_iter1, 0) AS n_iter1,
+           COALESCE(n_iter2, 0) AS n_iter2
+    FROM n1 FULL OUTER JOIN n2 ON n1.cluster = n2.cluster
+    """,
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means over embeddings
+    (init = vectors 0..k-1), reporting cluster sizes after each pass.
+
+    Iterative algorithm expressed declaratively: assignment is a
+    broadcast join against the k-row centroid table; centroid update is
+    one aggregation with ``EMB_DIM`` exact DECIMAL column sums (arrays
+    stay packed — no explode); the second iteration consumes the first's
+    centroid DataFrame directly, so the whole two-pass pipeline is one
+    Catalyst plan with no driver-side collect. At 100 TB each iteration
+    is one scan + one k-bounded partial-aggregated shuffle.
+    """
+    emb = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    c0 = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+    a1 = _assign(emb, c0)
+
+    sums = [
+        F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)
+    ]
+    cent1 = (
+        a1.join(emb, "vec_id")
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"), *sums)
+        .select(
+            "cluster",
+            F.array(
+                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]
+            ).alias("c"),
+        )
+    )
+    a2 = _assign(emb, cent1)
+
+    n1 = a1.groupBy("cluster").agg(F.count("*").alias("n_iter1"))
+    n2 = a2.groupBy("cluster").agg(F.count("*").alias("n_iter2"))
+    return (
+        n1.join(n2, "cluster", "full_outer")
+        .select(
+            "cluster",
+            F.coalesce("n_iter1", F.lit(0)).alias("n_iter1"),
+            F.coalesce("n_iter2", F.lit(0)).alias("n_iter2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling (sampleBy without rand())
+# --------------------------------------------------------------------------
+
+# Per-stratum keep thresholds on the first md5 byte (hex): 'en' keeps
+# bucket < 0x80 (~50%), every other language < 0x1a (~10%).
+
+
+@register(
+    "sample_stratified",
+    tags=("sample",),
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < (CASE WHEN lang = 'en' THEN '80' ELSE '1a' END)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: ~50% of 'en' docs, ~10% of the
+    rest, selected by md5(doc_id) hex buckets.
+
+    The distributed-correct replacement for ``df.sampleBy`` in a training
+    pipeline: the predicate is row-local (no shuffle, pushes to the
+    scan), reproducible across runs/engines, and stable under
+    repartitioning — ``rand()``-based sampling is none of those.
+    """
+    doc = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("1a"))
+    return doc.filter(bucket < thr).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality signal)
+# --------------------------------------------------------------------------
+
+_WORDS = "split(text, ' ')"
+
+
+@register(
+    "text_repetition",
+    tags=("text", "quality"),
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    base AS (SELECT doc_id, array_length(ws) AS n_words FROM w WHERE array_length(ws) >= 2),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(ws, (x, i) ->
+                         CASE WHEN i < array_length(ws) THEN x || ' ' || ws[i + 1] END)) AS bigram
+           FROM w WHERE array_length(ws) >= 2),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+            WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+    top AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM cnt GROUP BY doc_id)
+    SELECT base.doc_id AS doc_id, n_words, top_bigram_cnt,
+           CAST(2 * top_bigram_cnt AS DOUBLE) / n_words AS rep_ratio
+    FROM base JOIN top USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-bigram repetition ratio per document: the fraction of tokens
+    covered by the single most frequent word bigram (2·count/n_words) —
+    the classic repetition-removal quality signal for web-scale corpora.
+
+    The bigram array is built and exploded inline (no pre-projected array
+    column — see the InferFiltersFromGenerate note in dedup.py); the
+    (doc, bigram) count shuffle is uniform because keys are doc-scoped.
+    """
+    doc = table(spark, sf_dir, "documents")
+    bg = doc.filter(F.expr(f"size({_WORDS}) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size({_WORDS}) - 2),"
+                f" i -> concat({_WORDS}[i], ' ', {_WORDS}[i+1]))"
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bg.groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_cnt"))
+    )
+    base = doc.select("doc_id", F.expr(f"size({_WORDS})").alias("n_words")).filter(
+        F.col("n_words") >= 2
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "top_bigram_cnt",
+        ((F.lit(2) * F.col("top_bigram_cnt")).cast("double") / F.col("n_words")).alias("rep_ratio"),
+    )
