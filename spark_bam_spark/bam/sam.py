@@ -168,11 +168,10 @@ def load_reads(spark: SparkSession, path: str, **options) -> DataFrame:
             reader = reader.option(k, v)
         return reader.load(path)
     if path.endswith(".cram"):
-        # S5: the reference delegates CRAM to an external input format
-        # (CanLoadBam.scala:268-277); no public pure-Python CRAM codec is
-        # available in this environment, so the hook stays explicit
-        raise NotImplementedError(
-            "CRAM requires an external codec (htsjdk/pysam); convert to BAM "
-            "or register a delegating DataSource"
-        )
+        # S5: delegate to the optional pysam codec (CanLoadBam.scala:268-277
+        # delegates to htsjdk the same way); raises NotImplementedError
+        # when pysam is absent
+        from spark_bam_spark.bam.cram import load_cram
+
+        return load_cram(spark, path, reference=options.get("reference"))
     raise ValueError(f"unsupported read-file extension: {path!r} (.sam/.bam/.cram)")
