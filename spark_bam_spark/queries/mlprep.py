@@ -165,17 +165,17 @@ def _dec_sum(arr: str) -> str:
 
 
 def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k-row centroid table,
-    exact DECIMAL distance accumulation, ties broken by lowest cluster id
-    (struct-min ordering matches the oracle's ORDER BY d2, cluster)."""
-    j = emb.crossJoin(F.broadcast(cents))
-    d2 = F.expr(_dec_sum(f"zip_with(v, c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))"))
-    return (
-        j.select("vec_id", "cluster", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cluster")).alias("m"))
-        .select("vec_id", F.col("m.cluster").alias("cluster"))
-    )
+    """Nearest-centroid assignment with NO shuffle: the k-row centroid
+    table is packed into a single broadcast row (collect_list of
+    (cluster, centroid)), and the argmin runs in-row as an array_min over
+    per-centroid struct(d2, cluster) — exact DECIMAL distance
+    accumulation, ties broken by lowest cluster id (struct ordering
+    matches the oracle's ORDER BY d2, cluster). The input row keeps its
+    vector, so the downstream centroid update needs no join back."""
+    packed = cents.agg(F.collect_list(F.struct("cluster", "c")).alias("cs"))
+    d2 = _dec_sum(f"zip_with(v, s.c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))")
+    argmin = F.expr(f"array_min(transform(cs, s -> struct({d2} as d2, s.cluster as cluster))).cluster")
+    return emb.crossJoin(F.broadcast(packed)).select("vec_id", "v", argmin.alias("cluster"))
 
 
 @register(
@@ -214,13 +214,15 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two unrolled Lloyd iterations of k-means over embeddings
     (init = vectors 0..k-1), reporting cluster sizes after each pass.
 
-    Iterative algorithm expressed declaratively: assignment is a
-    broadcast join against the k-row centroid table; centroid update is
-    one aggregation with ``EMB_DIM`` exact DECIMAL column sums (arrays
-    stay packed — no explode); the second iteration consumes the first's
-    centroid DataFrame directly, so the whole two-pass pipeline is one
-    Catalyst plan with no driver-side collect. At 100 TB each iteration
-    is one scan + one k-bounded partial-aggregated shuffle.
+    Iterative algorithm expressed declaratively: assignment is an in-row
+    argmin against a one-row broadcast of the packed centroid list (no
+    join, no shuffle); centroid update is one aggregation with
+    ``EMB_DIM`` exact DECIMAL column sums (arrays stay packed — no
+    explode); the second iteration consumes the first's centroid
+    DataFrame directly, so the whole two-pass pipeline is one Catalyst
+    plan with no driver-side collect. At 100 TB each iteration is one
+    narrow pass over the scan + one k-bounded partial-aggregated
+    shuffle.
     """
     emb = fan_out(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
@@ -234,8 +236,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)
     ]
     cent1 = (
-        a1.join(emb, "vec_id")
-        .groupBy("cluster")
+        a1.groupBy("cluster")
         .agg(F.count("*").alias("n"), *sums)
         .select(
             "cluster",
