@@ -158,6 +158,8 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 4
 EMB_DIM = 64  # embeddings.embedding is FLOAT[64] in the synthetic corpus
+QUERY_VEC_FOR_IVF = 7  # probe query for ivf_kmeans_probe (not an init centroid)
+IVF_TOP_K = 10
 
 
 def _dec_sum(arr: str) -> str:
@@ -350,4 +352,314 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "top_bigram_cnt",
         ((F.lit(2) * F.col("top_bigram_cnt")).cast("double") / F.col("n_words")).alias("rep_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# --------------------------------------------------------------------------
+
+DECON_N = 5  # n-gram width
+BENCH_MAX_DOC = 20  # doc_id < 20 stands in for the held-out benchmark set
+
+
+@register(
+    "decontaminate_overlap",
+    tags=("text", "decontamination"),
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - {DECON_N - 1}, 0)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+    ),
+    bench AS (SELECT DISTINCT s FROM g WHERE doc_id < {BENCH_MAX_DOC})
+    SELECT g.doc_id, COUNT(*) AS n_shared_grams
+    FROM g JOIN bench USING (s)
+    WHERE g.doc_id >= {BENCH_MAX_DOC}
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag every training document sharing
+    at least one distinct {DECON_N}-gram with the benchmark set
+    (doc_id < {BENCH_MAX_DOC} stands in for the eval corpus), with the
+    count of shared grams.
+
+    The 100 TB shape: the benchmark gram set is tiny relative to the
+    corpus, so it BROADCASTS — decontamination is then a narrow
+    map+filter over the training scan (one gram explode, no corpus-side
+    shuffle except the per-doc count)."""
+    doc = table(spark, sf_dir, "documents")
+    toks = fan_out(doc).select("doc_id", F.split("text", " ").alias("w"))
+    # transform stays INLINE in the explode (InferFiltersFromGenerate —
+    # see _shingles in dedup.py)
+    g = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(w) - {DECON_N - 1}, 0)),"
+                    " i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    bench = g.filter(F.col("doc_id") < BENCH_MAX_DOC).select("s").distinct()
+    return (
+        g.filter(F.col("doc_id") >= BENCH_MAX_DOC)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate
+# --------------------------------------------------------------------------
+
+VOCAB_SIZE = 50
+
+
+@register(
+    "vocab_coverage",
+    tags=("text", "vocab"),
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    vocab AS (SELECT token FROM cnt
+              QUALIFY row_number() OVER (ORDER BY c DESC, token) <= {VOCAB_SIZE}),
+    totals AS (SELECT SUM(c) AS total_tokens, COUNT(*) AS distinct_tokens FROM cnt),
+    oov AS (SELECT COALESCE(SUM(c), 0) AS oov_tokens FROM cnt
+            WHERE token NOT IN (SELECT token FROM vocab))
+    SELECT CAST(total_tokens AS BIGINT) AS total_tokens,
+           distinct_tokens,
+           CAST(oov_tokens AS BIGINT) AS oov_tokens,
+           CAST(oov_tokens AS DOUBLE) / total_tokens AS oov_rate
+    FROM totals, oov
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{VOCAB_SIZE} vocabulary coverage: corpus token counts, then the
+    out-of-vocabulary occurrence rate if only the most frequent
+    {VOCAB_SIZE} tokens were kept (ties broken lexicographically).
+
+    Two-level aggregation — per-token counts (map-side combined), then a
+    scalar rollup; the vocab itself is a TakeOrderedAndProject and
+    broadcasts back for the OOV anti-join."""
+    doc = table(spark, sf_dir, "documents")
+    toks = fan_out(doc).select(F.explode(F.split("text", " ")).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count("*").alias("c"))
+    vocab = cnt.orderBy(F.desc("c"), "token").limit(VOCAB_SIZE).select("token")
+    totals = cnt.agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("distinct_tokens"),
+    )
+    oov = (
+        cnt.join(F.broadcast(vocab), "token", "left_anti")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("oov_tokens"))
+    )
+    return totals.crossJoin(oov).select(
+        "total_tokens",
+        "distinct_tokens",
+        "oov_tokens",
+        (F.col("oov_tokens").cast("double") / F.col("total_tokens")).alias("oov_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing for training (greedy in-order token packing per shard)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "pack_training_sequences",
+    tags=("text", "packing"),
+    oracle=f"""
+    WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+          FROM d)
+    SELECT source, CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM c GROUP BY source, bin
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order packing of documents into {PACK_BUDGET}-token
+    training sequences, independently per source shard: a document starts
+    the bin its running token offset falls into (concat-then-chunk
+    packing, W5's prefix-sum bucket assignment applied to the LLM
+    pipeline). Reports docs and tokens per packed sequence.
+
+    Partitioning by ``source`` keeps the prefix-sum window parallel — the
+    100 TB version packs within shards for exactly this reason (a single
+    global ordering would serialize on one task)."""
+    from pyspark.sql.window import Window
+
+    doc = table(spark, sf_dir, "documents")
+    d = doc.select("source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.withColumn("start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.groupBy("source", (F.col("start_tok") / PACK_BUDGET).cast("bigint").alias("bin"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Learned IVF: k-means centroids as the coarse quantizer for ANN probes
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ivf_kmeans_probe",
+    tags=("similarity", "ann", "iterative"),
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {KMEANS_K}),
+    t1 AS (SELECT e.vec_id, c0.cluster,
+                  unnest(list_transform(e.v, (x, i) ->
+                         CAST((x - c0.c[i]) * (x - c0.c[i]) AS DECIMAL(28,12)))) AS t
+           FROM e, c0),
+    d1 AS (SELECT vec_id, cluster, SUM(t) AS d2 FROM t1 GROUP BY vec_id, cluster),
+    a1 AS (SELECT vec_id, cluster FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+    m1 AS (SELECT a1.cluster, i.i AS i,
+                  CAST(SUM(CAST(e.v[i.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+           FROM a1 JOIN e USING (vec_id), range(1, {EMB_DIM + 1}) i(i)
+           GROUP BY a1.cluster, i.i),
+    t2 AS (SELECT e.vec_id, m1.cluster,
+                  CAST((e.v[m1.i] - m1.cv) * (e.v[m1.i] - m1.cv) AS DECIMAL(28,12)) AS t
+           FROM e, m1),
+    d2 AS (SELECT vec_id, cluster, SUM(t) AS d2 FROM t2 GROUP BY vec_id, cluster),
+    a2 AS (SELECT vec_id, cluster FROM d2
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+    qc AS (SELECT cluster FROM a2 WHERE vec_id = {QUERY_VEC_FOR_IVF}),
+    cand AS (SELECT a2.vec_id FROM a2, qc WHERE a2.cluster = qc.cluster),
+    qv AS (SELECT v FROM e WHERE vec_id = {QUERY_VEC_FOR_IVF}),
+    prods AS (
+      SELECT c.vec_id,
+             unnest(list_transform(e.v, (x, i) -> CAST(x * q.v[i] AS DECIMAL(28,12)))) AS xy,
+             unnest(list_transform(e.v, (x, i) -> CAST(x * x AS DECIMAL(28,12)))) AS xx,
+             unnest(list_transform(q.v, (y, i) -> CAST(y * y AS DECIMAL(28,12)))) AS yy
+      FROM cand c JOIN e ON e.vec_id = c.vec_id, qv q
+    )
+    SELECT vec_id,
+           CAST(SUM(xy) AS DOUBLE) /
+           (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cosine
+    FROM prods GROUP BY vec_id
+    ORDER BY cosine DESC, vec_id
+    LIMIT {IVF_TOP_K}
+    """,
+)
+def ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a LEARNED coarse quantizer: the k-means centroids from
+    one Lloyd update become the IVF cell assignment; the probe searches
+    only the query's cell, with exact DECIMAL cosine inside it.
+
+    Completes the ANN family: cosine_topk_bruteforce (exact baseline) →
+    cosine_topk_ivf[_pruned] (label as given cells) → this (cells
+    LEARNED from the data, end-to-end in one declarative plan: train,
+    assign, probe). At 100 TB the assignment is a narrow map, cells are
+    written out partitioned (as in the _pruned variant), and each query
+    touches 1/k of the data."""
+    emb = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    c0 = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+    a1 = _assign(emb, c0)
+    sums = [F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)]
+    cent1 = (
+        a1.groupBy("cluster")
+        .agg(F.count("*").alias("n"), *sums)
+        .select(
+            "cluster",
+            F.array(*[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]).alias("c"),
+        )
+    )
+    a2 = _assign(emb, cent1)
+    qcell = a2.filter(F.col("vec_id") == QUERY_VEC_FOR_IVF).select(F.col("cluster").alias("qc"))
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_FOR_IVF).select(F.col("v").alias("qv"))
+    cand = a2.join(F.broadcast(qcell), F.col("cluster") == F.col("qc"))
+    prod = f"zip_with(v, qv, (x, y) -> cast(x * y as {_DEC}))"
+    sq = f"transform(v, x -> cast(x * x as {_DEC}))"
+    qsq = f"transform(qv, y -> cast(y * y as {_DEC}))"
+    return (
+        cand.crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            (
+                F.expr(_dec_sum(prod))
+                / (F.sqrt(F.expr(_dec_sum(sq))) * F.sqrt(F.expr(_dec_sum(qsq))))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(IVF_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Int8 scalar quantization + exact-integer top-k
+# --------------------------------------------------------------------------
+
+QUANT_QUERY_VEC = 0
+QUANT_TOP_K = 10
+
+# symmetric per-vector scale; floor(x*scale + 0.5) instead of round() so
+# both engines share one unambiguous rounding rule
+_QSCALE = "(127.0 / greatest(array_max(transform(embedding, x -> abs(cast(x as double)))), 1e-12d))"
+_QVEC = f"transform(embedding, x -> cast(floor(cast(x as double) * {_QSCALE} + 0.5d) as bigint))"
+
+
+@register(
+    "quantize_int8_topk",
+    tags=("similarity", "quantization"),
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+                    (127.0 / greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-12))
+                    + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qq AS (SELECT qv AS query_qv FROM q WHERE vec_id = {QUANT_QUERY_VEC}),
+    dots AS (
+      SELECT q.vec_id,
+             unnest(list_transform(q.qv, (x, i) -> x * qq.query_qv[i])) AS t
+      FROM q, qq
+    )
+    SELECT vec_id, CAST(SUM(t) AS BIGINT) AS qdot
+    FROM dots GROUP BY vec_id
+    ORDER BY qdot DESC, vec_id
+    LIMIT {QUANT_TOP_K}
+    """,
+)
+def quantize_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column, then
+    top-k by EXACT integer dot product against the quantized query
+    vector — the storage/compute-reduction path for 100 TB ANN (4× less
+    data moved, integer SIMD instead of float, no float-order
+    nondeterminism at all).
+
+    Quantize is a narrow map; the query vector broadcasts; the result is
+    a single TakeOrderedAndProject."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", F.expr(_QVEC).alias("qv"))
+    query = q.filter(F.col("vec_id") == QUANT_QUERY_VEC).select(F.col("qv").alias("query_qv"))
+    dot = "aggregate(zip_with(qv, query_qv, (x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)"
+    return (
+        q.crossJoin(F.broadcast(query))
+        .select("vec_id", F.expr(dot).alias("qdot"))
+        .orderBy(F.desc("qdot"), "vec_id")
+        .limit(QUANT_TOP_K)
     )
