@@ -367,6 +367,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # size-aware iteration width: each round runs 2 shuffles + 2 actions,
+    # so on a small candidate graph the cost is pure task-scheduling
+    # overhead — narrow the loop to a handful of partitions. On a 100 TB
+    # corpus n_edges keeps this at the session default (dup graphs are
+    # sparse: edges ≪ corpus, but still sharded wide when they are big).
+    n_edges = edges.count()
+    parallelism = spark.sparkContext.defaultParallelism
+    width = max(1, min(parallelism, n_edges // 50_000))
+    if width < parallelism:
+        edges = edges.coalesce(width).localCheckpoint(eager=True)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        labels = _propagate_min_labels(edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def _propagate_min_labels(edges: DataFrame) -> DataFrame:
     labels = edges.select("src").distinct().select(F.col("src").alias("doc"), F.col("src").alias("lbl"))
     while True:
         neighbor_min = (
@@ -389,7 +409,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("changed")
         if changed == 0:
             break
-    return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    return labels
 
 
 @register(
