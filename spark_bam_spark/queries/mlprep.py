@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
+from spark_bam_spark.queries.dedup import N_BANDS
 from spark_bam_spark.tables import fan_out, table
 
 _DEC = "decimal(28,12)"
@@ -510,6 +511,214 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.groupBy("source", (F.col("start_tok") / PACK_BUDGET).cast("bigint").alias("bin"))
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH quality evaluation: precision/recall against planted near-duplicates
+# --------------------------------------------------------------------------
+
+_MUT_EVERY = 7  # mutate every 7th word of the planted near-duplicates
+_JACCARD_THRESH = 0.5
+
+
+@register(
+    "lsh_quality_eval",
+    tags=("dedup", "lsh", "evaluation"),
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_transform(string_split(text, ' '),
+                      (x, i) -> CASE WHEN (i - 1) % {_MUT_EVERY} = 0 THEN 'zz' || x ELSE x END), ' ')
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+      )
+    ),
+    mh AS (
+      SELECT doc_id, b.band, MIN(md5(CAST(b.band AS VARCHAR) || '|' || s)) AS sig
+      FROM sh, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+      GROUP BY doc_id, b.band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM mh a JOIN mh c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+    ),
+    planted AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+                FROM documents WHERE doc_id % 7 = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+                 AND a.s = b.s
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    jac AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.n_common, 0)) AS j
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM planted) AS n_planted,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM cand JOIN planted USING (doc_a, doc_b)) AS n_planted_found,
+           CAST((SELECT COUNT(*) FROM cand JOIN planted USING (doc_a, doc_b)) AS DOUBLE)
+           / (SELECT COUNT(*) FROM planted) AS recall,
+           (SELECT COUNT(*) FROM jac WHERE j >= {_JACCARD_THRESH}) AS n_verified,
+           CAST((SELECT COUNT(*) FROM jac WHERE j >= {_JACCARD_THRESH}) AS DOUBLE)
+           / (SELECT COUNT(*) FROM cand) AS precision
+    """,
+)
+def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the MinHash-LSH configuration itself: plant deterministic
+    near-duplicates (every {_MUT_EVERY}th word mutated), run the same
+    band/signature pipeline, and report recall against the planted pairs
+    plus precision under true shingle-Jaccard ≥ {_JACCARD_THRESH}.
+
+    The meta-operator a production dedup pipeline needs before trusting
+    an LSH config at 100 TB: both metrics come from joins against sets
+    that are tiny relative to the corpus (planted pairs, candidate
+    pairs), so evaluation cost is dominated by the same one-pass
+    signature computation as the dedup itself."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(split(text, ' '),"
+            f" (x, i) -> case when i % {_MUT_EVERY} = 0 then concat('zz', x) else x end))"
+        ).alias("text"),
+    )
+    corpus = fan_out(d.unionAll(mutated))
+    toks = corpus.select("doc_id", F.split("text", " ").alias("w"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 2, 0)),"
+                " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+            )
+        ).alias("s"),
+    ).distinct()
+    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    mh = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("band").cast("string"), "s"))).alias("sig"))
+    )
+    a, b = mh.alias("a"), mh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    planted = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1_000_000).alias("doc_b")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "s"]).groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("n_common")
+        )
+    )
+    jac = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("n_common", F.lit(0)))
+            ).alias("j")
+        )
+    )
+    n_planted = planted.agg(F.count("*").alias("n_planted"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_found = cand.join(planted, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_planted_found"))
+    n_ver = jac.filter(F.col("j") >= _JACCARD_THRESH).agg(F.count("*").alias("n_verified"))
+    return (
+        n_planted.crossJoin(n_cand)
+        .crossJoin(n_found)
+        .crossJoin(n_ver)
+        .select(
+            "n_planted",
+            "n_candidates",
+            "n_planted_found",
+            (F.col("n_planted_found").cast("double") / F.col("n_planted")).alias("recall"),
+            "n_verified",
+            (F.col("n_verified").cast("double") / F.col("n_candidates")).alias("precision"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset mixing: per-source keep rates toward a target token distribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dataset_mix_weights",
+    tags=("text", "mixing"),
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 0.07 ELSE 0.03 END AS target_share,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(n_tokens) AS total_tokens FROM s)
+    SELECT source, n_docs, n_tokens,
+           CAST(target_share AS DOUBLE) AS target_share,
+           least(CAST(1.0 AS DOUBLE), CAST(target_share AS DOUBLE) * total_tokens / n_tokens) AS keep_rate
+    FROM s, t
+    """,
+)
+def dataset_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing weights: given target corpus shares per source
+    (here a deterministic 0.07/0.03 split by source parity), compute the
+    per-source keep-rate that reaches the target token distribution —
+    the planning step before `sample_stratified` executes the mix.
+
+    One partially-aggregated shuffle on ``source`` plus a broadcast of
+    the one-row total; everything downstream of the counts is exact
+    integer→double arithmetic, identical across engines."""
+    doc = table(spark, sf_dir, "documents")
+    s = doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "target_share",
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.07)).otherwise(
+            F.lit(0.03)
+        ),
+    )
+    total = s.agg(F.sum("n_tokens").alias("total_tokens"))
+    return s.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.col("target_share").cast("double").alias("target_share"),
+        F.least(
+            F.lit(1.0),
+            F.col("target_share").cast("double") * F.col("total_tokens") / F.col("n_tokens"),
+        ).alias("keep_rate"),
     )
 
 
