@@ -450,3 +450,111 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("rn") > 1, 1)).alias("removed"),
         F.count("*").alias("total"),
     )
+
+
+@register(
+    "dedup_incremental",
+    tags=("dedup",),
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' v2' AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    corpus_h AS (SELECT DISTINCT md5(text) AS h FROM documents),
+    fresh AS (
+      SELECT b.doc_id, md5(b.text) AS h FROM batch b
+      WHERE md5(b.text) NOT IN (SELECT h FROM corpus_h)
+    )
+    SELECT h AS text_hash, MIN(doc_id) AS survivor_doc_id, COUNT(*) AS batch_copies
+    FROM fresh GROUP BY h
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW batch (fresh crawl) deduped against the
+    EXISTING corpus, then within itself — the steady-state shape of a
+    production training-data pipeline (the full-corpus variants above are
+    the bootstrap). Batch = re-ingested copies (docs ≡0 mod 3, all dropped
+    by the anti-join) + genuinely-new revisions (docs ≡0 mod 7, text
+    mutated, all survive).
+
+    Scale shape: one anti-join shuffled on the 128-bit hash + one groupBy
+    on the same key (AQE coalesces the second exchange). At 100 TB the
+    corpus hash set is the big side but only `h` wide (16 bytes/doc);
+    Spark's runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter)
+    prunes most batch rows before the shuffle, and the corpus side can be
+    written hash-bucketed once and reused across every nightly batch."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionAll(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" v2")).alias("text"),
+        )
+    )
+    corpus_h = d.select(F.md5("text").alias("h")).distinct()
+    fresh = batch.select("doc_id", F.md5("text").alias("h")).join(
+        corpus_h, "h", "left_anti"
+    )
+    return fresh.groupBy(F.col("h").alias("text_hash")).agg(
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.count("*").alias("batch_copies"),
+    )
+
+
+@register(
+    "dup_ngram_coverage",
+    tags=("dedup", "text"),
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+    pos AS (
+      SELECT doc_id, source, array_to_string(w[i:i+7], ' ') AS gram
+      FROM toks, unnest(range(1, len(w)-6)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    cnt AS (SELECT gram, COUNT(*) AS c FROM pos GROUP BY gram)
+    SELECT source,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS dup_fraction
+    FROM pos JOIN cnt USING (gram)
+    GROUP BY source
+    """,
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage: the fraction of each source's 8-gram
+    positions whose gram occurs ≥2× corpus-wide — the scalable proxy for
+    exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": their suffix-array pass finds repeated ≥50-
+    char spans; repeated fixed-width n-grams are the shuffle-friendly
+    approximation, since a repeated long span is a run of repeated
+    n-grams).
+
+    Scale shape: explode → count per gram (map-side partial agg on a
+    uniform text key) → hash join back → per-source agg. Every shuffle is
+    keyed on the gram hash (uniform); nothing is quadratic. The explode
+    keeps its array expression inline (InferFiltersFromGenerate trap)."""
+    d = fan_out(table(spark, sf_dir, "documents").select("source", "text"))
+    toks = d.select("source", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 8
+    )
+    pos = toks.select(
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))")
+        ).alias("gram"),
+    )
+    cnt = pos.groupBy("gram").agg(F.count("*").alias("c"))
+    dup = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+    return (
+        pos.join(cnt, "gram")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.cast("bigint").alias("n_dup_grams"),
+            (dup.cast("double") / F.count("*")).alias("dup_fraction"),
+        )
+    )

@@ -947,3 +947,101 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").alias("n_customers"),
         F.sum(dec("o_totalprice")).cast("double").alias("total"),
     )
+
+
+@register(
+    "overlap_pairs_binned",
+    tags=("join", "range", "J4"),
+    oracle="""
+    WITH iv AS (
+      SELECT event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(make_timestamp(GREATEST(a.s, b.s)) AS DATE) AS day,
+           COUNT(*) AS n_pairs
+    FROM iv a JOIN iv b
+      ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """,
+)
+def overlap_pairs_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large interval overlap via bin bucketing (the scale path for
+    J4 when NEITHER side is broadcastable — the reference's interval
+    overlap, Intervals.scala:148-154, assumes a small LociSet; at 100 TB
+    both sides can be huge).
+
+    Each interval is exploded to the hour bins it touches (bounded ×2
+    here: durations < 1 bin), the pair join becomes an EQUI-join on the
+    bin key (shuffle-partitionable, AQE-balanceable), the true overlap
+    predicate runs as a residual, and each pair is counted exactly once
+    by attributing it to the bin containing the overlap start. A
+    broadcast-nested-loop or cartesian range join would be O(n²) across
+    the whole corpus; this is O(n·k + pairs) with k = bins per interval.
+
+    Times are integer epoch-µs on both engines (floor() before the cast
+    keeps Spark's truncating cast and DuckDB's rounding cast identical).
+    """
+    BIN = 3_600_000_000  # one hour in µs
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    iv = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.floor(F.col("value") * 1000000.0).cast("long")).alias("e"),
+    )
+    binned = iv.select(
+        "event_id", "s", "e",
+        F.explode(F.expr(f"sequence(s div {BIN}, e div {BIN})")).alias("bin"),
+    )
+    right = binned.select(
+        F.col("event_id").alias("event_id_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        F.col("bin").alias("bin_b"),
+    )
+    pairs = binned.join(
+        right,
+        on=[
+            F.col("bin") == F.col("bin_b"),
+            F.col("event_id") < F.col("event_id_b"),
+            F.col("s") <= F.col("e_b"),
+            F.col("s_b") <= F.col("e"),
+            # attribute each pair to the bin of its overlap start: dedups
+            # pairs that co-occur in multiple bins without a distinct()
+            F.col("bin") == F.expr(f"greatest(s, s_b) div {BIN}"),
+        ],
+    )
+    return (
+        pairs.select(F.to_date(F.timestamp_micros(F.greatest("s", "s_b"))).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "percentile_report",
+    tags=("agg", "A9"),
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (A9 Stats distributions:
+    Stats.scala histogram quantiles). Spark's `percentile` is the exact
+    sort-based aggregate — at 100 TB you'd switch to `approx_percentile`
+    (mergeable KLL-style sketch, map-side combinable); the exact form is
+    registered because the oracle gate needs engine-identical values.
+    Both engines use linear interpolation at rank q·(n-1); results are
+    rounded to 6 decimals to absorb last-ulp differences in the
+    interpolation arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+    )
