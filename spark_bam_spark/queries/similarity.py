@@ -160,3 +160,114 @@ def cosine_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+@register(
+    "ann_recall_eval",
+    tags=("similarity", "eval"),
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    prods AS (
+      SELECT q.q_id, q.q_label, e.label, e.vec_id,
+             unnest(list_transform(e.embedding,
+                    (x, i) -> CAST(CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) AS DECIMAL(28,12)))) AS xy,
+             unnest(list_transform(e.embedding,
+                    (x, i) -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS xx,
+             unnest(list_transform(q.qv,
+                    (y, i) -> CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12)))) AS yy
+      FROM embeddings e, q
+    ),
+    scores AS (
+      SELECT q_id, q_label, label, vec_id,
+             CAST(SUM(xy) AS DOUBLE) / (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cosine
+      FROM prods GROUP BY q_id, q_label, label, vec_id
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM scores) WHERE rn <= {TOP_K}
+    ),
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM scores WHERE label = q_label) WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+      SELECT a.q_id, COUNT(*) AS n_hits
+      FROM approx a JOIN exact e USING (q_id, vec_id) GROUP BY a.q_id
+    )
+    SELECT qq.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM (SELECT DISTINCT q_id FROM q) qq LEFT JOIN hits h USING (q_id)
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF probe against exact brute force, per query —
+    the evaluation an ANN index needs before it replaces the exhaustive
+    scan (companion to `lsh_quality_eval` on the dedup side).
+
+    10 query vectors run as ONE plan: broadcast the 10-row query side,
+    score every (query, vector) pair in a narrow decimal-exact map, then
+    take per-query top-k twice — unrestricted (ground truth) and probe-
+    restricted (label == query's label, the IVF cell). row_number() <= k
+    compiles to WindowGroupLimit, so each shuffle partition pre-prunes to
+    its local top-k before the exchange — per-query work is O(N/p + k),
+    not a global sort. Recall joins the two k-row sets on (q_id, vec_id).
+
+    At 100 TB: identical shape — the ground-truth side is the expensive
+    exhaustive pass you run once on a sample to validate the index; the
+    probe side reads only matching cells (see cosine_topk_ivf_pruned for
+    the partition-pruned variant)."""
+    from pyspark.sql import Window
+
+    N_Q = 10
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    prod = f"zip_with(embedding, qv, (x, y) -> cast(cast(x as double) * cast(y as double) as {_DEC}))"
+    sq = f"transform(embedding, x -> cast(cast(x as double) * cast(x as double) as {_DEC}))"
+    qsq = f"transform(qv, y -> cast(cast(y as double) * cast(y as double) as {_DEC}))"
+    scores = (
+        fan_out(emb)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "q_id",
+            "q_label",
+            "label",
+            "vec_id",
+            (
+                F.expr(_dec_array_sum(prod))
+                / (F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    exact = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    approx = (
+        scores.filter(F.col("label") == F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    hits = approx.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        qs.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )

@@ -166,3 +166,31 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stateful_topk_purchases",
+    tags=("streaming", "state", "O3"),
+    oracle="""
+    SELECT user_id, CAST(rn AS INT) AS rank, value, event_id FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE event_type = 'purchase')
+    WHERE rn <= 3
+    """,
+)
+def stateful_topk_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stateful_topk_purchases (per-user top-3
+    purchases, the transformWithStateInPandas ListState operator): a
+    grouped top-k window with deterministic tie-break. row_number() <= k
+    compiles to WindowGroupLimit — partitions pre-prune to local top-k
+    before the exchange, so per-key work is O(k) exactly like the
+    streaming state bound."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", F.col("rn").cast("int").alias("rank"), "value", "event_id")
+    )

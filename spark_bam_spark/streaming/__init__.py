@@ -158,3 +158,67 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def _topk_fold(state_rows, pdfs, k: int) -> list[tuple[float, int]]:
+    """Merge retained (value, event_id) state with a batch of pandas
+    frames; return the new top-k (value desc, event_id asc tie-break).
+    Shared by the streaming processor and unit tests."""
+    cur = [(float(r[0]), int(r[1])) for r in state_rows]
+    for pdf in pdfs:
+        cur.extend(zip(pdf["value"].astype(float), pdf["event_id"].astype(int)))
+    cur.sort(key=lambda t: (-t[0], t[1]))
+    return cur[:k]
+
+
+def stateful_topk_purchases(events: DataFrame, k: int = 3) -> DataFrame:
+    """Custom stateful operator via transformWithStateInPandas (the Spark 4
+    arbitrary-state v2 API): per-user top-k purchase values held in a
+    typed ListState across micro-batches.
+
+    Versus applyInPandasWithState (stateful_user_totals above), the v2
+    processor gets named, individually-evictable state primitives
+    (ListState here; ValueState/MapState/timers available) instead of one
+    opaque tuple — the state the engine would need for any bounded-memory
+    per-key structure (top-k, reservoir, HyperLogLog) at 100 TB, where
+    per-key state must stay O(k) no matter how many events stream by.
+
+    Requires the RocksDB state store (set by the caller/test via
+    spark.sql.streaming.stateStore.providerClass)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id bigint, rank int, value double, event_id bigint"
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getListState("topk", "value double, event_id bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = _topk_fold(self._state.get(), rows, k)
+            self._state.put(cur)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(cur),
+                    "rank": list(range(1, len(cur) + 1)),
+                    "value": [v for v, _ in cur],
+                    "event_id": [e for _, e in cur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TopK(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -99,3 +99,36 @@ def test_checkpointed_sink_exactly_once(spark, sf_small, events_stream, tmp_path
     # same input, same checkpoint: a restart commits nothing new
     run_to_parquet(tumbling_counts(stream_events(spark, sf_small)), out, ckpt)
     assert spark.read.parquet(out).count() == first
+
+
+def test_stateful_topk_purchases_match_batch(spark, sf_small, events_stream):
+    # transformWithStateInPandas (state v2) drives a protobuf-based state
+    # server; skip where protobuf isn't installed (this container).
+    pytest.importorskip("google.protobuf")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = st.run_to_memory(
+        st.stateful_topk_purchases(events_stream), "tws_topk", "update"
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, load_all()["stateful_topk_purchases"].fn(spark, sf_small).collect()))
+    assert got == want
+
+
+def test_stateful_topk_processor_logic():
+    """The real TopK fold (state merge + rank + truncation) across
+    micro-batches — unit-level, no streaming runtime needed."""
+    import pandas as pd
+
+    from spark_bam_spark.streaming import _topk_fold
+
+    out1 = _topk_fold([], [pd.DataFrame({"value": [5.0, 1.0], "event_id": [10, 11]})], 3)
+    assert out1 == [(5.0, 10), (1.0, 11)]
+    # second micro-batch merges with retained state, ties break on event_id
+    out2 = _topk_fold(out1, [pd.DataFrame({"value": [5.0, 3.0], "event_id": [2, 3]})], 3)
+    assert out2 == [(5.0, 2), (5.0, 10), (3.0, 3)]
+    # truncation keeps per-key state O(k)
+    out3 = _topk_fold(out2, [pd.DataFrame({"value": [9.9], "event_id": [99]})], 3)
+    assert out3 == [(9.9, 99), (5.0, 2), (5.0, 10)]
