@@ -1045,3 +1045,70 @@ def percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
     )
+
+
+@register(
+    "rollup_sales_report",
+    tags=("agg", "A8"),
+    oracle="""
+    SELECT n.n_name, year(o.o_orderdate) AS yr,
+           GROUPING(n.n_name) + 2*GROUPING(year(o.o_orderdate)) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+    """,
+)
+def rollup_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass: ROLLUP(nation, year) emits the
+    detail rows, per-nation subtotals, and the grand total from a single
+    shuffle (Spark expands the grouping sets map-side; no re-scan per
+    level — at 100 TB that is 1 pass instead of 3). grouping() bits
+    disambiguate data NULLs from subtotal NULLs. The dimension joins
+    stay broadcast (nation/customer are small)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("yr"), "o_totalprice")
+    )
+    return joined.rollup("n_name", "yr").agg(
+        (F.grouping("n_name") + 2 * F.grouping("yr")).cast("bigint").alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "pivot_event_counts",
+    tags=("agg", "A8"),
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): event-type counts per user cohort. The pivot
+    values are declared explicitly, which keeps it ONE aggregation pass —
+    without them Spark first runs a distinct() over the pivot column
+    (an extra job + shuffle) to discover the columns; at 100 TB you
+    always declare them. Compiles to the same conditional-count plan as
+    the oracle's FILTER clauses."""
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    return out.select(
+        "cohort",
+        *[F.coalesce(t, F.lit(0)).alias(t) for t in ("click", "error", "purchase", "signup", "view")],
+    )

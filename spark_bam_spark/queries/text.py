@@ -340,3 +340,76 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(nws).cast("bigint").alias("total_ws_tokens"),
         (F.sum(nbpe).cast("double") / F.sum(nws)).alias("bpe_per_ws"),
     )
+
+
+@register(
+    "word_pmi_pairs",
+    tags=("text",),
+    oracle="""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    vocab AS (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT 100),
+    vt AS (SELECT t.doc_id, t.w, v.c FROM toks t JOIN vocab v USING (w)),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, a.c AS c1, b.c AS c2, COUNT(*) AS c_xy
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1,2,3,4
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT w1, w2, c_xy,
+           ROUND(ln(CAST(c_xy AS DOUBLE) * n_docs / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+    FROM pairs, n
+    WHERE c_xy >= 20
+    """,
+)
+def word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word pairs co-occurring in a
+    document — the classic collocation/corpus-statistics pass (and the
+    feature behind phrase detection in word2vec-style pipelines).
+
+    Scale shape: tokenize+distinct (shuffle on (doc,w)), doc-frequency
+    agg, restrict to a broadcast top-100 vocabulary — THE step that keeps
+    the pair space bounded (100·99/2 possible pairs regardless of corpus
+    size) — then one equi-join on doc_id and a pair-keyed count. Without
+    the vocab cap the self-join is O(distinct-words-per-doc²) per doc;
+    with it, per-doc work is constant-bounded. PMI = ln(c_xy·N/(c1·c2)),
+    rounded to absorb libm ulp differences; the c_xy floor keeps the
+    report to statistically meaningful pairs."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        fan_out(d)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    vocab = freq.orderBy(F.desc("c"), "w").limit(100)
+    vt = toks.join(F.broadcast(vocab), "w")
+    right = vt.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("w").alias("w2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = (
+        vt.join(right, (F.col("doc_id") == F.col("doc_id_b")) & (F.col("w") < F.col("w2")))
+        .groupBy(F.col("w").alias("w1"), "w2", F.col("c").alias("c1"), "c2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    n_docs = d.select(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("c_xy") >= 20)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
