@@ -1112,3 +1112,68 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort",
         *[F.coalesce(t, F.lit(0)).alias(t) for t in ("click", "error", "purchase", "signup", "view")],
     )
+
+
+def _zorder_oracle() -> str:
+    from spark_bam_spark.operators.layout import _interleave_terms, quantize_sql
+
+    qx = quantize_sql("user_id", "umin", "umax")
+    qy = quantize_sql("value", "vmin", "vmax")
+    z = _interleave_terms("qx", "qy")
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+             MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events
+    ),
+    q AS (
+      SELECT {qx} AS qx, {qy} AS qy FROM events, bounds
+    ),
+    z AS (SELECT qx, qy, ({z}) AS zkey FROM q)
+    SELECT zkey // 256 AS bucket,
+           COUNT(*) AS n,
+           MIN(qx) AS min_qx, MAX(qx) AS max_qx,
+           MIN(qy) AS min_qy, MAX(qy) AS max_qy
+    FROM z GROUP BY 1
+    """
+
+
+@register("zorder_cluster_stats", tags=("layout", "O5"), oracle=_zorder_oracle())
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout quality report: quantize (user_id, value)
+    to 8 bits each, interleave into a 16-bit z-key, and show that every
+    256-key bucket (= the rows one output file would own under
+    `zorder_write`) spans < 16 of the 256 quantization steps in BOTH
+    dimensions. That bounded span is exactly why parquet min/max stats
+    prune scans on EITHER column after a z-order write, where a single-
+    column sort prunes only its own column. The reference's 1-D analogue
+    is coordinate-sorted BAM + Pos bit-packing (pos.py parity cited
+    there); this is the N-D generalization for the parquet side.
+
+    Plan: one agg for the bounds (broadcast back as a 1-row join), then
+    a narrow all-JVM bit-twiddling map + one groupBy on the bucket —
+    layout evaluation at scan speed."""
+    from spark_bam_spark.operators.layout import _interleave_terms, quantize_sql
+
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    q = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr(quantize_sql("user_id", "umin", "umax")).alias("qx"),
+        F.expr(quantize_sql("value", "vmin", "vmax")).alias("qy"),
+    )
+    z = q.select("qx", "qy", F.expr(_interleave_terms("qx", "qy")).alias("zkey"))
+    return (
+        z.groupBy((F.col("zkey") / 256).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("qx").alias("min_qx"),
+            F.max("qx").alias("max_qx"),
+            F.min("qy").alias("min_qy"),
+            F.max("qy").alias("max_qy"),
+        )
+    )
