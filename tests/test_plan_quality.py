@@ -78,3 +78,36 @@ def test_headline_queries_are_run_deterministic(spark, sf_small, name):
     a = sorted(map(tuple, fn(spark, sf_small).collect()))
     b = sorted(map(tuple, fn(spark, sf_small).collect()))
     assert a == b
+
+
+def test_overlap_pairs_binned_is_equi_join(spark, sf_small):
+    # the whole point of the binning: NO nested-loop / cartesian pair join
+    plan = plan_of(REGISTRY["overlap_pairs_binned"].fn(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # equi-join on the bin key (broadcast at toy scale, shuffled at real
+    # scale — either way it's a hash join keyed on bin, never all-pairs)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["ann_recall_eval", "stateful_topk_purchases"])
+def test_grouped_topk_uses_window_group_limit(spark, sf_small, name):
+    # row_number() <= k must pre-prune partitions before the exchange
+    plan = plan_of(REGISTRY[name].fn(spark, sf_small))
+    assert "WindowGroupLimit" in plan
+
+
+def test_rollup_is_single_expand_pass(spark, sf_small):
+    # ROLLUP = one Expand node feeding one agg, not one scan per level
+    plan = plan_of(REGISTRY["rollup_sales_report"].fn(spark, sf_small))
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") <= 3  # orders + customer + nation, once each
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dup_ngram_coverage", "word_pmi_pairs", "zorder_cluster_stats", "dedup_incremental", "overlap_pairs_binned"],
+)
+def test_new_hot_paths_have_no_python_eval(spark, sf_small, name):
+    plan = plan_of(REGISTRY[name].fn(spark, sf_small))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
