@@ -86,6 +86,7 @@ def load_all() -> dict[str, QuerySpec]:
     from spark_bam_spark.queries import (  # noqa: F401
         bam_qa,
         dedup,
+        graph,
         mlprep,
         multimodal_q,
         relational,
