@@ -1177,3 +1177,106 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("qy").alias("max_qy"),
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    tags=("analytics", "W1"),
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+          JOIN v ON v.user_id = e.user_id
+             AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 12 HOUR
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+          JOIN c ON c.user_id = e.user_id
+             AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 12 HOUR
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click within 12 h → purchase
+    within 12 h of the click), counting users that reach each stage.
+
+    Scale shape: each stage is one groupBy(user) MIN + one equi-join on
+    user_id with the time bound as a residual — all three stages hash-
+    partition on the SAME key, so AQE coalesces into a chain of
+    co-partitioned joins (no re-shuffle between stages). This is the
+    declarative form of the per-user sequence scan an imperative engine
+    would do with sorted state per user."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "cohort_retention",
+    tags=("analytics",),
+    oracle="""
+    WITH first_day AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS d0
+                       FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.d0,
+             date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS week_n
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT d0 AS cohort_day, week_n, COUNT(*) AS n_active
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    once per (cohort, week-offset) they were active in — the standard
+    growth-analytics rollup.
+
+    Scale shape: first-seen agg and the activity join both key on
+    user_id (one partitioning reused), then distinct + count on the
+    small (cohort, week) grid. The DISTINCT before the count keeps the
+    final agg input at |users|·|weeks| instead of |events|."""
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("d0"))
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "d0",
+            F.expr("datediff(cast(ts as date), d0) div 7").alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(F.col("d0").alias("cohort_day"), "week_n")
+        .agg(F.count("*").alias("n_active"))
+    )
