@@ -1280,3 +1280,37 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.groupBy(F.col("d0").alias("cohort_day"), "week_n")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@register(
+    "event_transitions",
+    tags=("analytics", "W2"),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix of per-user event sequences (the
+    Markov-chain view of a clickstream; W2 sliding2Prev semantics —
+    lag over an ordered per-key sequence — applied to analytics).
+
+    One window shuffle on user_id (ties broken by event_id for a total
+    order), then a count on the tiny 5×5 transition grid with map-side
+    partial agg. At 100 TB the window partitions by a uniform key and
+    each partition sorts locally — no global sort."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
