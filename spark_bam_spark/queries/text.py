@@ -413,3 +413,46 @@ def word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "unigram_logprob_score",
+    tags=("text", "quality"),
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    total AS (SELECT SUM(c) AS t FROM freq),
+    scored AS (
+      SELECT tk.doc_id, -ln(CAST(f.c AS DOUBLE) / total.t) AS nll
+      FROM toks tk JOIN freq f USING (w), total
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(SUM(nll) / COUNT(*), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: each document's mean token negative
+    log-probability under the corpus's own unigram distribution — the
+    cheapest member of the perplexity-filter family (CCNet/Gopher use a
+    5-gram KenLM; the plumbing is identical: train on the corpus, score
+    per document, filter the tails as outliers).
+
+    Scale shape: the "language model" is just the token-frequency table —
+    tiny relative to the corpus, so it BROADCASTS and scoring is a
+    narrow map over the exploded tokens (one shuffle to build the freq
+    table, one to re-group per document; both keyed uniformly). Rounded
+    to absorb float-sum ordering wobble under AQE."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("c").cast("double") / F.col("t"))).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("nll") / F.count("*"), 6).alias("avg_nll"),
+    )
