@@ -1314,3 +1314,80 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "rolling_7d_user_spend",
+    tags=("window", "W1"),
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_7d
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def rolling_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row rolling 7-day spend via a RANGE window frame — the
+    event-time sliding aggregate the W-family row frames (lead/lag/
+    rows-between) can't express: the frame is bounded by TIME, not row
+    count, and ts-ties are frame peers in both engines (so no
+    tie-ordering nondeterminism by construction).
+
+    One shuffle on user_id, per-partition sort, streaming frame
+    evaluation; DECIMAL accumulation keeps the sliding sum exact and
+    engine-identical."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.selectExpr(
+        "user_id",
+        "event_id",
+        """CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_7d""",
+    )
+
+
+@register(
+    "fuzzy_join_levenshtein",
+    tags=("join", "dedup"),
+    oracle="""
+    WITH k AS (SELECT doc_id, substr(text, 1, 12) AS blk,
+                      substr(text, 1, 40) AS probe FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.probe, b.probe) AS dist
+    FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.probe, b.probe) <= 10
+    """,
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join on edit distance: candidate pairs share a
+    12-char prefix block (equi-join — the blocking step every scalable
+    fuzzy join needs; an unblocked levenshtein join is O(n²) DP over the
+    whole corpus), then the exact Levenshtein distance over a 40-char
+    probe verifies within the block. Same candidate-generation/verify
+    split as the MinHash-LSH pipeline, with edit distance instead of
+    Jaccard — the right tool for short strings (titles, names, URLs).
+
+    levenshtein() is the standard DP in both engines — identical
+    integer distances, JVM-side in Spark (no Python)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 12).alias("blk"),
+        F.substring("text", 1, 40).alias("probe"),
+    )
+    right = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("probe").alias("probe_b"),
+    )
+    return (
+        d.join(right, (F.col("blk") == F.col("blk_b")) & (F.col("doc_id") < F.col("doc_b")))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.levenshtein("probe", "probe_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 10)
+    )
