@@ -94,6 +94,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         streaming_batch,
         text,
+        tpch,
         udf_surface,
     )
 

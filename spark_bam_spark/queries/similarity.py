@@ -271,3 +271,77 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+N_QUERIES = 5  # vec_id 0..4 act as the query batch
+JOIN_K = 3
+
+
+@register(
+    "ann_join_topk_per_query",
+    tags=("similarity", "ann", "join"),
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    prods AS (
+      SELECT q.q_id, e.vec_id,
+             unnest(list_transform(e.embedding,
+                    (x, i) -> CAST(CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) AS DECIMAL(28,12)))) AS xy,
+             unnest(list_transform(e.embedding,
+                    (x, i) -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS xx,
+             unnest(list_transform(q.qv,
+                    (y, i) -> CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12)))) AS yy
+      FROM embeddings e, q
+      WHERE e.vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q_id, vec_id,
+             CAST(SUM(xy) AS DOUBLE) / (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cosine
+      FROM prods GROUP BY q_id, vec_id
+    )
+    SELECT q_id, vec_id, cosine, rnk FROM (
+      SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {JOIN_K}
+    ORDER BY q_id, rnk
+    """,
+)
+def ann_join_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-many similarity JOIN: top-k neighbors for a whole batch of
+    query vectors at once (the RAG / retrieval-training shape, vs the
+    single-query lookup of cosine_topk_bruteforce).
+
+    Scale shape: the query batch broadcasts (it is the small side by
+    construction); scoring is a narrow map over the corpus scan — one
+    row per (query, candidate) pair but never materialized wider than the
+    corpus partition; per-query top-k is a single window shuffle keyed by
+    q_id (bounded fan-out: k rows per query survive). At 100 TB the corpus
+    side stays partition-parallel and the only shuffle moves
+    |queries| x |corpus| scored pairs reduced map-side by rank pruning
+    under AQE; for larger query batches the same plan shards the batch."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    corpus = fan_out(emb.filter(F.col("vec_id") >= N_QUERIES))
+    j = corpus.crossJoin(F.broadcast(q))
+    prod = f"zip_with(embedding, qv, (x, y) -> cast(cast(x as double) * cast(y as double) as {_DEC}))"
+    sq = f"transform(embedding, x -> cast(cast(x as double) * cast(x as double) as {_DEC}))"
+    qsq = f"transform(qv, y -> cast(cast(y as double) * cast(y as double) as {_DEC}))"
+    scored = j.select(
+        "q_id",
+        "vec_id",
+        (
+            F.expr(_dec_array_sum(prod))
+            / (F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= JOIN_K)
+        .orderBy("q_id", "rnk")
+    )
