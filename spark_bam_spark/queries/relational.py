@@ -1391,3 +1391,214 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping + join-variant coverage (engine extensions beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_flag_counts",
+    tags=("reshape", "unpivot"),
+    oracle="""
+    WITH wide AS (
+      SELECT EXTRACT(month FROM l_shipdate) AS ship_month,
+             SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS flag_a,
+             SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS flag_n,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS flag_r
+      FROM lineitem GROUP BY ship_month
+    )
+    SELECT ship_month, flag, n FROM (
+      UNPIVOT wide ON flag_a, flag_n, flag_r INTO NAME flag VALUE n
+    )
+    ORDER BY ship_month, flag
+    """,
+)
+def unpivot_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide->long melt), the inverse of the pivot operators.
+
+    Zero-count cells survive the round trip (a plain long-form groupBy
+    would drop them) — that asymmetry is why melt is its own operator.
+    Scale shape: unpivot is a narrow per-row explode of a bounded column
+    list; the only shuffle is the upstream agg."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy(F.month("l_shipdate").cast("long").alias("ship_month")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("flag_a"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("flag_n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("flag_r"),
+    )
+    return (
+        wide.unpivot(
+            ids=["ship_month"],
+            values=["flag_a", "flag_n", "flag_r"],
+            variableColumnName="flag",
+            valueColumnName="n",
+        )
+        .orderBy("ship_month", "flag")
+    )
+
+
+@register(
+    "lateral_topk_customers",
+    tags=("join", "lateral", "topk"),
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) top2
+    ORDER BY n_name, c_acctbal DESC, c_custkey
+    """,
+)
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per-nation top-2 customers by balance.
+
+    Catalyst decorrelates the LATERAL limit into a window-group-limit over
+    one shuffle on the correlation key — same physical shape as
+    topk_per_group but declared in SQL, proving the rewrite."""
+    from spark_bam_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, c_custkey, c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) top2
+        ORDER BY n_name, c_acctbal DESC, c_custkey
+        """
+    )
+
+
+@register(
+    "null_safe_join_counts",
+    tags=("join", "nullsafe"),
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN value > 90 THEN NULL ELSE event_type END AS k, COUNT(*) AS n_a
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT CASE WHEN value < 10 THEN NULL ELSE event_type END AS k, COUNT(*) AS n_b
+      FROM events GROUP BY 1
+    )
+    SELECT a.k, n_a, n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.k NULLS FIRST
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics SQL equi-joins
+    silently drop. Still hash-joinable (NULL is an ordinary bucket), so
+    the plan is identical to a plain equi-join at any scale."""
+    ev = table(spark, sf_dir, "events")
+    a = (
+        ev.select(F.when(F.col("value") > 90, None).otherwise(F.col("event_type")).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        ev.select(F.when(F.col("value") < 10, None).otherwise(F.col("event_type")).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_b"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"].alias("k"), "n_a", "n_b")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+@register(
+    "numeric_bin_histogram",
+    tags=("agg", "histogram", "A8"),
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def numeric_bin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width numeric binning (profiling histogram; the numeric twin
+    of the reference's offset histograms, CheckBlocks.scala:125-152).
+    Bucketing is a row-local expression, so the only shuffle is the agg."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "grouping_sets_mixed",
+    tags=("agg", "groupingsets"),
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with mixed granularities + GROUPING()
+    markers (beyond the uniform cube/rollup already covered). One Expand
+    pass feeds a single hash agg — rows multiply by the number of sets,
+    not by a shuffle per set."""
+    from spark_bam_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+        """
+    )
+
+
+@register(
+    "bag_intersect_except",
+    tags=("setop", "E1", "E3"),
+    oracle="""
+    SELECT 'intersect_all' AS op, l_suppkey FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, l_suppkey FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    """,
+)
+def bag_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — multiplicity-
+    preserving versions of the reference's E1/E3 set diffs. Spark plans
+    both as a single aggregate of signed counts plus replicate — one
+    shuffle each, no join blow-up."""
+    li = table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    return (
+        r.intersectAll(a).select(F.lit("intersect_all").alias("op"), "l_suppkey")
+        .unionAll(r.exceptAll(a).select(F.lit("except_all").alias("op"), "l_suppkey"))
+    )

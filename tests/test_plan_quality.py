@@ -111,3 +111,44 @@ def test_rollup_is_single_expand_pass(spark, sf_small):
 def test_new_hot_paths_have_no_python_eval(spark, sf_small, name):
     plan = plan_of(REGISTRY[name].fn(spark, sf_small))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["tpch_q3_segment_topk", "tpch_q10_returned_items"])
+def test_tpch_topk_uses_take_ordered(spark, sf_small, name):
+    plan = plan_of(REGISTRY[name].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_small):
+    plan = plan_of(REGISTRY["tpch_q5_regional_volume"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q19_pushes_brand_disjunction_to_part_scan(spark, sf_small):
+    # Catalyst derives p_brand IN (...) from the OR-of-ANDs and pushes it
+    # into the part parquet scan
+    plan = plan_of(REGISTRY["tpch_q19_disjunctive_revenue"].fn(spark, sf_small))
+    pushed = [seg[:400] for seg in plan.split("PushedFilters")[1:]]
+    assert any("p_brand" in seg for seg in pushed)
+    assert any("l_quantity" in seg for seg in pushed)
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark, sf_small):
+    plan = plan_of(REGISTRY["lateral_topk_customers"].fn(spark, sf_small))
+    assert "WindowGroupLimit" in plan
+
+
+def test_grouping_sets_is_single_expand(spark, sf_small):
+    plan = plan_of(REGISTRY["grouping_sets_mixed"].fn(spark, sf_small))
+    assert plan.count("Expand") >= 1
+    # one Expand feeding one pair of partial/final aggs — not one agg per set
+    assert plan.count("Expand") <= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n in REGISTRY if n.startswith("tpch_")) + ["ann_join_topk_per_query"],
+)
+def test_tpch_suite_has_no_python_eval(spark, sf_small, name):
+    plan = plan_of(REGISTRY[name].fn(spark, sf_small))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
