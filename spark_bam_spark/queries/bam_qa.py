@@ -343,3 +343,46 @@ def compare_splits_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import qa
 
     return qa.compare_splits_stats(spark, _multi_fixture_paths(), split_size=16384)
+
+
+@register(
+    "bam_idxstats",
+    doc="idxstats: per-contig mapped/unmapped counts, BAM binary scan vs SAM text parse differential",
+)
+def bam_idxstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """samtools-idxstats-shaped per-contig summary computed TWICE through
+    independent code paths — the binary BAM DataSource scan and the
+    declarative SAM text parse (load_sam) — full-outer-joined with a
+    per-contig match bit. A mismatch in any count localizes a decode bug
+    to one path; the driver's rows-only check still pins the row count
+    (contigs + unplaced '*' row) and the match bits ride in the hash.
+
+    Scale shape: two narrow scans (flag+rname only; the BAM reader skips
+    seq/qual decode entirely), map-side partial aggs to <=4 rows each,
+    then a trivially small join. No wide columns ever cross a shuffle."""
+    from spark_bam_spark.bam.sam import load_sam
+
+    def per_contig(df: DataFrame, prefix: str) -> DataFrame:
+        unmapped = (F.col("flag").bitwiseAND(0x4) != 0).cast("int")
+        return (
+            df.select(F.coalesce(F.col("rname"), F.lit("*")).alias("rname"), unmapped.alias("u"))
+            .groupBy("rname")
+            .agg(
+                F.sum(1 - F.col("u")).cast("bigint").alias(f"{prefix}_mapped"),
+                F.sum("u").cast("bigint").alias(f"{prefix}_unmapped"),
+            )
+        )
+
+    bam = per_contig(_reads(spark, columns="rname,flag"), "bam")
+    sam = per_contig(load_sam(spark, _sam_fixture_path()), "sam")
+    return bam.join(sam, "rname", "full_outer").select(
+        "rname",
+        "bam_mapped",
+        "bam_unmapped",
+        "sam_mapped",
+        "sam_unmapped",
+        (
+            F.col("bam_mapped").eqNullSafe(F.col("sam_mapped"))
+            & F.col("bam_unmapped").eqNullSafe(F.col("sam_unmapped"))
+        ).alias("match"),
+    )

@@ -558,3 +558,124 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup.cast("double") / F.count("*")).alias("dup_fraction"),
         )
     )
+
+
+@register(
+    "boilerplate_segments",
+    tags=("dedup", "text"),
+    oracle="""
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 generate_series(1, greatest(CAST(ceil(len(w) / 4.0) AS INT), 0)),
+                 i -> array_to_string(w[(i-1)*4+1:(i-1)*4+4], ' '))) AS seg
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+    SELECT s.doc_id,
+           COUNT(*) AS n_segments,
+           SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_boiler,
+           ROUND(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS boiler_frac
+    FROM segs s JOIN freq f USING (seg)
+    GROUP BY s.doc_id
+    HAVING SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate detection: cut each document into
+    non-overlapping 4-word segments (the punctuation-free stand-in for
+    sentences), count each segment's cross-document frequency, and score
+    every document by the fraction of its segments that are boilerplate
+    (appear in >= 2 distinct docs). This is the line-level dedup pass of
+    the C4/CCNet family of pipelines (remove nav bars / cookie banners
+    that repeat across pages) re-expressed relationally.
+
+    Scale shape: explode -> distinct-doc count per segment (map-side
+    partial agg on a uniform text key) -> hash join back on the same key
+    -> per-doc agg. Both shuffles key on the segment hash (uniform; the
+    df>=2 tail is tiny) — nothing quadratic, no driver state. At 100 TB
+    the freq table would be md5(seg)-keyed; text keys keep the oracle
+    engine-identical here."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    # inline transform in the explode (InferFiltersFromGenerate trap —
+    # see _shingles)
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(cast(ceil(size(w) / 4.0) as int), 0)),"
+                " i -> array_join(slice(w, (i-1)*4 + 1, 4), ' '))"
+            )
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("df"))
+    boiler = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            boiler.cast("bigint").alias("n_boiler"),
+            F.round(boiler.cast("double") / F.count("*"), 6).alias("boiler_frac"),
+        )
+        .filter(F.col("n_boiler") > 0)
+    )
+
+
+@register(
+    "ngram_containment",
+    tags=("dedup",),
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.6
+    """,
+)
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment scoring C(A,B) = |A∩B| / min(|A|,|B|) on 3-gram shingle
+    sets — the asymmetric companion to Jaccard that catches SUBSET
+    duplication (a short doc embedded verbatim inside a long one scores
+    ~1.0 here but low on Jaccard, because the union is dominated by the
+    long doc). This is the measure suffix-array substring dedup
+    approximates; see dup_ngram_coverage for the positional variant.
+
+    Scale shape: identical to dedup_ngram_jaccard — one shuffle of the
+    shingle stream (bucket-and-enumerate posting lists, never a shingle
+    self-join), pair counts on a uniform composite key, then two
+    broadcast probes of the tiny per-doc size table. Threshold applied
+    before projection so the pair stream never widens."""
+    sh = _shingles(table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"
+    )
+    common = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.alias("sa"))
+    sb = F.broadcast(sizes.alias("sb"))
+    cont = F.col("n_common").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(cont >= 0.6)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )

@@ -194,3 +194,27 @@ def stateful_topk_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("user_id", F.col("rn").cast("int").alias("rank"), "value", "event_id")
     )
+
+
+@register(
+    "stream_static_enrich",
+    tags=("streaming", "join"),
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.static_enrich: events enriched against the
+    static customer dimension (broadcast hash join — the dim is tiny next
+    to the fact stream) and aggregated per market segment. DECIMAL
+    accumulation keeps the sum exact and order-independent across both
+    engines and both execution modes (micro-batch vs batch)."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    from spark_bam_spark.streaming import static_enrich
+
+    return static_enrich(ev, cust)

@@ -140,6 +140,28 @@ def click_purchase_join(events: DataFrame, horizon: str = "1 hour", watermark: s
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
 
 
+def static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + keyed aggregation: each streaming
+    event is joined to a STATIC dimension (broadcast — the dim is read
+    once per micro-batch, never stateful) and aggregated per segment.
+
+    Versus the stream-stream join (click_purchase_join), no watermark is
+    required for the join itself: the static side is complete by
+    definition, so the engine holds no join state. The downstream keyed
+    agg is the only stateful operator (update-mode totals per segment) —
+    exactly how a 100 TB ingest enriches events against slowly-changing
+    dims without unbounded state."""
+    d = F.broadcast(dim.select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")))
+    return (
+        events.join(d, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
 def run_to_parquet(
     stream_df: DataFrame,
     out_dir: str,

@@ -236,3 +236,12 @@ class TestCompareSplitsMulti:
         assert row.total_eager_splits == row.total_both == row.total_upstream_splits
         assert row.total_eager_only == 0 and row.total_upstream_only == 0
         assert row.ratio_min <= row.ratio_median <= row.ratio_max
+
+
+def test_idxstats_bam_sam_agree(spark, sf_small):
+    from spark_bam_spark.queries import load_all
+
+    rows = load_all()["bam_idxstats"].fn(spark, sf_small).collect()
+    assert len(rows) == 4  # contigs 1,2,3 + unplaced '*'
+    assert all(r["match"] for r in rows)
+    assert sum(r["bam_mapped"] + r["bam_unmapped"] for r in rows) == 2500

@@ -132,3 +132,14 @@ def test_stateful_topk_processor_logic():
     # truncation keeps per-key state O(k)
     out3 = _topk_fold(out2, [pd.DataFrame({"value": [9.9], "event_id": [99]})], 3)
     assert out3 == [(9.9, 99), (5.0, 2), (5.0, 10)]
+
+
+def test_static_enrich_matches_batch(spark, sf_small, events_stream):
+    from spark_bam_spark.tables import table
+
+    dim = table(spark, sf_small, "customer")
+    out = st.run_to_memory(st.static_enrich(events_stream, dim), "static_enrich_out", "complete")
+    batch = load_all()["stream_static_enrich"].fn(spark, sf_small)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
