@@ -985,10 +985,14 @@ def overlap_pairs_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     BIN = 3_600_000_000  # one hour in µs
     ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # ts may surface as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+    # unix_micros needs LTZ — the cast is exact under the pinned UTC session
+    # timezone and matches DuckDB's epoch_us over its naive TIMESTAMP.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     iv = ev.select(
         "event_id",
-        F.unix_micros("ts").alias("s"),
-        (F.unix_micros("ts") + F.floor(F.col("value") * 1000000.0).cast("long")).alias("e"),
+        ts_us.alias("s"),
+        (ts_us + F.floor(F.col("value") * 1000000.0).cast("long")).alias("e"),
     )
     binned = iv.select(
         "event_id", "s", "e",
