@@ -44,6 +44,10 @@ def ensure_session_ready(spark: SparkSession) -> None:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.python.filterPushdown.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # Pin the unqualified `timestamp` type to LTZ so casts used for
+        # epoch arithmetic (unix_micros) resolve the same way regardless
+        # of host-session conf; NTZ→LTZ is exact under the UTC timezone.
+        ("spark.sql.timestampType", "TIMESTAMP_LTZ"),
         ("spark.sql.adaptive.enabled", "true"),
     ):
         try:

@@ -574,7 +574,7 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
     SELECT s.doc_id,
            COUNT(*) AS n_segments,
-           SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_boiler,
+           CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
            ROUND(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS boiler_frac
     FROM segs s JOIN freq f USING (seg)

@@ -39,18 +39,18 @@ _TELEPORT = 150_000_000  # (1 - d) with d = 0.85
     deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
     r0 AS (SELECT src AS node, CAST({_ONE} AS BIGINT) AS r FROM deg),
     c1 AS (
-      SELECT e.dst AS node, SUM(r0.r // g.d) AS m
+      SELECT e.dst AS node, CAST(SUM(r0.r // g.d) AS BIGINT) AS m
       FROM edges e JOIN r0 ON e.src = r0.node JOIN deg g ON g.src = e.src
       GROUP BY e.dst
     ),
     r1 AS (SELECT node, {_TELEPORT} + ((85 * m) // 100) AS r FROM c1),
     c2 AS (
-      SELECT e.dst AS node, SUM(r1.r // g.d) AS m
+      SELECT e.dst AS node, CAST(SUM(r1.r // g.d) AS BIGINT) AS m
       FROM edges e JOIN r1 ON e.src = r1.node JOIN deg g ON g.src = e.src
       GROUP BY e.dst
     ),
     r2 AS (SELECT node, {_TELEPORT} + ((85 * m) // 100) AS r FROM c2)
-    SELECT node, r AS rank_fp FROM r2 ORDER BY r DESC, node LIMIT 20
+    SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2 ORDER BY r DESC, node LIMIT 20
     """,
 )
 def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -988,7 +988,7 @@ def overlap_pairs_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ts may surface as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
     # unix_micros needs LTZ — the cast is exact under the pinned UTC session
     # timezone and matches DuckDB's epoch_us over its naive TIMESTAMP.
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     iv = ev.select(
         "event_id",
         ts_us.alias("s"),
@@ -1408,9 +1408,9 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
       SELECT EXTRACT(month FROM l_shipdate) AS ship_month,
-             SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS flag_a,
-             SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS flag_n,
-             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS flag_r
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS flag_a,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS flag_n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS flag_r
       FROM lineitem GROUP BY ship_month
     )
     SELECT ship_month, flag, n FROM (

@@ -91,33 +91,38 @@ def window_sliding_6h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_sec
     FROM sess GROUP BY user_id, session_id
     """,
 )
 def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap>30min starts a session (lag + cumsum) — the
     batch equivalent of `session_window(ts, '30 minutes')`; one shuffle
-    on user_id, windows computed per key."""
+    on user_id, windows computed per key.  Gap arithmetic runs on µs
+    epochs (unix_micros over an explicit LTZ cast) so it works whether
+    the parquet ts surfaces as TIMESTAMP, TIMESTAMP_NTZ, or — via
+    tables.py's nanos branch — an already-converted timestamp."""
     ev = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    gap_us = ts_us - F.lag(ts_us).over(w)
     flagged = ev.select(
         "user_id",
         "ts",
+        ts_us.alias("ts_us"),
         "event_id",
-        F.when(gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1).otherwise(0).alias("is_new"),
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0).alias("is_new"),
     )
     cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
     sess = flagged.withColumn("session_id", F.sum("is_new").over(cum))
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).cast("bigint").alias("duration_sec"),
+        ((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000)).cast("bigint").alias("duration_sec"),
     )
 
 

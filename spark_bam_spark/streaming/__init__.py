@@ -11,18 +11,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_RAW_DDL = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (nanos ts → timestamp)."""
+    """File-source stream of the events table.
+
+    The stream schema is inferred from a batch read of the same file, so
+    the ts column is handled identically to ``tables.table``: nanosecond
+    BIGINT layouts (legacy nanosAsLong) are converted ns→µs, while native
+    TIMESTAMP / TIMESTAMP_NTZ parquet columns get an explicit LTZ cast
+    (exact under the pinned UTC session timezone)."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_DDL)
+        spark.readStream.schema(batch_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
