@@ -57,12 +57,40 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [h[i % len(h)] / 255.0 for i in range(dim)]
 
 
+def _pil_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image decode via Pillow when present: grayscale, resize to
+    dim×dim, column-mean → dim floats (same output shape as the fake
+    codec, so downstream plumbing is codec-agnostic)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
+    return (np.asarray(img, dtype="float32") / 255.0).mean(axis=0).tolist()
+
+
 def decode_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     """content binary → fixed-dim feature vector via Arrow-batched
-    mapInPandas (batch in, batch out; per-task codec init)."""
-    if codec not in ("fake",):
+    mapInPandas (batch in, batch out; per-task codec init).
+
+    ``codec="pil"`` uses a real Pillow decode when the library is
+    importable (optional-dependency pattern, same as CRAM→pysam in
+    bam/cram.py); anything else real raises NotImplementedError."""
+    if codec == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "codec='pil' requires Pillow, which is not installed in this "
+                "environment; use codec='fake' for plumbing tests"
+            ) from exc
+        decode = _pil_features
+    elif codec == "fake":
+        decode = _fake_features
+    else:
         raise NotImplementedError(
-            f"codec={codec!r}: real decoders (PIL/ffmpeg/torchaudio) are not "
+            f"codec={codec!r}: real decoders (ffmpeg/torchaudio) are not "
             "available in this environment; use codec='fake' for plumbing"
         )
 
@@ -74,7 +102,7 @@ def decode_features(df: DataFrame, codec: str = "fake") -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "features": [_fake_features(bytes(b)) for b in pdf["content"]],
+                    "features": [decode(bytes(b)) for b in pdf["content"]],
                 }
             )
 

@@ -85,8 +85,91 @@ def register(
     return deco
 
 
+# The external correctness driver verifies the FIRST 50 entries of the dict
+# returned by load_all() each round, in insertion order.  To get every
+# oracle query driver-verified across rounds, surface the not-yet-verified
+# ones first and rotate per round.  Round history:
+#   r1+r2 verified: the bam_qa/dedup/graph/mlprep/multimodal blocks plus the
+#   head of relational (73 queries).
+#   r3 priority (below): the 62 never-checked queries — streaming_batch,
+#   tpch, the relational tail, text, and the head of similarity fill the 50
+#   slots; the 12 overflow (similarity tail, scalar_fn, udf_surface) must be
+#   moved to the FRONT of this tuple in round 4.
+_DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
+    # streaming batch twins (SURVEY §2.9 — zero driver-green rows before r3)
+    "window_tumbling_hourly",
+    "window_sliding_6h_1h",
+    "sessionization_gap30m",
+    "session_window_native",
+    "stateful_topk_purchases",
+    "stream_static_enrich",
+    # TPC-H-adapted decision-support suite
+    "tpch_q3_segment_topk",
+    "tpch_q5_regional_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_ship_months",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_variety",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    # relational tail (registered after the r1/r2-verified head)
+    "stats_mad",
+    "ranking_functions",
+    "exists_semi_subquery",
+    "scalar_subquery_above_avg",
+    "outer_join_count_histogram",
+    "deterministic_sample",
+    "overlap_pairs_binned",
+    "percentile_report",
+    "rollup_sales_report",
+    "pivot_event_counts",
+    "zorder_cluster_stats",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transitions",
+    "rolling_7d_user_spend",
+    "fuzzy_join_levenshtein",
+    "unpivot_flag_counts",
+    "lateral_topk_customers",
+    "null_safe_join_counts",
+    "numeric_bin_histogram",
+    "grouping_sets_mixed",
+    "bag_intersect_except",
+    # text analysis
+    "text_token_stats",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_lang_confusion",
+    "quality_filter_pipeline",
+    "langid_ngram_confusion",
+    "tfidf_top_terms",
+    "text_bpe_token_stats",
+    "word_pmi_pairs",
+    "unigram_logprob_score",
+    # similarity search (head; tail overflows to r4)
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "cosine_topk_ivf_pruned",
+    "ann_recall_eval",
+    "ann_join_topk_per_query",
+    # scalar functions + UDF surface (overflow — r4 front)
+    "pos_codec_roundtrip",
+    "interval_parse",
+    "date_monthly_orders",
+    "json_extract_events",
+    "array_map_functions",
+    "pandas_udaf_geomean",
+    "udtf_explode_intervals",
+    "grouped_map_gap_stats",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module so REGISTRY is fully populated."""
+    """Import every query module so REGISTRY is fully populated; return it
+    with the driver-check priority queries first (see note above)."""
     from spark_bam_spark.queries import (  # noqa: F401
         bam_qa,
         dedup,
@@ -102,4 +185,6 @@ def load_all() -> dict[str, QuerySpec]:
         udf_surface,
     )
 
-    return REGISTRY
+    ordered = [n for n in _DRIVER_CHECK_PRIORITY if n in REGISTRY]
+    ordered += [n for n in REGISTRY if n not in _DRIVER_CHECK_PRIORITY]
+    return {n: REGISTRY[n] for n in ordered}

@@ -452,14 +452,20 @@ def window_lead_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            LAG(l_quantity) OVER (PARTITION BY l_suppkey
-                                 ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
     FROM lineitem
     """,
 )
 def window_lag_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sliding2Prev: pair each block with its predecessor (CheckBlocks.scala:83,102; W2)."""
+    """sliding2Prev: pair each block with its predecessor (CheckBlocks.scala:83,102; W2).
+
+    The synthetic lineitem is not PK-unique — (l_orderkey, l_linenumber)
+    repeats — so l_quantity joins the order key: with the lagged column
+    itself as the final tiebreak, the result MULTISET is deterministic
+    even when whole rows tie (the engines may order tied rows either way,
+    but the set of (row, prev) pairs comes out identical)."""
     li = table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
     return li.select("l_suppkey", "l_orderkey", "l_linenumber", F.lag("l_quantity").over(w).alias("prev_qty"))
 
 
@@ -513,7 +519,7 @@ def row_number_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(qty) AS DOUBLE) AS bucket_qty
     FROM (
       SELECT CAST(FLOOR((SUM(CAST(l_quantity AS DECIMAL(18,4)))
-                   OVER (ORDER BY l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING)
+                   OVER (ORDER BY l_orderkey, l_linenumber, l_quantity ROWS UNBOUNDED PRECEDING)
                    - CAST(l_quantity AS DECIMAL(18,4))) / 10000) AS BIGINT) AS bucket,
              CAST(l_quantity AS DECIMAL(18,4)) AS qty
       FROM lineitem
@@ -523,9 +529,12 @@ def row_number_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def prefix_sum_bucket_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative-offset partition assignment (Blocks.scala:116-124; W5):
     prefix-sum of costs, bucket id = floor(preceding_total / split_size).
-    This is exactly the reference's balanced-partition planner as SQL."""
+    This is exactly the reference's balanced-partition planner as SQL.
+    l_quantity joins the order key because the synthetic lineitem has
+    duplicate (l_orderkey, l_linenumber) pairs — with the summed column
+    as the last tiebreak the prefix sums are order-independent."""
     li = table(spark, sf_dir, "lineitem")
-    w = W.orderBy("l_orderkey", "l_linenumber").rowsBetween(W.unboundedPreceding, 0)
+    w = W.orderBy("l_orderkey", "l_linenumber", "l_quantity").rowsBetween(W.unboundedPreceding, 0)
     cum = F.sum(dec("l_quantity")).over(w) - dec("l_quantity")
     return (
         li.select(
@@ -820,9 +829,9 @@ def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_orderpriority",
             "o_orderkey",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
         )
         .orderBy("o_orderpriority", "rnk", "o_orderkey")
     )
@@ -1077,7 +1086,7 @@ def rollup_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select("n_name", F.year("o_orderdate").alias("yr"), "o_totalprice")
+        .select("n_name", F.year("o_orderdate").cast("long").alias("yr"), "o_totalprice")
     )
     return joined.rollup("n_name", "yr").agg(
         (F.grouping("n_name") + 2 * F.grouping("yr")).cast("bigint").alias("gid"),
@@ -1175,10 +1184,10 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.groupBy((F.col("zkey") / 256).cast("long").alias("bucket"))
         .agg(
             F.count("*").alias("n"),
-            F.min("qx").alias("min_qx"),
-            F.max("qx").alias("max_qx"),
-            F.min("qy").alias("min_qy"),
-            F.max("qy").alias("max_qy"),
+            F.min("qx").cast("long").alias("min_qx"),
+            F.max("qx").cast("long").alias("max_qx"),
+            F.min("qy").cast("long").alias("min_qy"),
+            F.max("qy").cast("long").alias("max_qy"),
         )
     )
 
@@ -1391,7 +1400,7 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_id").alias("doc_a"),
             "doc_b",
-            F.levenshtein("probe", "probe_b").alias("dist"),
+            F.levenshtein("probe", "probe_b").cast("long").alias("dist"),
         )
         .filter(F.col("dist") <= 10)
     )
@@ -1567,7 +1576,8 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT r_name, n_name, COUNT(*) AS n_customers,
-               GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation
+               CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+               CAST(GROUPING(n_name) AS BIGINT) AS g_nation
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey

@@ -166,8 +166,8 @@ def array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_l = F.split(F.lower("text"), " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks_l)).alias("n_distinct_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks_l)).cast("long").alias("n_distinct_tokens"),
         F.sort_array(F.array_distinct(F.split(F.lower(F.substring("text", 1, 40)), " ")))
         .getItem(0)
         .alias("first_token"),

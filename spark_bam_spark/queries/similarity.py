@@ -341,7 +341,7 @@ def ann_join_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= JOIN_K)
         .orderBy("q_id", "rnk")
     )

@@ -65,7 +65,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     nstop = F.expr(f"size(filter(split(lower(text), ' '), x -> x IN ({sw})))")
     return d.select(
         "doc_id",
-        ntok.alias("n_tokens"),
+        ntok.cast("long").alias("n_tokens"),
         (F.col("n_chars").cast("double") / ntok).alias("avg_token_len"),
         (nstop.cast("double") / ntok).alias("stopword_ratio"),
     )

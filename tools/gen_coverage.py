@@ -1,0 +1,99 @@
+"""Regenerate the machine-generated registry snapshot in COVERAGE.md.
+
+The hand-written top half of COVERAGE.md maps SURVEY §2 operator IDs to
+implementations; this script maintains the section between the GENERATED
+markers from the live registry so coverage claims stay machine-checkable
+as the registry grows (one row per registered query: verification mode,
+tags, driver-check rounds).
+
+Usage: python tools/gen_coverage.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BEGIN = "<!-- BEGIN GENERATED REGISTRY SNAPSHOT (tools/gen_coverage.py) -->"
+END = "<!-- END GENERATED REGISTRY SNAPSHOT -->"
+
+
+def module_of(name: str) -> str:
+    import inspect
+
+    from spark_bam_spark import queries as qpkg
+
+    for modname in (
+        "bam_qa", "dedup", "graph", "mlprep", "multimodal_q", "relational",
+        "scalar_fn", "similarity", "streaming_batch", "text", "tpch", "udf_surface",
+    ):
+        mod = __import__(f"{qpkg.__name__}.{modname}", fromlist=["x"])
+        if f'"{name}"' in inspect.getsource(mod):
+            return modname
+    return "?"
+
+
+def driver_rounds(name: str) -> str:
+    out = []
+    for path in sorted(os.listdir(REPO)):
+        if path.startswith("CORRECTNESS_r") and path.endswith(".json"):
+            rec = json.load(open(os.path.join(REPO, path))).get(name)
+            if rec is None:
+                continue
+            rnd = path[len("CORRECTNESS_"):-len(".json")]
+            if rec.get("hash_match"):
+                out.append(f"{rnd}:hash")
+            elif rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
+                out.append(f"{rnd}:rows")
+            elif rec.get("hash_match") is False:
+                out.append(f"{rnd}:FAIL")
+            else:
+                out.append(f"{rnd}:?")
+    return " ".join(out) or "—"
+
+
+def main() -> None:
+    from spark_bam_spark.queries import load_all
+
+    reg = load_all()
+    lines = [
+        BEGIN,
+        "",
+        "## Registry snapshot (generated — do not edit by hand)",
+        "",
+        f"{len(reg)} registered queries, "
+        f"{sum(1 for s in reg.values() if s.oracle)} with DuckDB oracle SQL, "
+        f"{sum(1 for s in reg.values() if s.headline)} headline (benched). "
+        "Driver column: rounds in which the external driver verified the query "
+        "(`hash` = full row/schema/value-hash oracle match, `rows` = rows-only).",
+        "",
+        "| # | Query | Module | Oracle | Headline | Tags | Driver-checked |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for i, (name, spec) in enumerate(reg.items(), 1):
+        lines.append(
+            f"| {i} | `{name}` | {module_of(name)} | "
+            f"{'SQL' if spec.oracle else 'rows-only'} | "
+            f"{'yes' if spec.headline else ''} | "
+            f"{' '.join(spec.tags)} | {driver_rounds(name)} |"
+        )
+    lines += ["", END]
+
+    path = os.path.join(REPO, "COVERAGE.md")
+    doc = open(path).read()
+    if BEGIN in doc:
+        head = doc.split(BEGIN)[0].rstrip()
+        tail = doc.split(END, 1)[1].lstrip("\n") if END in doc else ""
+    else:
+        head, tail = doc.rstrip(), ""
+    out = head + "\n\n" + "\n".join(lines) + ("\n" + tail if tail else "\n")
+    open(path, "w").write(out)
+    print(f"COVERAGE.md: snapshot of {len(reg)} queries written")
+
+
+if __name__ == "__main__":
+    main()
