@@ -172,6 +172,7 @@ def load_all() -> dict[str, QuerySpec]:
     with the driver-check priority queries first (see note above)."""
     from spark_bam_spark.queries import (  # noqa: F401
         bam_qa,
+        datapipe,
         dedup,
         graph,
         mlprep,

@@ -1,0 +1,244 @@
+"""Training-data-pipeline operators, part 2 (engine extension): PII
+redaction, learned-classifier quality scoring, per-source caps, and
+DataSketches-based one-pass distribution/cardinality estimation.
+
+All verification-sensitive arithmetic is integer-valued or
+rank-validated so the DuckDB oracle matches bit-for-bit:
+
+- the linear classifier uses integer token weights (order-independent
+  integer sums, divided once at the end);
+- sketch queries (KLL quantiles, HLL distinct counts) cannot be
+  reproduced by DuckDB, so the oracle checks the *accuracy contract*
+  instead: the Spark side computes the sketch estimate AND its true
+  rank/exact value in-frame and emits a boolean `ok`; the oracle emits
+  the exact values with `ok = true`.  A sketch outside its published
+  error bound hash-mismatches — a meaningful differential check.
+
+At 100 TB: sketches are the headline here — KLL/HLL are mergeable
+monoids, so per-partition partial aggregation does almost all the work
+map-side and the shuffle carries kilobyte sketches, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_bam_spark.queries import register
+from spark_bam_spark.tables import table
+
+# Injected-PII construction: the synthetic corpus is clean word soup, so
+# the query plants deterministic PII (email every 7th doc, phone every
+# 11th) before detecting it — detector correctness is what's under test,
+# and both engines plant identically.
+_EMAIL_RE = r"[a-z0-9.]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"\d{3}-\d{4}"
+
+
+@register(
+    "pii_redact_stats",
+    tags=("text", "pii"),
+    oracle=rf"""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' u' || CAST(doc_id AS VARCHAR) || '@mail.com' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phone,
+           CAST(length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM planted
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+    """,
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone numbers) as pure JVM
+    regexp expressions — narrow per-row map, no shuffle, the standard
+    pre-training scrub pass."""
+    d = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" u"), F.col("doc_id").cast("string"), F.lit("@mail.com"))).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit(" 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+    )
+    planted = d.select("doc_id", t.alias("t")).filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0))
+    email, phone = _EMAIL_RE.replace("\\", "\\\\"), _PHONE_RE.replace("\\", "\\\\")
+    return planted.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(t, '{email}', 0)")).cast("long").alias("n_email"),
+        F.size(F.expr(f"regexp_extract_all(t, '{phone}', 0)")).cast("long").alias("n_phone"),
+        F.length(
+            F.regexp_replace(F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>")
+        ).cast("long").alias("redacted_len"),
+    )
+
+
+# Integer token weight: (ascii(tok)*31 + length(tok)*7) % 101 in [0, 100].
+# Integer sums are order-independent, so Spark and DuckDB agree exactly
+# regardless of evaluation order; one float division at the end.
+_W_SPARK = "aggregate(filter(split(text, ' '), x -> length(x) > 0), 0L, (acc, x) -> acc + (ascii(x)*31 + length(x)*7) % 101)"
+_N_SPARK = "size(filter(split(text, ' '), x -> length(x) > 0))"
+
+
+@register(
+    "classifier_linear_score",
+    tags=("text", "mlprep", "classifier"),
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             list_aggregate(list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0),
+                                           x -> (ascii(x)*31 + length(x)*7) % 101), 'sum') AS raw,
+             len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_tok
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(raw) AS BIGINT) AS raw_total,
+           ROUND(AVG(CAST(raw AS DOUBLE) / (101.0 * n_tok)), 6) AS mean_score
+    FROM scored GROUP BY lang
+    """,
+)
+def classifier_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring with a (stand-in) learned linear classifier:
+    hash each token to an integer weight, score = mean weight / 101.
+    The shape is what matters at scale — per-row JVM lambda over the
+    token array (no UDF, no shuffle), one hash-agg by language.  A real
+    deployment swaps the weight expression for a broadcast weight table
+    lookup; the plumbing is identical."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        F.expr(_W_SPARK).alias("raw"),
+        F.expr(_N_SPARK).alias("n_tok"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("raw").cast("bigint").alias("raw_total"),
+        F.round(F.avg(F.col("raw").cast("double") / (101.0 * F.col("n_tok"))), 6).alias("mean_score"),
+    )
+
+
+_SOURCE_CAP = 1000
+
+
+@register(
+    "source_cap_filter",
+    tags=("mlprep", "sample"),
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {_SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY source
+    """,
+)
+def source_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the CommonCrawl per-domain cap pattern):
+    keep the first N docs per source by doc_id, report kept counts.  One
+    shuffle on source; at 100 TB the cap would ride the same shuffle as
+    any per-domain aggregation.  doc_id is unique so the ranking is
+    total (deterministic)."""
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    ranked = d.select("source", F.row_number().over(w).alias("rn"))
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rn") <= _SOURCE_CAP, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+# KLL normalized rank error for the default k=200 is ~1.65%; allow 3%.
+_KLL_RANK_TOL = 0.03
+
+
+@register(
+    "sketch_doclen_quantiles",
+    tags=("mlprep", "sketch"),
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM documents GROUP BY source
+    """,
+)
+def sketch_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length quantiles via KLL sketch (one-pass,
+    mergeable — the 100 TB way to get distribution stats), validated
+    in-frame: the true rank of each sketch-estimated quantile must be
+    within the sketch's published error bound.  The oracle pins the
+    booleans TRUE, so a sketch breaking its contract fails the hash."""
+    d = table(spark, sf_dir, "documents")
+    sk = d.groupBy("source").agg(F.kll_sketch_agg_bigint("n_chars").alias("sk"))
+    est = sk.select(
+        "source",
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.9)).alias("p90_est"),
+    )
+    joined = d.join(F.broadcast(est), "source")
+    ranked = joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg((F.col("n_chars") <= F.col("p50_est")).cast("double")).alias("rank50"),
+        F.avg((F.col("n_chars") <= F.col("p90_est")).cast("double")).alias("rank90"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        (F.abs(F.col("rank50") - 0.5) <= _KLL_RANK_TOL).alias("p50_ok"),
+        (F.abs(F.col("rank90") - 0.9) <= _KLL_RANK_TOL).alias("p90_ok"),
+    )
+
+
+@register(
+    "sketch_distinct_users_daily",
+    tags=("sketch", "agg"),
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS n_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS day, COUNT(DISTINCT user_id) AS n_users, TRUE AS hll_ok
+    FROM events
+    """,
+)
+def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users: exact count paired with an HLL sketch
+    estimate validated to ±5% in-frame, plus an 'ALL' row whose estimate
+    comes from MERGING the daily sketches (hll_union_agg) — proving the
+    monoid property a 1000-executor rollup relies on (estimate once,
+    re-aggregate at any granularity without rescanning)."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    daily = ev.groupBy(day).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    tol = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= F.greatest(F.lit(1), (0.05 * exact).cast("long"))
+    )
+    per_day = daily.select(
+        "day", "n_users", tol(F.hll_sketch_estimate("sk"), F.col("n_users")).alias("hll_ok")
+    )
+    merged = daily.agg(
+        F.sum("n_users").alias("_ignore"),
+        F.hll_union_agg("sk").alias("sk_all"),
+    )
+    exact_all = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    all_row = merged.crossJoin(exact_all).select(
+        F.lit("ALL").alias("day"),
+        "n_users",
+        tol(F.hll_sketch_estimate("sk_all"), F.col("n_users")).alias("hll_ok"),
+    )
+    return per_day.unionByName(all_row)

@@ -152,3 +152,29 @@ def test_grouping_sets_is_single_expand(spark, sf_small):
 def test_tpch_suite_has_no_python_eval(spark, sf_small, name):
     plan = plan_of(REGISTRY[name].fn(spark, sf_small))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- datapipe (PII / classifier / caps / sketches) ---------------------------
+
+
+def test_pii_redact_is_narrow_jvm_map(spark, sf_small):
+    # pure per-row regexp work: no shuffle, no Python evaluation
+    plan = plan_of(REGISTRY["pii_redact_stats"].fn(spark, sf_small))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_classifier_score_single_shuffle_partial_agg(spark, sf_small):
+    plan = plan_of(REGISTRY["classifier_linear_score"].fn(spark, sf_small))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-side partial aggregation before the shuffle
+    assert "partial" in plan.lower()
+
+
+def test_sketch_quantiles_broadcasts_estimates(spark, sf_small):
+    # the per-source estimate row (tiny) must broadcast back to documents,
+    # not shuffle the fact table
+    plan = plan_of(REGISTRY["sketch_doclen_quantiles"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
