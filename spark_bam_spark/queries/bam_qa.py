@@ -3,9 +3,16 @@
 These exercise the BAM DataSource and the §2.11 QA pipelines. They run on
 a deterministic fixture generated once under /tmp (the sf tables are
 relational; BAM is a file format — the fixture generator IS the engine's
-writer, so this is also a write-path test). No oracle SQL: DuckDB cannot
-read BAM, so the driver records rows-only checks; exact-value coverage
-lives in tests/test_qa_pipelines.py against sidecar ground truth.
+writer, so this is also a write-path test).
+
+DuckDB cannot read BAM, but the scan-shaped queries still carry oracle
+SQL: it reads the COMMITTED ground-truth parquet dumps
+(tests/fixtures/qa2500_*.parquet, built by tools/gen_bam_truth.py
+straight from the record generator, with cigar/end_pos/rname rendering
+implemented independently of the decoder) — so the driver hash verifies
+the full generator → writer → BGZF → decode path end-to-end. Pipelines
+whose output has no truth dump stay rows-only, with exact-value coverage
+in tests/test_qa_pipelines.py against the sidecar ground truth.
 """
 
 from __future__ import annotations
@@ -67,12 +74,27 @@ def _reads(spark: SparkSession, split_size: int = 65536, columns: str | None = N
     return df
 
 
-@register("bam_scan_reads", doc="S3 loadBam: splittable parallel BAM scan", headline=True)
+@register(
+    "bam_scan_reads",
+    doc="S3 loadBam: splittable parallel BAM scan",
+    headline=True,
+    oracle="""
+    SELECT qname, flag, rname, pos, mapq, cigar, block_pos, "offset" AS offset
+    FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet')
+    """,
+)
 def bam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _reads(spark, columns="qname,flag,rname,pos,mapq,cigar,block_pos,offset")
 
 
-@register("bam_interval_pushdown", doc="S7 loadBamIntervals: indexed interval scan via zone-map pushdown")
+@register(
+    "bam_interval_pushdown",
+    doc="S7 loadBamIntervals: indexed interval scan via zone-map pushdown",
+    oracle="""
+    SELECT qname, rname, pos, end_pos FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet')
+    WHERE rname = '1' AND pos >= 13000 AND pos < 1000000
+    """,
+)
 def bam_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _reads(spark, split_size=16384, columns="qname,rname,pos,end_pos")
@@ -80,7 +102,11 @@ def bam_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bam_blocks_metadata", doc="S9 Blocks(): parallel BGZF block discovery")
+@register(
+    "bam_blocks_metadata",
+    doc="S9 Blocks(): parallel BGZF block discovery",
+    oracle="SELECT start, compressed_size, uncompressed_size FROM read_parquet('/root/repo/tests/fixtures/qa2500_blocks.parquet')",
+)
 def bam_blocks_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators.qa import _blocks_df
 
@@ -112,7 +138,14 @@ def bam_check_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa.block_first_reads(spark, _fixture_path())
 
 
-@register("sam_scan_reads", doc="S2 loadSam: declarative SAM text parse (no Python UDF)")
+@register(
+    "sam_scan_reads",
+    doc="S2 loadSam: declarative SAM text parse (no Python UDF)",
+    oracle="""
+    SELECT qname, flag, rname, pos, end_pos, mapq, cigar, tlen
+    FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet')
+    """,
+)
 def sam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.bam.sam import load_sam
 
@@ -129,7 +162,16 @@ def bam_full_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa.flags_histogram(spark, _fixture_path())
 
 
-@register("bam_count_reads", doc="count-reads: scan count vs sidecar ground-truth count")
+@register(
+    "bam_count_reads",
+    doc="count-reads: scan count vs sidecar ground-truth count",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS engine_reads,
+           CAST(COUNT(*) AS BIGINT) AS truth_reads,
+           TRUE AS match
+    FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet')
+    """,
+)
 def bam_count_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fixture_path()
     engine = _reads(spark, columns="block_pos,offset").agg(F.count("*").alias("engine_reads"))
@@ -348,6 +390,16 @@ def compare_splits_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bam_idxstats",
     doc="idxstats: per-contig mapped/unmapped counts, BAM binary scan vs SAM text parse differential",
+    oracle="""
+    SELECT COALESCE(rname, '*') AS rname,
+           CAST(SUM(CASE WHEN flag & 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bam_mapped,
+           CAST(SUM(CASE WHEN flag & 4 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS bam_unmapped,
+           CAST(SUM(CASE WHEN flag & 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sam_mapped,
+           CAST(SUM(CASE WHEN flag & 4 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS sam_unmapped,
+           TRUE AS match
+    FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet')
+    GROUP BY 1
+    """,
 )
 def bam_idxstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """samtools-idxstats-shaped per-contig summary computed TWICE through

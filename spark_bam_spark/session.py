@@ -31,6 +31,10 @@ def get_spark(app_name: str = "spark_bam_spark", shuffle_partitions: str | None 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # unqualified `timestamp` resolves to LTZ so epoch arithmetic
+        # (unix_micros over a cast) is conf-independent; NTZ→LTZ is exact
+        # under the pinned UTC timezone
+        .config("spark.sql.timestampType", "TIMESTAMP_LTZ")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in tables.table()

@@ -1,0 +1,105 @@
+"""Generate the committed ground-truth parquet sidecars for the BAM/SAM
+fixture queries (tests/fixtures/qa2500_truth.parquet, qa2500_blocks.parquet).
+
+The BAM queries previously got rows-only driver checks (DuckDB cannot read
+BAM) — but the fixture generator knows every record exactly, so dumping the
+expected scan output as parquet lets the oracle SQL hash-verify the entire
+decode path: generator → [BAM writer → BGZF → DataSource decode] on the
+Spark side vs this direct dump on the DuckDB side.  Rendering here
+(cigar string, end_pos, rname) is implemented independently of
+bam/vectordecode.py on purpose — same differential-oracle spirit as the
+reference's seqdoop cross-checks (SURVEY §5).
+
+Deterministic: same seed/params as queries/bam_qa.py's fixture
+(n=2500, block_payload=4096, seed=42).  Rerun only if the fixture recipe
+changes; the output is committed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from spark_bam_spark.bam.writer import (  # noqa: E402
+    CONTIG_NAMES,
+    make_fixture,
+    synth_records,
+)
+
+_CIGAR_CHARS = "MIDNSHP=X"
+_REF_CONSUMING = {0, 2, 3, 7, 8}  # M D N = X
+
+
+def cigar_str(cigar: list[tuple[int, int]]) -> str:
+    if not cigar:
+        return "*"
+    return "".join(f"{ln}{_CIGAR_CHARS[op]}" for op, ln in cigar)
+
+
+def end_pos(pos: int, cigar: list[tuple[int, int]]) -> int:
+    if pos < 0:
+        return -1
+    return pos + sum(ln for op, ln in cigar if op in _REF_CONSUMING)
+
+
+def main() -> None:
+    out_dir = os.path.join(REPO, "tests", "fixtures")
+    os.makedirs(out_dir, exist_ok=True)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        res = make_fixture(os.path.join(tmp, "qa2500.bam"), n=2500, block_payload=4096)
+    recs = synth_records(2500)
+    assert len(recs) == len(res.record_positions) == res.n_records
+
+    cols = {
+        "qname": [r.qname for r in recs],
+        "flag": [r.flag for r in recs],
+        "rname": [None if r.ref_idx < 0 else CONTIG_NAMES[r.ref_idx] for r in recs],
+        "pos": [r.pos for r in recs],
+        "end_pos": [end_pos(r.pos, r.cigar) for r in recs],
+        "mapq": [r.mapq for r in recs],
+        "cigar": [cigar_str(r.cigar) for r in recs],
+        "tlen": [r.tlen for r in recs],
+        "block_pos": [p.block_pos for p in res.record_positions],
+        "offset": [p.offset for p in res.record_positions],
+    }
+    schema = pa.schema(
+        [
+            ("qname", pa.string()),
+            ("flag", pa.int32()),
+            ("rname", pa.string()),
+            ("pos", pa.int64()),
+            ("end_pos", pa.int64()),
+            ("mapq", pa.int32()),
+            ("cigar", pa.string()),
+            ("tlen", pa.int32()),
+            ("block_pos", pa.int64()),
+            ("offset", pa.int32()),
+        ]
+    )
+    truth = pa.table(cols, schema=schema)
+    pq.write_table(truth, os.path.join(out_dir, "qa2500_truth.parquet"))
+
+    blocks = pa.table(
+        {
+            "start": [b.start for b in res.blocks],
+            "compressed_size": [b.compressed_size for b in res.blocks],
+            "uncompressed_size": [b.uncompressed_size for b in res.blocks],
+        },
+        schema=pa.schema(
+            [("start", pa.int64()), ("compressed_size", pa.int64()), ("uncompressed_size", pa.int64())]
+        ),
+    )
+    pq.write_table(blocks, os.path.join(out_dir, "qa2500_blocks.parquet"))
+    print(f"wrote {truth.num_rows} truth rows, {blocks.num_rows} block rows to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
