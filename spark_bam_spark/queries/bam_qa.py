@@ -131,7 +131,24 @@ def bam_compute_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa.splits_from_partitions(_reads(spark, split_size=16384))
 
 
-@register("bam_check_blocks", doc="check-blocks: first-read offset per block + prev-size attribution")
+@register(
+    "bam_check_blocks",
+    doc="check-blocks: first-read offset per block + prev-size attribution",
+    oracle="""
+    WITH firsts AS (
+      SELECT block_pos, MIN("offset") AS first_read_offset
+      FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet') GROUP BY block_pos
+    ),
+    bp AS (
+      SELECT start, compressed_size, uncompressed_size,
+             LAG(compressed_size) OVER (ORDER BY start) AS prev_compressed_size
+      FROM read_parquet('/root/repo/tests/fixtures/qa2500_blocks.parquet')
+    )
+    SELECT bp.start, bp.compressed_size, bp.uncompressed_size,
+           bp.prev_compressed_size, f.first_read_offset
+    FROM bp LEFT JOIN firsts f ON f.block_pos = bp.start
+    """,
+)
 def bam_check_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import qa
 
@@ -208,6 +225,12 @@ def bam_check_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bam_compression_ratio",
     doc="EstimatedCompressionRatio over block metadata (bgzf/.../EstimatedCompressionRatio.scala:13)",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           ROUND(CAST(SUM(uncompressed_size) AS DOUBLE) / SUM(compressed_size), 4)
+             AS est_compression_ratio
+    FROM read_parquet('/root/repo/tests/fixtures/qa2500_blocks.parquet')
+    """,
 )
 def bam_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators.qa import _blocks_df
@@ -228,6 +251,7 @@ _BIG_FIXTURE = "/tmp/spark_bam_spark_fixture/scan50k.bam"
     "bam_scan_50k",
     doc="S3 at throughput scale: 50k-record scan with full decode",
     headline=True,
+    oracle="SELECT n_reads, total_bases, n_contigs FROM read_parquet('/root/repo/tests/fixtures/qa_scan_aggs.parquet') WHERE fixture = '50k'",
 )
 def bam_scan_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-layer throughput probe: enough records that decode (not
@@ -286,6 +310,7 @@ def _tile_bam(src: str, dst: str, tiles: int) -> None:
     "bam_scan_1m",
     doc="S3 at decode-bound scale: 1M-record full-width scan (vectorized decoder probe)",
     headline=True,
+    oracle="SELECT n_reads, total_bases, total_quals, n_contigs FROM read_parquet('/root/repo/tests/fixtures/qa_scan_aggs.parquet') WHERE fixture = '1m'",
 )
 def bam_scan_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput probe sized so record decode (not task overhead)

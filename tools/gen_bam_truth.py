@@ -98,7 +98,37 @@ def main() -> None:
         ),
     )
     pq.write_table(blocks, os.path.join(out_dir, "qa2500_blocks.parquet"))
-    print(f"wrote {truth.num_rows} truth rows, {blocks.num_rows} block rows to {out_dir}")
+
+    # scan-aggregate truths for the throughput fixtures: the 50k fixture is
+    # synth_records(50000, seed=42); the 1M fixture tiles those same
+    # records 20x, so every aggregate scales linearly.
+    recs50k = synth_records(50000)
+    bases = sum(len(r.seq) for r in recs50k)
+    quals = sum(len(r.qual) for r in recs50k)
+    contigs = len({r.ref_idx for r in recs50k if r.ref_idx >= 0})
+    aggs = pa.table(
+        {
+            "fixture": ["50k", "1m"],
+            "n_reads": [50_000, 50_000 * 20],
+            "total_bases": [bases, bases * 20],
+            "total_quals": [quals, quals * 20],
+            "n_contigs": [contigs, contigs],
+        },
+        schema=pa.schema(
+            [
+                ("fixture", pa.string()),
+                ("n_reads", pa.int64()),
+                ("total_bases", pa.int64()),
+                ("total_quals", pa.int64()),
+                ("n_contigs", pa.int64()),
+            ]
+        ),
+    )
+    pq.write_table(aggs, os.path.join(out_dir, "qa_scan_aggs.parquet"))
+    print(
+        f"wrote {truth.num_rows} truth rows, {blocks.num_rows} block rows, "
+        f"{aggs.num_rows} scan-agg rows to {out_dir}"
+    )
 
 
 if __name__ == "__main__":
