@@ -476,7 +476,7 @@ def close_calls(spark: SparkSession, bam_path: str, max_flags: int = 2) -> DataF
     sweep = flags_sweep(spark, bam_path).filter(F.col("num_flags") <= max_flags)
     ann = annotate_positions(spark, bam_path, sweep.select("block_pos", "offset"))
     return sweep.select("block_pos", "offset", "num_flags").join(
-        ann, ["block_pos", "offset"]
+        F.broadcast(ann), ["block_pos", "offset"]
     )
 
 
@@ -491,9 +491,11 @@ def fp_metadata(spark: SparkSession, bam_path: str) -> DataFrame:
     fps = c.filter(F.col("upstream_call") & ~F.col("oracle_call")).select("block_pos", "offset")
     sweep = flags_sweep(spark, bam_path).select("block_pos", "offset", "num_flags")
     ann = annotate_positions(spark, bam_path, fps)
+    # sweep covers every position, so inner ≡ left here; broadcasting
+    # the (near-empty) FP set keeps the full sweep from shuffling
     return (
-        fps.join(sweep, ["block_pos", "offset"], "left")
-        .join(ann, ["block_pos", "offset"])
+        sweep.join(F.broadcast(fps), ["block_pos", "offset"])
+        .join(F.broadcast(ann), ["block_pos", "offset"])
         .fillna({"num_flags": 0})
     )
 

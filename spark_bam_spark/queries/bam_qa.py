@@ -208,7 +208,7 @@ def bam_time_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = qa.first_reads_per_partition(_reads(spark, split_size=16384, columns="qname,block_pos,offset"))
     b = qa.first_reads_per_partition(_reads(spark, split_size=65536, columns="qname,block_pos,offset"))
     # every 64k-partition first-read must also start a 16k partition
-    missing = b.select("qname").join(a.select("qname"), "qname", "left_anti")
+    missing = b.select("qname").join(F.broadcast(a.select("qname")), "qname", "left_anti")
     return missing.agg(F.count("*").alias("b_firsts_missing_from_a"))
 
 
@@ -317,7 +317,14 @@ def bam_scan_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates: ~1M records, full schema incl. seq/qual/tags. The r1
     verdict flagged per-record Python decode as the one 100× scale
     killer; this query is the regression guard for the numpy→Arrow batch
-    decoder (vectordecode.py)."""
+    decoder (vectordecode.py).
+
+    Measured r3 (this machine): decode_batch alone runs 328k records/s
+    per core full-width; single-thread BGZF inflate of the 140 MB
+    fixture is 1.5 s — so the whole scan is ~4.5 core-seconds of real
+    work, and the ~0.9 s wall on local[32] is dominated by fixed Spark
+    task/Arrow overhead, not decode. At cluster scale (reused workers,
+    bigger files) the per-core decode rate is the binding constant."""
     if not os.path.exists(_HUGE_FIXTURE):
         # reuse the 50k fixture as the tile source
         if not os.path.exists(_BIG_FIXTURE):

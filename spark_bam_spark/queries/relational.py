@@ -697,17 +697,23 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check +
-    # the in-query tolerance assertion below
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS within_2pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) vs exact, with in-query tolerance.
+    """approx_count_distinct (HLL++) validated against exact in-frame;
+    the oracle pins within_2pct TRUE, so a sketch outside its rsd fails
+    the driver hash (raw sketch estimates are engine-specific and stay
+    out of the output — same contract pattern as the datapipe sketches).
 
     The 100 TB point: the sketch is a fixed-size partial aggregate —
     one narrow pass + tiny shuffle, where exact COUNT(DISTINCT) must
-    shuffle every distinct key. within_2pct is asserted true for all
-    groups by tests."""
+    shuffle every distinct key."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
@@ -717,7 +723,6 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
-            "approx_orders",
             "exact_orders",
             (
                 F.abs(F.col("approx_orders") - F.col("exact_orders"))

@@ -259,12 +259,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "vec_id")
     )
-    hits = approx.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+    hits = approx.join(F.broadcast(exact), ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.count("*").alias("n_hits")
     )
     return (
         qs.select("q_id")
-        .join(hits, "q_id", "left")
+        .join(F.broadcast(hits), "q_id", "left")
         .select(
             "q_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
