@@ -1,0 +1,159 @@
+"""CLI mirroring the reference's QA harness (Main.scala:19-28, SURVEY
+§2.11): every subcommand is a thin wrapper over the same DataFrame
+pipelines the query registry exposes, so the CLI and the registry cannot
+drift.
+
+    python -m spark_bam_spark.cli check-bam /path/to/file.bam
+    python -m spark_bam_spark.cli compute-splits file.bam --split-size 16384
+    python -m spark_bam_spark.cli index-blocks file.bam --out /tmp/blocks
+    python -m spark_bam_spark.cli htsjdk-rewrite in.bam --out out.bam -r 100-1000
+
+Results print as CSV to stdout (the reference prints aligned text
+reports; CSV keeps the output machine-consumable) or write to ``--out``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _df_to_out(df: DataFrame, out: str | None) -> None:
+    if out:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+        print(f"wrote {out}")
+        return
+    cols = df.columns
+    print(",".join(cols))
+    for row in df.collect():
+        print(",".join("" if row[c] is None else str(row[c]) for c in cols))
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("path", help="BAM file path")
+    p.add_argument("--split-size", type=int, default=65536)
+    p.add_argument("--out", default=None, help="write CSV here instead of stdout")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="spark_bam_spark", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in (
+        "check-bam",
+        "full-check",
+        "check-blocks",
+        "compute-splits",
+        "count-reads",
+        "time-load",
+        "idxstats",
+        "blocks",
+    ):
+        _add_common(sub.add_parser(name))
+    p = sub.add_parser("compare-splits")
+    p.add_argument("paths", nargs="+", help="BAM files to compare")
+    p.add_argument("--split-size", type=int, default=65536)
+    p.add_argument("--out", default=None)
+    for name in ("index-blocks", "index-records"):
+        p = sub.add_parser(name)
+        p.add_argument("path")
+        p.add_argument("--out", required=True, help="index output directory")
+    p = sub.add_parser("htsjdk-rewrite")
+    p.add_argument("path")
+    p.add_argument("--out", required=True, help="output BAM path")
+    p.add_argument("-r", "--range", default=None, help="row-index range lo-hi (1-based, inclusive)")
+    return ap
+
+
+def _reads(spark: SparkSession, path: str, split_size: int, columns: str | None = None) -> DataFrame:
+    from spark_bam_spark.bam.datasource import register
+
+    register(spark)
+    reader = spark.read.format("bam").option("split_size", split_size)
+    if columns:
+        reader = reader.option("columns", columns)
+    return reader.load(path)
+
+
+def run(args: argparse.Namespace, spark: SparkSession) -> None:
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.operators import qa
+
+    cmd = args.cmd
+    if cmd == "check-bam":
+        df = qa.confusion_matrix(qa.calls(spark, args.path, stride=1))
+    elif cmd == "full-check":
+        df = qa.flags_histogram(spark, args.path)
+    elif cmd == "check-blocks":
+        df = qa.block_first_reads(spark, args.path)
+    elif cmd == "compute-splits":
+        df = qa.splits_from_partitions(_reads(spark, args.path, args.split_size))
+    elif cmd == "compare-splits":
+        df = qa.compare_splits_stats(spark, args.paths, split_size=args.split_size)
+    elif cmd == "count-reads":
+        df = _reads(spark, args.path, args.split_size, columns="block_pos,offset").agg(
+            F.count("*").alias("n_reads")
+        )
+    elif cmd == "time-load":
+        df = qa.first_reads_per_partition(
+            _reads(spark, args.path, args.split_size, columns="qname,block_pos,offset")
+        )
+    elif cmd == "idxstats":
+        reads = _reads(spark, args.path, args.split_size, columns="rname,flag")
+        unmapped = (F.col("flag").bitwiseAND(0x4) != 0).cast("int")
+        df = (
+            reads.select(F.coalesce(F.col("rname"), F.lit("*")).alias("rname"), unmapped.alias("u"))
+            .groupBy("rname")
+            .agg(
+                F.sum(1 - F.col("u")).cast("bigint").alias("mapped"),
+                F.sum("u").cast("bigint").alias("unmapped"),
+            )
+            .orderBy("rname")
+        )
+    elif cmd == "blocks":
+        df = qa._blocks_df(spark, args.path)
+    elif cmd == "index-blocks":
+        qa.index_blocks(spark, args.path, args.out)
+        print(f"wrote {args.out}")
+        return
+    elif cmd == "index-records":
+        qa.index_records(_reads(spark, args.path, 65536, columns="block_pos,offset"), args.out)
+        print(f"wrote {args.out}")
+        return
+    elif cmd == "htsjdk-rewrite":
+        from pyspark.sql import Window as W
+
+        from spark_bam_spark.bam.header import parse_header
+
+        with open(args.path, "rb") as f:
+            hdr = parse_header(f)
+        reads = _reads(spark, args.path, 65536)
+        if args.range:
+            lo, hi = (int(x) for x in args.range.split("-"))
+            w = W.orderBy("block_pos", "offset")
+            reads = (
+                reads.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn").between(lo, hi))
+                .drop("_rn")
+            )
+        contigs = ",".join(f"{n}:{ln}" for n, ln in zip(hdr.names, hdr.lengths))
+        reads.write.format("bam").option("contigs", contigs).mode("append").save(args.out)
+        print(f"wrote {args.out}")
+        return
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown command {cmd}")
+    _df_to_out(df, args.out)
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    from spark_bam_spark.session import get_spark
+
+    spark = get_spark("spark_bam_spark-cli")
+    run(args, spark)
+
+
+if __name__ == "__main__":
+    main()

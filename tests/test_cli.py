@@ -1,0 +1,57 @@
+"""CLI surface (SURVEY §2.11 parity with the reference's Main.scala
+subcommands): each command is the same pipeline the registry exposes, so
+these tests only need to pin the wiring — flags parse, the command runs,
+output lands where asked."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_bam_spark import cli
+from spark_bam_spark.queries.bam_qa import _fixture_path
+
+
+@pytest.fixture(scope="module")
+def bam_path():
+    return _fixture_path()
+
+
+def _run(spark, argv, capsys):
+    args = cli.build_parser().parse_args(argv)
+    cli.run(args, spark)
+    return capsys.readouterr().out.strip().splitlines()
+
+
+def test_check_bam_prints_confusion_rows(spark, bam_path, capsys):
+    lines = _run(spark, ["check-bam", bam_path], capsys)
+    assert lines[0] == "eager_call,oracle_call,n"
+    # eager checker: zero false calls — only (True,True) and (False,False)
+    verdicts = {tuple(ln.split(",")[:2]) for ln in lines[1:]}
+    assert verdicts == {("True", "True"), ("False", "False")}
+
+
+def test_count_reads(spark, bam_path, capsys):
+    lines = _run(spark, ["count-reads", bam_path], capsys)
+    assert lines == ["n_reads", "2500"]
+
+
+def test_idxstats_shape(spark, bam_path, capsys):
+    lines = _run(spark, ["idxstats", bam_path], capsys)
+    assert lines[0] == "rname,mapped,unmapped"
+    names = [ln.split(",")[0] for ln in lines[1:]]
+    assert names == ["*", "1", "2", "3"]
+
+
+def test_compute_splits_csv_out(spark, bam_path, tmp_path, capsys):
+    out = str(tmp_path / "splits")
+    _run(spark, ["compute-splits", bam_path, "--split-size", "16384", "--out", out], capsys)
+    found = spark.read.option("header", True).csv(out)
+    assert found.count() > 0
+
+
+def test_htsjdk_rewrite_range_roundtrip(spark, bam_path, tmp_path, capsys):
+    out = str(tmp_path / "rewritten")
+    _run(spark, ["htsjdk-rewrite", bam_path, "--out", out, "-r", "101-200"], capsys)
+    from spark_bam_spark.cli import _reads
+
+    assert _reads(spark, out, 65536).count() == 100
