@@ -21,6 +21,10 @@ from spark_bam_spark.queries import REGISTRY, register
 from spark_bam_spark.tables import fan_out, table
 
 N_BANDS = 4
+# Kirsch-Mitzenmacher second-hash modulus: largest prime < 2^59, so
+# h1 (< 2^60) + band * h2 stays below 2^63 for any band < 8 — no int64
+# overflow in Spark (ANSI) or DuckDB.
+_KM_P = 576460752303423433
 _DEC = "decimal(28,12)"
 
 
@@ -99,9 +103,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh"),
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+             (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P} AS h2
+      FROM sh
+    ),
     mh AS (
-      SELECT doc_id, b.band, MIN(md5(CAST(b.band AS VARCHAR) || '|' || s)) AS sig
-      FROM sh, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+      SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+      FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
       GROUP BY doc_id, b.band
     )
     SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
@@ -109,8 +119,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding: shingle → seeded min-hash per band → bucket
+    """MinHash + LSH banding: shingle → per-band min-hash → bucket
     self-join emits candidate near-duplicate pairs.
+
+    Band hashes use Kirsch-Mitzenmacher double hashing — ONE md5 per
+    shingle split into two 60-bit halves, band b's hash = h1 + b*h2
+    (h2 reduced below 2^59 so b*h2 + h1 never overflows int64 in either
+    engine) — instead of N_BANDS md5 calls per shingle; signatures are
+    8-byte longs instead of 32-char digest strings, shrinking both the
+    hash CPU and the shuffled signature width ~4x.
 
     Scale path: the self-join key is (band, signature) — uniformly
     distributed, so the shuffle is balanced; candidate pairs (not all
@@ -121,11 +138,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle stream (no distinct — min is duplicate-insensitive; no band
     # cross-join — the explode would multiply shuffle volume ×N_BANDS),
     # then unpivot the per-doc signature row with stack()
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat_ws("|", F.lit(str(b)), F.col("s")))).alias(f"sig_{b}")
-            for b in range(N_BANDS)
-        ]
+    h = F.md5("s")
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % _KM_P
+    sigs = sh.select("doc_id", h1.alias("h1"), h2.alias("h2")).groupBy("doc_id").agg(
+        *[F.min(F.col("h1") + b * F.col("h2")).alias(f"sig_{b}") for b in range(N_BANDS)]
     )
     stack_args = ", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))
     mh = sigs.select(
@@ -327,9 +344,15 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "graph", "iterative"),
     oracle=f"""
     WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+             (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P} AS h2
+      FROM sh
+    ),
     mh AS (
-      SELECT doc_id, b.band, MIN(md5(CAST(b.band AS VARCHAR) || '|' || s)) AS sig
-      FROM sh, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+      SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+      FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
       GROUP BY doc_id, b.band
     ),
     pairs AS (
