@@ -58,6 +58,23 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def daily_distinct_users(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-day approximate distinct users via HLL sketch aggregation.
+
+    Exact COUNT(DISTINCT) is unsupported in Structured Streaming (state
+    would grow with cardinality); the HLL sketch is the scale path — a
+    fixed-size mergeable state per window.  The batch twin
+    (queries/datapipe.py::sketch_distinct_users_daily) carries the DuckDB
+    oracle; tests assert the streaming estimate lands within the sketch's
+    tolerance of the batch exact count."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "approx_users")
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful streaming dedup on event_id bounded by the watermark."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

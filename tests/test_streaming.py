@@ -143,3 +143,22 @@ def test_static_enrich_matches_batch(spark, sf_small, events_stream):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_daily_distinct_users_hll_within_tolerance(spark, sf_small, events_stream):
+    out = st.run_to_memory(st.daily_distinct_users(events_stream), "hll_daily_out", "complete")
+    stream_rows = {r["day"]: r["approx_users"] for r in out.collect()}
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.tables import table
+
+    exact = {
+        r["day"]: r["n"]
+        for r in table(spark, sf_small, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(stream_rows) == set(exact)
+    for day, est in stream_rows.items():
+        assert abs(est - exact[day]) <= max(1, 0.05 * exact[day]), (day, est, exact[day])
