@@ -242,3 +242,58 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol(F.hll_sketch_estimate("sk_all"), F.col("n_users")).alias("hll_ok"),
     )
     return per_day.unionByName(all_row)
+
+
+@register(
+    "sketch_user_overlap",
+    tags=("sketch", "setop"),
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS t_a, b.event_type AS t_b,
+           COUNT(DISTINCT a.user_id) AS exact_overlap,
+           TRUE AS theta_ok
+    FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between every event-type pair, estimated by
+    theta-sketch set intersection and validated in-frame against the
+    exact answer (oracle pins theta_ok TRUE).
+
+    The scale story: exact distinct-set intersection needs a self-join on
+    the identity key — a shuffle proportional to the data.  Theta
+    sketches intersect AFTER aggregation: one pass builds a
+    kilobyte-sized sketch per group, and any pairwise (or n-way)
+    overlap/union/difference is then computed on sketches alone.  At
+    100 TB the exact branch here is dropped and only the sketch column
+    survives; it exists in-frame purely as the verification contract."""
+    ev = table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    est = (
+        sk.alias("a")
+        .crossJoin(F.broadcast(sk.alias("b")))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("t_a"),
+            F.col("b.event_type").alias("t_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+            ).alias("est"),
+        )
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.alias("x")
+        .join(du.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(F.col("x.event_type").alias("t_a"), F.col("y.event_type").alias("t_b"))
+        .agg(F.count_distinct("user_id").alias("exact_overlap"))
+    )
+    return exact.join(F.broadcast(est), ["t_a", "t_b"]).select(
+        "t_a",
+        "t_b",
+        "exact_overlap",
+        (F.abs(F.col("est") - F.col("exact_overlap"))
+         <= F.greatest(F.lit(1), (0.05 * F.col("exact_overlap")).cast("long"))).alias("theta_ok"),
+    )
