@@ -15,26 +15,48 @@ reports; CSV keeps the output machine-consumable) or write to ``--out``.
 from __future__ import annotations
 
 import argparse
+import csv
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The reference bounds driver-collected report output at --print-limit
+# (default 1e6; docs/command-line.md:92-97, CheckerApp.scala:186-196).  The
+# stdout path here does the same: collecting an unbounded `blocks` listing
+# over a multi-TB corpus would OOM the driver.
+DEFAULT_PRINT_LIMIT = 1_000_000
 
-def _df_to_out(df: DataFrame, out: str | None) -> None:
+
+def _df_to_out(df: DataFrame, out: str | None, print_limit: int = DEFAULT_PRINT_LIMIT) -> None:
     if out:
         df.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
         print(f"wrote {out}")
         return
     cols = df.columns
-    print(",".join(cols))
-    for row in df.collect():
-        print(",".join("" if row[c] is None else str(row[c]) for c in cols))
+    rows = df.limit(print_limit + 1).collect()
+    truncated = len(rows) > print_limit
+    writer = csv.writer(sys.stdout, lineterminator="\n")
+    writer.writerow(cols)
+    for row in rows[:print_limit]:
+        writer.writerow(["" if row[c] is None else row[c] for c in cols])
+    if truncated:
+        print(
+            f"... output truncated at --print-limit {print_limit} rows; "
+            f"use --out to write the full result",
+            file=sys.stderr,
+        )
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("path", help="BAM file path")
     p.add_argument("--split-size", type=int, default=65536)
     p.add_argument("--out", default=None, help="write CSV here instead of stdout")
+    p.add_argument(
+        "--print-limit",
+        type=int,
+        default=DEFAULT_PRINT_LIMIT,
+        help="max rows printed to stdout (ignored with --out)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -55,6 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("paths", nargs="+", help="BAM files to compare")
     p.add_argument("--split-size", type=int, default=65536)
     p.add_argument("--out", default=None)
+    p.add_argument("--print-limit", type=int, default=DEFAULT_PRINT_LIMIT)
     for name in ("index-blocks", "index-records"):
         p = sub.add_parser(name)
         p.add_argument("path")
@@ -144,7 +167,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
         return
     else:  # pragma: no cover
         raise SystemExit(f"unknown command {cmd}")
-    _df_to_out(df, args.out)
+    _df_to_out(df, args.out, print_limit=getattr(args, "print_limit", DEFAULT_PRINT_LIMIT))
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -491,11 +491,15 @@ def fp_metadata(spark: SparkSession, bam_path: str) -> DataFrame:
     fps = c.filter(F.col("upstream_call") & ~F.col("oracle_call")).select("block_pos", "offset")
     sweep = flags_sweep(spark, bam_path).select("block_pos", "offset", "num_flags")
     ann = annotate_positions(spark, bam_path, fps)
-    # sweep covers every position, so inner ≡ left here; broadcasting
-    # the (near-empty) FP set keeps the full sweep from shuffling
+    # One inner pass narrows the full sweep to FP rows (broadcasting the
+    # near-empty FP set keeps the sweep from shuffling); the result is tiny,
+    # so the outer left join that preserves every FP — even one the sweep
+    # somehow lacks flags for (reported as num_flags=0, not dropped) — only
+    # broadcasts small sides.
+    fp_flags = sweep.join(F.broadcast(fps), ["block_pos", "offset"])
     return (
-        sweep.join(F.broadcast(fps), ["block_pos", "offset"])
-        .join(F.broadcast(ann), ["block_pos", "offset"])
+        fps.join(F.broadcast(fp_flags), ["block_pos", "offset"], "left")
+        .join(F.broadcast(ann), ["block_pos", "offset"], "left")
         .fillna({"num_flags": 0})
     )
 

