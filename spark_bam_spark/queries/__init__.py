@@ -158,6 +158,13 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_ann_pipeline",
+    # -- new in r4 (never driver-checked; the two §2.9 twins take the two
+    # spare window slots, the datapipe trio rotates in next round) --------
+    "stream_stream_click_purchase",
+    "streaming_dedup_recovery",
+    "stratified_sample_by_lang",
+    "url_host_normalize",
+    "source_mixture_diversity",
 )
 
 

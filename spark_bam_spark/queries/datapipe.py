@@ -301,3 +301,139 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("est") - F.col("exact_overlap"))
          <= F.greatest(F.lit(1), (0.05 * F.col("exact_overlap")).cast("long"))).alias("theta_ok"),
     )
+
+
+_STRATUM_FRAC = 0.2  # keep 20% of each language, deterministically
+
+
+@register(
+    "stratified_sample_by_lang",
+    tags=("mlprep", "sample"),
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_total
+      FROM documents
+    )
+    SELECT lang,
+           CAST(MAX(n_total) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE rn <= CEIL(n_total * {_STRATUM_FRAC})) AS BIGINT) AS n_sampled,
+           CAST(SUM(doc_id) FILTER (WHERE rn <= CEIL(n_total * {_STRATUM_FRAC})) AS BIGINT) AS sample_checksum
+    FROM ranked GROUP BY lang
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for mixture construction: keep an
+    exact per-stratum fraction, selecting members by md5(doc_id) order so
+    every engine/run draws the SAME sample (no rand()), with the selected-id
+    checksum in-frame so the oracle verifies membership, not just counts.
+
+    Scale shape: one shuffle on the stratum key; per-stratum selection is a
+    WindowGroupLimit-style rank filter.  At 100 TB with per-stratum counts
+    known (or sketched) up front, the same selection runs as a pure filter
+    ``md5(id) < threshold`` with no window at all — the hash-order trick is
+    what makes the sample reproducible AND embarrassingly parallel."""
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("lang")).alias("n_total"),
+    )
+    keep = F.col("rn") <= F.ceil(F.col("n_total") * _STRATUM_FRAC)
+    return ranked.groupBy("lang").agg(
+        F.max("n_total").cast("bigint").alias("n_total"),
+        F.count(F.when(keep, 1)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(keep, F.col("doc_id"))).cast("bigint").alias("sample_checksum"),
+    )
+
+
+@register(
+    "url_host_normalize",
+    tags=("text", "scalar"),
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+             source ||
+             CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.example.org' END ||
+             '/p/' || CAST(doc_id AS VARCHAR) || '?utm=x' AS url
+      FROM documents
+    )
+    SELECT regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1), '^www\\.', '') AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN url LIKE '%www.%' THEN 1 ELSE 0 END) AS BIGINT) AS n_www
+    FROM urls GROUP BY 1
+    """,
+)
+def url_host_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL host extraction + normalization (strip scheme and leading www),
+    the per-domain keying step every crawl pipeline runs before domain
+    caps/stats.  URLs are planted deterministically from (source, doc_id)
+    — the corpus has no native URL column — mirroring pii_redact_stats'
+    planted-pattern approach.  All regexp, all JVM, no shuffle until the
+    final per-host count."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".example.com")).otherwise(F.lit(".example.org")),
+        F.lit("/p/"), F.col("doc_id").cast("string"), F.lit("?utm=x"),
+    )
+    urls = d.select("doc_id", url.alias("url"))
+    host = F.regexp_replace(F.regexp_extract("url", r"^https?://([^/]+)", 1), r"^www\.", "")
+    return urls.groupBy(host.alias("host")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("url").contains("www.").cast("int")).cast("bigint").alias("n_www"),
+    )
+
+
+@register(
+    "source_mixture_diversity",
+    tags=("mlprep", "stats"),
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT SUM(n) AS total FROM per),
+    shares AS (
+      SELECT source, lang, n,
+             CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY source) AS p
+      FROM per
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(-SUM(p * ln(p)), 6) AS lang_entropy,
+           ROUND(CAST(SUM(n) AS DOUBLE) / MAX(tot.total), 6) AS corpus_share
+    FROM shares, tot GROUP BY source
+    """,
+)
+def source_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture diagnostics for dataset curation: per-source document count,
+    language diversity (Shannon entropy over the source's language
+    distribution), and corpus share — the numbers a mixing/temperature-
+    sampling step consumes.  Two hash-aggs and a broadcast of the one-row
+    corpus total; entropy is computed from exact integer counts then
+    rounded, so both engines agree bit-for-bit."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    wsrc = W.partitionBy("source")
+    share = F.col("n").cast("double") / F.sum("n").over(wsrc)
+    ent = per.select(
+        "source",
+        "lang",
+        "n",
+        (-share * F.log(share)).alias("ent_term"),
+    )
+    total = d.count()  # single scalar; scans the (already-cached) table once
+    return ent.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(F.sum("ent_term"), 6).alias("lang_entropy"),
+        F.round((F.sum("n") / F.lit(float(total))).cast("double"), 6).alias("corpus_share"),
+    )

@@ -223,3 +223,94 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.streaming import static_enrich
 
     return static_enrich(ev, cust)
+
+
+@register(
+    "stream_stream_click_purchase",
+    tags=("streaming", "join", "interval"),
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.click_purchase_join (stream-stream interval
+    join, SURVEY §2.9 engine extension): each click matched to purchases by
+    the same user within 1 hour after it.  The plan is an equi-join on
+    user_id with the time bounds as residual predicates — one shuffle per
+    side on the join key, exactly the state layout the streaming version
+    keeps per watermark; no range-explosion, no cartesian."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "purchase_value",
+        )
+    )
+
+
+@register(
+    "streaming_dedup_recovery",
+    tags=("streaming", "dedup"),
+    oracle="""
+    WITH delivered AS (
+      SELECT * FROM events
+      UNION ALL
+      SELECT * FROM events WHERE event_id % 10 = 0
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM (SELECT DISTINCT * FROM delivered)
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.dedup_within_watermark
+    (dropDuplicatesWithinWatermark): at-least-once delivery is simulated by
+    re-delivering every 10th event, then exact-once output is recovered by
+    full-row dedup — duplicate deliveries are bit-identical, so the result
+    is deterministic on both engines.  The aggregate proves the recovered
+    multiset equals the original.  Scale shape: one hash-distinct shuffle
+    (map-side partial dedup), same state bound the streaming operator keeps
+    per watermark window."""
+    ev = table(spark, sf_dir, "events")
+    delivered = ev.unionAll(ev.filter(F.col("event_id") % 10 == 0))
+    return (
+        delivered.distinct()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )

@@ -28,7 +28,7 @@ def module_of(name: str) -> str:
     from spark_bam_spark import queries as qpkg
 
     for modname in (
-        "bam_qa", "dedup", "graph", "mlprep", "multimodal_q", "relational",
+        "bam_qa", "datapipe", "dedup", "graph", "mlprep", "multimodal_q", "relational",
         "scalar_fn", "similarity", "streaming_batch", "text", "tpch", "udf_surface",
     ):
         mod = __import__(f"{qpkg.__name__}.{modname}", fromlist=["x"])
