@@ -165,6 +165,11 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "stratified_sample_by_lang",
     "url_host_normalize",
     "source_mixture_diversity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
 )
 
 

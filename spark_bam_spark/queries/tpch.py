@@ -10,7 +10,11 @@ ratio aggregates, and top-k with deterministic tie-breaks.
 Adaptations from stock TPC-H (the synthetic schema has no partsupp,
 l_shipmode, l_commitdate, o_shippriority, c_phone): Q12 groups by ship
 month instead of ship mode, Q16 counts distinct suppliers via lineitem,
-Q22 groups dormant customers by nation instead of phone prefix.
+Q22 groups dormant customers by nation instead of phone prefix; Q2/Q11/Q20
+use lineitem as the price/stock book in place of partsupp, Q9 prices
+supply cost off p_retailprice, and Q21's lateness becomes last-to-ship in
+a finalized multi-supplier order.  With Q1's shape covered by
+relational.pricing_summary, all 22 TPC-H query SHAPES are represented.
 
 Numeric policy: same as relational.py — money aggregates accumulate in
 DECIMAL(18,4) (exact, order-independent), rounded then cast to DOUBLE so
@@ -720,4 +724,280 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    tags=("tpch", "subquery", "join"),
+    oracle="""
+    WITH eu AS (
+      SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    mins AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price FROM eu GROUP BY l_partkey)
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, m.min_price
+    FROM eu
+    JOIN mins m ON m.l_partkey = eu.l_partkey AND eu.l_extendedprice = m.min_price
+    JOIN part p ON p.p_partkey = eu.l_partkey AND p.p_size <= 3
+    JOIN supplier s ON s.s_suppkey = eu.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (minimum cost supplier), adapted: no partsupp table, so lineitem
+    is the price book — for each small part, the EUROPE supplier(s) whose
+    line hit the part's minimum extended price.  The correlated MIN
+    subquery decorrelates into a per-part aggregate joined back by
+    broadcast (one row per part); region/nation/supplier dims broadcast;
+    the only fact shuffle is the per-part min.  Prices are compared by
+    value (no arithmetic), so DOUBLE equality is engine-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", "l_extendedprice", "s_suppkey", "s_name", "s_acctbal", "n_name"
+    )
+    mins = eu.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    return (
+        eu.join(
+            F.broadcast(mins.withColumnRenamed("l_partkey", "m_partkey")),
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_price")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    tags=("tpch", "join", "agg"),
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                          - CAST(p.p_retailprice AS DECIMAL(18,4))
+                            * CAST(l.l_quantity AS DECIMAL(18,4)) * 0.1), 4) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (product type profit), adapted: supply cost becomes 10% of
+    p_retailprice (no partsupp) — profit = revenue − cost·quantity per
+    (supplier nation, order year) over 'widget' parts.  Scale shape: part
+    filter broadcasts and prunes lineitem FIRST (the selective join), then
+    supplier/nation broadcast, orders is the one co-shuffled join
+    (orderkey), single hash-agg.  All money math in DECIMAL, rounded once."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    profit = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity") * F.lit(0.1).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    tags=("tpch", "agg", "subquery"),
+    oracle="""
+    WITH nat_val AS (
+      SELECT l.l_partkey AS p_partkey,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT p_partkey, value
+    FROM nat_val
+    WHERE value > (SELECT SUM(value) FROM nat_val) * 0.001
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 (important stock), adapted: per-part shipped value from one
+    nation's suppliers, keeping parts above a fraction of the nation
+    total — the group-HAVING-against-global-scalar shape.  The scalar is
+    a single-row aggregate broadcast back; per-part values are computed
+    once and reused for both sides (no second scan).  The threshold
+    comparison happens on identically-derived DOUBLEs (DECIMAL sum,
+    round, cast), so both engines agree bitwise."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_supp = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select("s_suppkey")
+    nat_val = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.round(F.sum(dec("l_extendedprice")), 4).cast("double").alias("value"))
+    )
+    total = nat_val.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
+    # explicit single-ROW broadcast (the BroadcastNestedLoopJoin this plans
+    # to is a scalar filter, not a pairwise join — same sanctioned pattern
+    # as the sketch-row crossJoins in datapipe.py)
+    return (
+        nat_val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("p_partkey", "value")
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    tags=("tpch", "subquery", "semijoin"),
+    oracle="""
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    per_p AS (SELECT l_partkey, SUM(sq) AS tq FROM per_ps GROUP BY 1)
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+    WHERE EXISTS (
+      SELECT 1 FROM per_ps ps
+      JOIN per_p p ON p.l_partkey = ps.l_partkey
+      WHERE ps.l_suppkey = s.s_suppkey AND ps.sq > 0.5 * p.tq
+    )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (potential part promotion), adapted: no partsupp availqty, so
+    the 'excess stock' predicate becomes 'this supplier shipped more than
+    half of the part's 1997 volume'.  The nested-IN shape survives as two
+    aggregations (per part-supplier, per part) and a left-semi join into
+    the supplier dim.  Quantities accumulate in DECIMAL; the dominance
+    test compares identically-derived doubles.  Nothing wide shuffles:
+    per_ps is one shuffle on (part, supp); per_p rides a map-side
+    re-aggregation of per_ps."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ltz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ltz"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum(dec("l_quantity")), 4).cast("double").alias("sq")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominant = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("sq") > 0.5 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    tags=("tpch", "subquery", "antijoin"),
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > l1.l_shipdate
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (suppliers who kept orders waiting), adapted: without
+    commit/receipt dates the 'late' line is the one that shipped LAST in
+    a finalized multi-supplier order (some other supplier shipped
+    earlier, none shipped later).  The EXISTS / NOT-EXISTS pair becomes a
+    left-semi then left-anti self-join, both shuffling on l_orderkey only
+    (co-partitioned with the orders semi-join); the supplier dim
+    broadcasts and the top-100 is TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    f_orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(f_orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(supp.select("s_suppkey", "s_name")), waiting.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
