@@ -210,6 +210,7 @@ def load_all() -> dict[str, QuerySpec]:
     order), already-verified names after."""
     from spark_bam_spark.queries import (  # noqa: F401
         bam_qa,
+        curation,
         datapipe,
         dedup,
         graph,

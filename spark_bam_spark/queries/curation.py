@@ -1,0 +1,296 @@
+"""Corpus-curation operators (engine extension, round 4).
+
+Four primitives a 100 TB training-data pipeline runs between ingest and
+packing, each shuffle-bounded and cross-engine deterministic:
+
+- minhash_jaccard_estimate: signature-based similarity ESTIMATION joined
+  against the exact shingle Jaccard — the differential contract that
+  justifies trusting signatures instead of exact set intersection at scale.
+- weighted_sample_aes: Efraimidis–Spirakis weighted top-k sampling with
+  md5-derived uniforms — the deterministic, single-pass, distributed
+  primitive behind temperature/weight-based data mixing.
+- scd2_value_intervals: SCD-2 (CDC) validity-interval build over an event
+  stream — one window shuffle, the standard "latest value + history"
+  shape of warehouse ingestion.
+- token_entropy_by_source: token-level Shannon entropy, type-token ratio
+  and hapax fraction per source — corpus-diversity diagnostics consumed
+  by mixing/curation decisions (complements source_mixture_diversity's
+  language-level entropy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_bam_spark.queries import register
+from spark_bam_spark.queries.dedup import _SHINGLES_SQL, _shingles
+from spark_bam_spark.tables import fan_out, table
+
+# 16 minhash components via Kirsch-Mitzenmacher double hashing.  h2 is
+# reduced below 2^55 (largest prime) so h1 (< 2^60) + 15*h2 stays under
+# 2^61 — no int64 overflow in Spark (ANSI) or DuckDB for any k < 16.
+N_COMPONENTS = 16
+_KM_P55 = 36028797018963913
+
+
+@register(
+    "minhash_jaccard_estimate",
+    tags=("dedup", "lsh", "contract"),
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+             (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P55} AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, k.k AS k, MIN(h1 + k.k * h2) AS sig
+      FROM hashed, (SELECT unnest(generate_series(0, {N_COMPONENTS - 1})) AS k) k
+      GROUP BY doc_id, k.k
+    ),
+    matches AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+      FROM sig a JOIN sig b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.n_match AS DOUBLE) / {N_COMPONENTS} AS est_jaccard,
+           ROUND(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jaccard,
+           ROUND(ABS(CAST(m.n_match AS DOUBLE) / {N_COMPONENTS}
+                     - CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common)), 6) AS abs_err
+    FROM matches m
+    JOIN common c ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard estimation with an in-frame accuracy check:
+    16-component minhash signatures estimate J(A,B) = matches/16 for every
+    pair colliding on >= 2 components, joined against the EXACT shingle
+    Jaccard so the error of the estimate is part of the result.
+
+    This is the contract that lets a 100 TB dedup pipeline verify
+    candidates from 128-byte signatures instead of re-intersecting
+    shingle sets: the estimate's cost is per-doc (16 int64s), the exact
+    side here is the audit.  Components use Kirsch-Mitzenmacher double
+    hashing (one md5 per shingle, h_k = h1 + k*h2 — see dedup_minhash_lsh)
+    so signature rows stay 8-byte longs.
+
+    Scale shape: sigs = one min-agg pass over the shingle stream; the
+    component match count is bucket-and-enumerate on (k, sig) — never a
+    signature self-join (dedup.py rationale); the exact side is the
+    posting-list enumeration of dedup_ngram_jaccard.  Every shuffle keys
+    on a uniform hash.  A collision on component k implies the same
+    arg-min shingle in both docs, so every estimated pair has >= 1 shared
+    shingle and the audit join is inner.  est_jaccard = m/16 is an exact
+    binary fraction; the exact Jaccard and the error are rounded to 6.
+    """
+    sh = _shingles(table(spark, sf_dir, "documents"))
+    h = F.md5("s")
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % _KM_P55
+    sigs = (
+        sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.col("h1") + k * F.col("h2")).alias(f"sig_{k}")
+                for k in range(N_COMPONENTS)
+            ]
+        )
+    )
+    stack_args = ", ".join(f"{k}, sig_{k}" for k in range(N_COMPONENTS))
+    sig_rows = sigs.select(
+        "doc_id", F.expr(f"stack({N_COMPONENTS}, {stack_args}) AS (k, sig)")
+    )
+    pair_enum = F.expr(
+        "flatten(transform(ids, (a, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"
+    )
+    matches = (
+        sig_rows.groupBy("k", "sig")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_enum).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_match"))
+        .filter(F.col("n_match") >= 2)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_enum).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.alias("sa"))
+    sb = F.broadcast(sizes.alias("sb"))
+    est = F.col("n_match").cast("double") / N_COMPONENTS
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        matches.join(common, ["doc_a", "doc_b"])
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(F.abs(est - jac), 6).alias("abs_err"),
+        )
+    )
+
+
+SAMPLE_K = 20
+
+
+@register(
+    "weighted_sample_aes",
+    tags=("mlprep", "sampling"),
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                / 4503599627370496.0) / n_chars AS sel_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, ROUND(sel_key, 10) AS sel_key
+    FROM keyed
+    ORDER BY sel_key DESC, doc_id
+    LIMIT {SAMPLE_K}
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each document draws a deterministic uniform
+    u = (md5_52bits + 0.5) / 2^52 and a selection key ln(u) / weight
+    (monotone in u^(1/w)); the global top-k by key IS a weighted sample.
+
+    This is the primitive behind temperature-based source mixing at
+    100 TB: one narrow map computes keys, and the top-k is a
+    TakeOrderedAndProject — per-partition heaps merged on the driver, no
+    global sort, no shuffle of the corpus.  Deterministic across engines
+    because the uniforms come from md5, not an RNG: md5 of the decimal
+    doc_id string, top 13 hex chars (52 bits) — keys are distinct with
+    overwhelming probability, and doc_id breaks the residual tie.
+    Weight = n_chars (longer docs proportionally likelier), zero-weight
+    rows excluded on both engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    keyed = d.select(
+        "doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("sel_key")
+    )
+    return (
+        keyed.orderBy(F.desc("sel_key"), "doc_id")
+        .limit(SAMPLE_K)
+        .select("doc_id", "source", "n_chars", F.round("sel_key", 10).alias("sel_key"))
+    )
+
+
+@register(
+    "scd2_value_intervals",
+    tags=("events", "cdc", "window"),
+    oracle="""
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build (the CDC merge shape): the
+    purchase-event stream becomes per-user validity intervals — each
+    event's value holds from its timestamp until the next event's
+    (valid_to NULL = current row).
+
+    One shuffle, keyed on user_id, computing version / valid_to /
+    is_current in a single window pass; at warehouse scale this is the
+    nightly "close old rows, open new" merge expressed as a window
+    instead of a MERGE self-join, and the filter on event_type is pushed
+    into the parquet scan.  (event_id tie-breaks equal timestamps so the
+    intervals are total-ordered; timestamps are emitted as formatted UTC
+    strings for cross-engine stability.)"""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        "value",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "token_entropy_by_source",
+    tags=("text", "stats"),
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w),
+    scored AS (
+      SELECT source, c,
+             CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY source) AS p
+      FROM freq
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_frac,
+           ROUND(-SUM(p * ln(p)), 6) AS token_entropy
+    FROM scored GROUP BY source
+    """,
+)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution diagnostics per source: unigram Shannon entropy,
+    type-token ratio, and hapax-legomena fraction — the lexical-diversity
+    numbers a curation step reads next to source_mixture_diversity's
+    language entropy when setting mixture weights (a low-entropy source
+    is templated/boilerplate; a high-hapax source is noisy).
+
+    Scale shape: one explode + hash-agg on the uniform (source, token)
+    key with map-side partials, then a per-source window + agg over the
+    FREQUENCY table (vocab-sized, orders of magnitude smaller than the
+    corpus).  Entropy terms are doubles summed then rounded to 6, which
+    absorbs float-sum ordering wobble under AQE (unigram_logprob_score
+    precedent)."""
+    d = fan_out(table(spark, sf_dir, "documents").select("source", "text"))
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    p = F.col("c").cast("double") / F.sum("c").over(Window.partitionBy("source"))
+    scored = freq.select("source", "c", (-p * F.log(p)).alias("ent_term"))
+    return scored.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(F.count("*").cast("double") / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("hapax_frac"),
+        F.round(F.sum("ent_term"), 6).alias("token_entropy"),
+    )
