@@ -178,3 +178,36 @@ def test_sketch_quantiles_broadcasts_estimates(spark, sf_small):
     plan = plan_of(REGISTRY["sketch_doclen_quantiles"].fn(spark, sf_small))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- curation (minhash contract / weighted sampling / SCD2 / entropy) --------
+
+
+def test_weighted_sample_uses_take_ordered(spark, sf_small):
+    # A-ES top-k must be per-partition heaps + driver merge, not a global sort
+    plan = plan_of(REGISTRY["weighted_sample_aes"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_pushes_event_type_filter_and_single_shuffle(spark, sf_small):
+    plan = plan_of(REGISTRY["scd2_value_intervals"].fn(spark, sf_small))
+    pushed = [seg[:400] for seg in plan.split("PushedFilters")[1:]]
+    assert any("event_type" in seg for seg in pushed)
+    # one window pass = one hash-partition exchange on user_id
+    assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["minhash_jaccard_estimate", "token_entropy_by_source"]
+)
+def test_curation_hot_paths_have_no_python_eval(spark, sf_small, name):
+    plan = plan_of(REGISTRY[name].fn(spark, sf_small))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_estimate_never_plans_all_pairs(spark, sf_small):
+    # candidate pairs must come from bucket enumeration, not a pair join
+    plan = plan_of(REGISTRY["minhash_jaccard_estimate"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

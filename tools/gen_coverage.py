@@ -24,16 +24,14 @@ END = "<!-- END GENERATED REGISTRY SNAPSHOT -->"
 
 def module_of(name: str) -> str:
     import inspect
+    import pkgutil
 
     from spark_bam_spark import queries as qpkg
 
-    for modname in (
-        "bam_qa", "datapipe", "dedup", "graph", "mlprep", "multimodal_q", "relational",
-        "scalar_fn", "similarity", "streaming_batch", "text", "tpch", "udf_surface",
-    ):
-        mod = __import__(f"{qpkg.__name__}.{modname}", fromlist=["x"])
+    for info in pkgutil.iter_modules(qpkg.__path__):
+        mod = __import__(f"{qpkg.__name__}.{info.name}", fromlist=["x"])
         if f'"{name}"' in inspect.getsource(mod):
-            return modname
+            return info.name
     return "?"
 
 
