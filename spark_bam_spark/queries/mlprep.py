@@ -872,3 +872,174 @@ def quantize_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qdot"), "vec_id")
         .limit(QUANT_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# --------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_D = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 4  # codes per subspace codebook
+PQ_QUERY_VEC = 9  # probe query (not an init centroid)
+PQ_TOP_K = 10
+
+
+@register(
+    "ann_pq_adc_topk",
+    tags=("similarity", "ann", "quantization", "contract"),
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sub AS (
+      SELECT vec_id, m.m AS m, v[m.m * {PQ_D} + 1 : m.m * {PQ_D} + {PQ_D}] AS sv
+      FROM e, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    ),
+    c0 AS (SELECT m, vec_id AS j, sv AS c FROM sub WHERE vec_id < {PQ_K}),
+    t1 AS (
+      SELECT s.vec_id, s.m, c0.j,
+             unnest(list_transform(s.sv, (x, i) ->
+                    CAST((x - c0.c[i]) * (x - c0.c[i]) AS DECIMAL(28,12)))) AS t
+      FROM sub s JOIN c0 ON c0.m = s.m
+    ),
+    d1 AS (SELECT vec_id, m, j, SUM(t) AS d2 FROM t1 GROUP BY vec_id, m, j),
+    a1 AS (SELECT vec_id, m, j FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1),
+    m1 AS (
+      SELECT a1.m, a1.j, i.i AS i,
+             CAST(SUM(CAST(s.sv[i.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+      FROM a1 JOIN sub s ON s.vec_id = a1.vec_id AND s.m = a1.m,
+           range(1, {PQ_D + 1}) i(i)
+      GROUP BY a1.m, a1.j, i.i
+    ),
+    t2 AS (
+      SELECT s.vec_id, s.m, m1.j,
+             CAST((s.sv[m1.i] - m1.cv) * (s.sv[m1.i] - m1.cv) AS DECIMAL(28,12)) AS t
+      FROM sub s JOIN m1 ON m1.m = s.m
+    ),
+    d2t AS (SELECT vec_id, m, j, SUM(t) AS d2 FROM t2 GROUP BY vec_id, m, j),
+    a2 AS (SELECT vec_id, m, j FROM d2t
+           QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1),
+    qs AS (SELECT m, sv FROM sub WHERE vec_id = {PQ_QUERY_VEC}),
+    dq AS (
+      SELECT m1.m, m1.j,
+             SUM(CAST((qs.sv[m1.i] - m1.cv) * (qs.sv[m1.i] - m1.cv)
+                      AS DECIMAL(28,12))) AS d2q
+      FROM m1 JOIN qs ON qs.m = m1.m
+      GROUP BY m1.m, m1.j
+    ),
+    est AS (
+      SELECT a2.vec_id, CAST(SUM(dq.d2q) AS DOUBLE) AS pq_d2
+      FROM a2 JOIN dq ON dq.m = a2.m AND dq.j = a2.j
+      GROUP BY a2.vec_id
+    ),
+    qv AS (SELECT v FROM e WHERE vec_id = {PQ_QUERY_VEC}),
+    ext AS (
+      SELECT e.vec_id,
+             unnest(list_transform(e.v, (x, i) ->
+                    CAST((x - qv.v[i]) * (x - qv.v[i]) AS DECIMAL(28,12)))) AS t
+      FROM e, qv
+    ),
+    exact AS (SELECT vec_id, CAST(SUM(t) AS DOUBLE) AS exact_d2 FROM ext GROUP BY vec_id)
+    SELECT est.vec_id,
+           ROUND(pq_d2, 6) AS pq_d2,
+           ROUND(exact_d2, 6) AS exact_d2,
+           ROUND(ABS(pq_d2 - exact_d2), 6) AS abs_err
+    FROM est JOIN exact ON exact.vec_id = est.vec_id
+    WHERE est.vec_id != {PQ_QUERY_VEC}
+    ORDER BY est.pq_d2, est.vec_id
+    LIMIT {PQ_TOP_K}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    split each vector into {PQ_M} subspaces of {PQ_D} dims, learn a
+    {PQ_K}-entry codebook per subspace (one Lloyd update from a
+    deterministic init, as in ivf_kmeans_probe), encode every vector as
+    {PQ_M} one-byte codes, and answer a query by summing the
+    query-to-codebook distance table over each vector's codes — with the
+    EXACT L2 distance joined in-frame so the quantization error of every
+    returned neighbor is part of the verified result.
+
+    This completes the ANN family's storage axis: int8 SQ compresses 4x
+    (quantize_int8_topk); PQ compresses {4 * EMB_DIM}B -> {PQ_M}B per
+    vector, and the scan that answers a query reads ONLY the code
+    columns plus a {PQ_M * PQ_K}-row broadcast distance table — the
+    layout that makes 100 TB of embeddings probe-able from kilobytes of
+    codebook. All codebook training and distance math accumulates in
+    DECIMAL (argmin ties broken by code id), so codes, estimates, and
+    the top-k boundary are bit-identical across engines.
+
+    Scale shape: subspace explode is a narrow map (x{PQ_M} rows, same
+    bytes); codebooks train on a {PQ_M * PQ_K}-group agg; encoding is an
+    in-row argmin against the broadcast codebook; ADC is a broadcast
+    lookup join + per-vector sum — no shuffle ever carries vectors
+    except the two tiny groupBys."""
+    emb = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" m -> struct(m as m, slice(v, m * {PQ_D} + 1, {PQ_D}) as sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sv")
+
+    def assign(cbs: DataFrame) -> DataFrame:
+        """Per-(vec, subspace) nearest-code argmin, in-row against the
+        broadcast packed codebook (struct ordering = ORDER BY d2, j)."""
+        packed = cbs.agg(F.collect_list(F.struct("m", "j", "c")).alias("cbs"))
+        d2 = _dec_sum(f"zip_with(sv, s.c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))")
+        argmin = F.expr(
+            f"array_min(transform(filter(cbs, s -> s.m = m),"
+            f" s -> struct({d2} as d2, s.j as j))).j"
+        )
+        return sub.crossJoin(F.broadcast(packed)).select(
+            "vec_id", "m", "sv", argmin.alias("j")
+        )
+
+    c0 = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("j"), F.col("sv").alias("c")
+    )
+    a1 = assign(c0)
+    sums = [F.sum(F.expr(f"cast(sv[{i}] as {_DEC})")).alias(f"s{i}") for i in range(PQ_D)]
+    cent1 = (
+        a1.groupBy("m", "j")
+        .agg(F.count("*").alias("n"), *sums)
+        .select(
+            "m",
+            "j",
+            F.array(
+                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(PQ_D)]
+            ).alias("c"),
+        )
+    )
+    codes = assign(cent1).select("vec_id", "m", "j")
+    qs = sub.filter(F.col("vec_id") == PQ_QUERY_VEC).select("m", F.col("sv").alias("qsv"))
+    d2q = _dec_sum(f"zip_with(qsv, c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))")
+    dq = cent1.join(F.broadcast(qs), "m").select("m", "j", F.expr(d2q).alias("d2q"))
+    est = (
+        codes.join(F.broadcast(dq), ["m", "j"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2q").cast("double").alias("pq_d2"))
+    )
+    qvec = emb.filter(F.col("vec_id") == PQ_QUERY_VEC).select(F.col("v").alias("qv"))
+    ed2 = _dec_sum(f"zip_with(v, qv, (x, y) -> cast((x - y) * (x - y) as {_DEC}))")
+    exact = emb.crossJoin(F.broadcast(qvec)).select(
+        "vec_id", F.expr(ed2).cast("double").alias("exact_d2")
+    )
+    return (
+        est.join(exact, "vec_id")
+        .filter(F.col("vec_id") != PQ_QUERY_VEC)
+        .orderBy("pq_d2", "vec_id")
+        .limit(PQ_TOP_K)
+        .select(
+            "vec_id",
+            F.round("pq_d2", 6).alias("pq_d2"),
+            F.round("exact_d2", 6).alias("exact_d2"),
+            F.round(F.abs(F.col("pq_d2") - F.col("exact_d2")), 6).alias("abs_err"),
+        )
+    )
