@@ -26,7 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
-from spark_bam_spark.tables import table
+from spark_bam_spark.tables import fan_out, table
 
 # Injected-PII construction: the synthetic corpus is clean word soup, so
 # the query plants deterministic PII (email every 7th doc, phone every
@@ -436,4 +436,104 @@ def source_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         F.round(F.sum("ent_term"), 6).alias("lang_entropy"),
         F.round((F.sum("n") / F.lit(float(total))).cast("double"), 6).alias("corpus_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (exact cross-engine replica + error bound)
+# --------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 512
+CM_TOP_K = 20
+
+
+@register(
+    "sketch_heavy_hitters_cm",
+    tags=("sketch", "text", "contract"),
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    total AS (SELECT SUM(c) AS n FROM freq),
+    cells AS (
+      SELECT d.d AS d,
+             ('0x' || substr(md5(d.d || ':' || w), 1, 15))::BIGINT % {CM_WIDTH} AS cell,
+             SUM(c) AS cmc
+      FROM freq, (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS d) d
+      GROUP BY d.d, cell
+    ),
+    top AS (
+      SELECT w, c FROM freq ORDER BY c DESC, w LIMIT {CM_TOP_K}
+    ),
+    est AS (
+      SELECT t.w, t.c, MIN(cells.cmc) AS cm_est
+      FROM top t
+      JOIN cells
+        ON cells.cell = ('0x' || substr(md5(cells.d || ':' || t.w), 1, 15))::BIGINT % {CM_WIDTH}
+      GROUP BY t.w, t.c
+    )
+    SELECT est.w AS token,
+           CAST(c AS BIGINT) AS true_cnt,
+           CAST(cm_est AS BIGINT) AS cm_est,
+           CAST(cm_est - c AS BIGINT) AS overcount,
+           cm_est >= c AND cm_est - c <= CAST(ceil(2.718281828 * total.n / {CM_WIDTH}) AS BIGINT)
+             AS within_eN
+    FROM est, total
+    """,
+)
+def sketch_heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch ({CM_DEPTH}x{CM_WIDTH},
+    md5-derived row hashes), replicated EXACTLY in both engines: the top
+    tokens by true count carry their CM estimate, the overcount, and a
+    boolean asserting the sketch's published guarantee (est >= true and
+    est - true <= e*N/width with the min over {CM_DEPTH} rows).
+
+    Unlike KLL/HLL (opaque JVM sketches checked by contract only), this
+    sketch is plain integer arithmetic, so the oracle reproduces every
+    cell and the estimates hash-match bit-for-bit — the strongest
+    verification tier available for a sketch.
+
+    Scale shape: CM is linear, so the sketch is built from the
+    token-frequency table (map-side-combined groupBy), not the raw
+    stream — the {CM_DEPTH * CM_WIDTH}-cell table is the ONLY state that
+    moves, and sketches from disjoint corpus shards merge by cell-wise
+    addition (the monoid property the 1000-executor rollup needs).  The
+    probe joins the {CM_TOP_K}-row top list against the broadcast cell
+    table."""
+    d = fan_out(table(spark, sf_dir, "documents").select("text"))
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = freq.agg(F.sum("c").alias("n"))
+    cell_of = lambda dcol, wcol: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat_ws(":", dcol, wcol)), 1, 15), 16, 10).cast("long")
+        % CM_WIDTH
+    )
+    cells = (
+        freq.select(
+            F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d"), "w", "c"
+        )
+        .groupBy("d", cell_of(F.col("d"), F.col("w")).alias("cell"))
+        .agg(F.sum("c").alias("cmc"))
+    )
+    top = freq.orderBy(F.desc("c"), "w").limit(CM_TOP_K)
+    probe = (
+        top.join(
+            F.broadcast(cells.withColumnRenamed("cell", "cm_cell")),
+            cell_of(F.col("d"), F.col("w")) == F.col("cm_cell"),
+        )
+        .groupBy("w", "c")
+        .agg(F.min("cmc").alias("cm_est"))
+    )
+    bound = F.ceil(F.lit(2.718281828) * F.col("n") / CM_WIDTH).cast("long")
+    return probe.crossJoin(F.broadcast(total)).select(
+        F.col("w").alias("token"),
+        F.col("c").cast("bigint").alias("true_cnt"),
+        F.col("cm_est").cast("bigint").alias("cm_est"),
+        (F.col("cm_est") - F.col("c")).cast("bigint").alias("overcount"),
+        ((F.col("cm_est") >= F.col("c")) & ((F.col("cm_est") - F.col("c")) <= bound)).alias(
+            "within_eN"
+        ),
     )
