@@ -267,3 +267,25 @@ def stateful_topk_purchases(events: DataFrame, k: int = 3) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def cm_user_cells(events: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min sketch cells over an unbounded stream: per-row hashing
+    into depth x width integer cells, aggregated in complete mode.
+
+    The streaming twin of queries/datapipe.py::sketch_heavy_hitters_cm —
+    the point is STATE SIZE: exact per-key counting grows state with
+    cardinality, while the CM table is a fixed depth*width integers no
+    matter how many distinct keys the stream carries, and cells from
+    restarts/shards merge by addition.  Heavy-hitter queries probe the
+    materialized cell table with min-over-rows."""
+    cells = events.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), "user_id"
+    )
+    cell = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", "d", "user_id")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % width
+    )
+    return cells.groupBy("d", cell.alias("cell")).agg(F.count("*").alias("cmc"))

@@ -162,3 +162,38 @@ def test_daily_distinct_users_hll_within_tolerance(spark, sf_small, events_strea
     assert set(stream_rows) == set(exact)
     for day, est in stream_rows.items():
         assert abs(est - exact[day]) <= max(1, 0.05 * exact[day]), (day, est, exact[day])
+
+
+def test_cm_heavy_hitters_stream_within_bound(spark, sf_small, events_stream):
+    import math
+
+    depth, width = 4, 256
+    out = st.run_to_memory(
+        st.cm_user_cells(events_stream, depth, width), "cm_cells_out", "complete"
+    )
+    cells = {(r["d"], r["cell"]): r["cmc"] for r in out.collect()}
+    # fixed-size state: never more than depth*width cells regardless of
+    # stream cardinality (the reason CM replaces exact per-key counts)
+    assert len(cells) <= depth * width
+
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.tables import table
+
+    ev = table(spark, sf_small, "events")
+    exact = ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").limit(5).collect()
+    n_total = ev.count()
+    bound = math.ceil(math.e * n_total / width)
+
+    import hashlib
+
+    def cm_est(uid: int) -> int:
+        return min(
+            cells[(d, int(hashlib.md5(f"{d}:{uid}".encode()).hexdigest()[:15], 16) % width)]
+            for d in range(depth)
+        )
+
+    for r in exact:
+        est = cm_est(r["user_id"])
+        assert est >= r["count"], (r, est)
+        assert est - r["count"] <= bound, (r, est, bound)
