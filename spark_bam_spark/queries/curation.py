@@ -294,3 +294,161 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hapax_frac"),
         F.round(F.sum("ent_term"), 6).alias("token_entropy"),
     )
+
+
+BENCH_DOC_MAX = 20  # doc_id < 20 stands in for the held-out benchmark set
+DECON_N = 5
+
+
+@register(
+    "curation_pipeline_funnel",
+    tags=("pipeline", "dedup", "decontamination", "sampling"),
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id % 7 = 0
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - {DECON_N - 1}, 0)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+      )
+    ),
+    bench AS (SELECT DISTINCT s FROM grams WHERE doc_id < {BENCH_DOC_MAX}),
+    contaminated AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (s)
+                     WHERE g.doc_id >= {BENCH_DOC_MAX}),
+    flagged AS (
+      SELECT c.doc_id, len(string_split(text, ' ')) AS n_words,
+             len(string_split(text, ' ')) BETWEEN 20 AND 1000
+               AND CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) BETWEEN 3 AND 12 AS q,
+             MIN(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                       AND CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                           / len(string_split(text, ' ')) BETWEEN 3 AND 12
+                      THEN c.doc_id END)
+               OVER (PARTITION BY md5(text)) AS min_q_doc,
+             c.doc_id IN (SELECT doc_id FROM contaminated)
+               OR c.doc_id < {BENCH_DOC_MAX} AS contam,
+             ascii(substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1)) % 2 = 0 AS samp
+      FROM corpus c
+    ),
+    staged AS (
+      SELECT n_words,
+             CASE WHEN NOT q THEN 1
+                  WHEN doc_id != min_q_doc THEN 2
+                  WHEN contam THEN 3
+                  WHEN NOT samp THEN 4
+                  ELSE 5 END AS reached
+      FROM flagged
+    )
+    SELECT s.stage, s.label,
+           CAST(COUNT(*) FILTER (reached >= s.stage) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_words) FILTER (reached >= s.stage), 0) AS BIGINT) AS n_tokens
+    FROM staged, (VALUES (1, 'ingest'), (2, 'quality'), (3, 'dedup'),
+                         (4, 'decontaminate'), (5, 'sample')) s(stage, label)
+    GROUP BY s.stage, s.label
+    """,
+)
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as one DataFrame job: ingest (with
+    a deterministic re-ingest planting exact duplicates) -> scalar quality
+    gate (length + mean-word-length) -> exact dedup (survivor = first
+    quality-passing doc per content hash) -> benchmark decontamination
+    (drop docs sharing a {DECON_N}-gram with the doc_id < {BENCH_DOC_MAX}
+    eval set) -> deterministic 50% sample — reported as a funnel of
+    documents and tokens surviving each stage.
+
+    The composition materializes NO intermediate corpus: every document
+    gets a 'furthest stage reached' label computed from one window (min
+    qualifying doc per md5(text) — dedup without a pre-filter), one
+    contamination join, and scalar flags; the funnel is then ONE
+    aggregation unpivoted to stage rows.  At 100 TB the dominant costs
+    are one corpus shuffle (the content-hash window) and one gram join
+    whose bench side broadcasts; the extra parquet scans the branches
+    plan are the cheap part — what a staged pipeline would instead
+    write and re-read between stages is petabytes.
+    """
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"))
+    corpus = d.unionAll(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "n_chars"
+        )
+    )
+    n_words = F.size(F.split("text", " "))
+    mean_wlen = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
+    q = n_words.between(20, 1000) & mean_wlen.between(3, 12)
+
+    grams = (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {DECON_N - 1}, 0)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") < BENCH_DOC_MAX).select("s").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") >= BENCH_DOC_MAX)
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+
+    min_q_doc = F.min(F.when(q, F.col("doc_id"))).over(
+        Window.partitionBy(F.md5("text"))
+    )
+    samp = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 2 == 0
+    flagged = (
+        corpus.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            q.alias("q"),
+            min_q_doc.alias("min_q_doc"),
+            samp.alias("samp"),
+        )
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "n_words",
+            "q",
+            (F.col("doc_id") == F.col("min_q_doc")).alias("is_survivor"),
+            (F.coalesce("hit", F.lit(False)) | (F.col("doc_id") < BENCH_DOC_MAX)).alias(
+                "contam"
+            ),
+            "samp",
+        )
+    )
+    reached = (
+        F.when(~F.col("q"), 1)
+        .when(~F.col("is_survivor"), 2)
+        .when(F.col("contam"), 3)
+        .when(~F.col("samp"), 4)
+        .otherwise(5)
+    )
+    agg = flagged.select(reached.alias("reached"), "n_words").agg(
+        *[
+            F.count(F.when(F.col("reached") >= s, 1)).alias(f"d{s}")
+            for s in range(1, 6)
+        ],
+        *[
+            F.coalesce(F.sum(F.when(F.col("reached") >= s, F.col("n_words"))), F.lit(0)).alias(
+                f"t{s}"
+            )
+            for s in range(1, 6)
+        ],
+    )
+    labels = {1: "ingest", 2: "quality", 3: "dedup", 4: "decontaminate", 5: "sample"}
+    stack_args = ", ".join(f"{s}, '{labels[s]}', d{s}, t{s}" for s in range(1, 6))
+    return agg.select(
+        F.expr(f"stack(5, {stack_args}) AS (stage, label, n_docs, n_tokens)")
+    ).select(
+        "stage", "label", F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -211,3 +211,18 @@ def test_minhash_estimate_never_plans_all_pairs(spark, sf_small):
     plan = plan_of(REGISTRY["minhash_jaccard_estimate"].fn(spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_funnel_is_monotone_and_jvm_only(spark, sf_small):
+    df = REGISTRY["curation_pipeline_funnel"].fn(spark, sf_small)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    rows = {r["stage"]: r for r in df.collect()}
+    assert [rows[s]["label"] for s in range(1, 6)] == [
+        "ingest", "quality", "dedup", "decontaminate", "sample",
+    ]
+    for s in range(2, 6):  # every stage can only shrink the corpus
+        assert rows[s]["n_docs"] <= rows[s - 1]["n_docs"]
+        assert rows[s]["n_tokens"] <= rows[s - 1]["n_tokens"]
+    assert rows[1]["n_docs"] > rows[5]["n_docs"] > 0  # stages actually filter
