@@ -86,6 +86,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("path")
     p.add_argument("--out", required=True, help="output BAM path")
     p.add_argument("-r", "--range", default=None, help="row-index range lo-hi (1-based, inclusive)")
+    # generic registry access: every operator the engine claims is a named
+    # query, and every named query is runnable from the CLI
+    p = sub.add_parser("list-queries", help="list the operator/query registry")
+    p.add_argument("--tag", default=None, help="filter by tag (e.g. dedup, tpch, sketch)")
+    p = sub.add_parser("query", help="run any registered query over a testdata dir")
+    p.add_argument("name", help="registry name (see list-queries)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="parquet table directory")
+    p.add_argument("--out", default=None, help="write CSV here instead of stdout")
+    p.add_argument("--print-limit", type=int, default=DEFAULT_PRINT_LIMIT)
     return ap
 
 
@@ -105,6 +114,27 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
     from spark_bam_spark.operators import qa
 
     cmd = args.cmd
+    if cmd == "list-queries":
+        from spark_bam_spark.queries import load_all
+
+        writer = csv.writer(sys.stdout, lineterminator="\n")
+        writer.writerow(["name", "tags", "oracle", "headline"])
+        for name, spec in load_all().items():
+            if args.tag and args.tag not in spec.tags:
+                continue
+            writer.writerow([name, " ".join(spec.tags), bool(spec.oracle), spec.headline])
+        return
+    if cmd == "query":
+        from spark_bam_spark.queries import load_all
+
+        registry = load_all()
+        if args.name not in registry:
+            raise SystemExit(
+                f"unknown query {args.name!r}; `list-queries` prints the registry"
+            )
+        df = registry[args.name].fn(spark, args.sf_dir)
+        _df_to_out(df, args.out, print_limit=args.print_limit)
+        return
     if cmd == "check-bam":
         df = qa.confusion_matrix(qa.calls(spark, args.path, stride=1))
     elif cmd == "full-check":

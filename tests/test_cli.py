@@ -85,3 +85,33 @@ def test_stdout_csv_quotes_special_values(spark, capsys):
     assert rows[0] == ["c1", "c2", "c3"]
     assert ["a,b", 'say "hi"', "line1\nline2"] in rows
     assert ["plain", "", "x"] in rows
+
+
+def test_list_queries_prints_registry(spark, capsys):
+    lines = _run(spark, ["list-queries"], capsys)
+    assert lines[0] == "name,tags,oracle,headline"
+    names = {ln.split(",")[0] for ln in lines[1:]}
+    assert {"pricing_summary", "dedup_minhash_lsh", "curation_pipeline_funnel"} <= names
+
+
+def test_list_queries_tag_filter(spark, capsys):
+    lines = _run(spark, ["list-queries", "--tag", "tpch"], capsys)
+    names = [ln.split(",")[0] for ln in lines[1:]]
+    assert names and all(n.startswith("tpch_") for n in names)
+
+
+def test_query_runs_any_registry_entry(spark, capsys):
+    lines = _run(
+        spark,
+        ["query", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"],
+        capsys,
+    )
+    assert lines[0].startswith("l_returnflag")
+    assert len(lines) > 1
+
+
+def test_query_unknown_name_errors(spark, capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        _run(spark, ["query", "no_such_query"], capsys)
