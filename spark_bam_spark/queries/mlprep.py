@@ -660,9 +660,16 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_planted",
             "n_candidates",
             "n_planted_found",
-            (F.col("n_planted_found").cast("double") / F.col("n_planted")).alias("recall"),
+            # try_divide: an empty corpus has nothing planted/candidated —
+            # NULL ratios, not an ANSI divide-by-zero crash (the oracle is
+            # unaffected: denominators are nonzero on any nonempty input)
+            F.try_divide(F.col("n_planted_found").cast("double"), F.col("n_planted")).alias(
+                "recall"
+            ),
             "n_verified",
-            (F.col("n_verified").cast("double") / F.col("n_candidates")).alias("precision"),
+            F.try_divide(F.col("n_verified").cast("double"), F.col("n_candidates")).alias(
+                "precision"
+            ),
         )
     )
 

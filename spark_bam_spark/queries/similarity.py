@@ -139,9 +139,13 @@ def cosine_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     out = f"{_IVF_DIR}_{os.path.basename(sf_dir.rstrip('/'))}"
+    src = table(spark, sf_dir, "embeddings")
     if not os.path.exists(out):
-        table(spark, sf_dir, "embeddings").write.mode("overwrite").partitionBy("label").parquet(out)
-    emb = spark.read.parquet(out)
+        src.write.mode("overwrite").partitionBy("label").parquet(out)
+    # explicit schema: a materialized index over an EMPTY source has no
+    # part files to infer from (schema inference would throw); partition
+    # columns are still matched by name when present
+    emb = spark.read.schema(src.schema).parquet(out)
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("label").alias("q_label"), F.col("embedding").alias("qv")
     )
