@@ -159,7 +159,9 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_ann_pipeline",
     # -- new in r4 (never driver-checked; the two §2.9 twins take the two
-    # spare window slots, the datapipe trio rotates in next round) --------
+    # spare window slots; everything below plus the unpinned late-r4
+    # additions — curation/PQ/count-min/funnel, ordered by registration —
+    # rotates into the r5 window, which has ~35 slots to spare) -----------
     "stream_stream_click_purchase",
     "streaming_dedup_recovery",
     "stratified_sample_by_lang",
