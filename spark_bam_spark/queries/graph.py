@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
+from spark_bam_spark.queries.dedup import _KM_P, _SHINGLES_SQL, N_BANDS
 from spark_bam_spark.tables import table
 
 _ONE = 1_000_000_000  # fixed-point 1.0
@@ -102,4 +103,99 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select("node", F.col("r").alias("rank_fp"))
         .orderBy(F.desc("rank_fp"), "node")
         .limit(20)
+    )
+
+
+@register(
+    "triangle_count_candidates",
+    tags=("graph", "dedup"),
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+             (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P} AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+      FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+      GROUP BY doc_id, b.band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM mh a JOIN mh c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT doc_a AS n FROM pairs UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY n
+    ),
+    w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(COALESCE(SUM((d * (d - 1)) // 2), 0) AS BIGINT) AS n_wedges
+          FROM deg),
+    e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM pairs p1
+      JOIN pairs p2 ON p2.doc_a = p1.doc_b
+      JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+    FROM w, e, t
+    """,
+)
+def triangle_count_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the MinHash-LSH
+    candidate-pair graph — the transitivity audit of a dedup pipeline: a
+    clique-y candidate graph (coefficient near 1) means near-duplicates
+    cluster consistently; a low coefficient flags hash bands producing
+    non-transitive, noisy candidates.
+
+    The join-based triangle enumeration (p1(a,b) |> p2(b,c) |> close with
+    p3(a,c)) works on edges stored a < b, so each triangle is counted
+    exactly once and the joins stay equi-joins on node ids.  Wedges come
+    from the integer degree table ((d*(d-1)) div 2 — exact BIGINTs).  At
+    100 TB the candidate graph is orders of magnitude smaller than the
+    corpus (that's what LSH is for); the three shuffles key on uniform
+    node ids, and the pair set is localCheckpoint'ed so the shingle/LSH
+    subtree runs once, not five times.  try_divide keeps the zero-wedge
+    (empty-corpus) case NULL instead of an ANSI crash."""
+    from spark_bam_spark.queries.dedup import _candidate_pairs
+
+    pairs = _candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .unionAll(pairs.select(F.col("doc_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    w = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    e = pairs.agg(F.count("*").cast("bigint").alias("n_edges"))
+    p1, p2 = pairs.alias("p1"), pairs.alias("p2")
+    paths = p1.join(p2, F.col("p1.doc_b") == F.col("p2.doc_a")).select(
+        F.col("p1.doc_a").alias("a"), F.col("p2.doc_b").alias("c")
+    )
+    closing = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    t = paths.join(closing, ["a", "c"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    return (
+        w.crossJoin(e)
+        .crossJoin(t)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.try_divide(F.lit(3.0) * F.col("n_triangles"), F.col("n_wedges")), 6
+            ).alias("clustering_coeff"),
+        )
     )
