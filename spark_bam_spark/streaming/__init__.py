@@ -289,3 +289,72 @@ def cm_user_cells(events: DataFrame, depth: int = 4, width: int = 256) -> DataFr
         % width
     )
     return cells.groupBy("d", cell.alias("cell")).agg(F.count("*").alias("cmc"))
+
+
+def scd2_intervals_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming SCD-2 / CDC build via applyInPandasWithState: per-user
+    ValueState holds the OPEN interval (latest purchase ts/value); each
+    arriving event closes it, emitting an immutable
+    (user_id, value, valid_from, valid_to) row in APPEND mode while the
+    new open interval replaces the state.
+
+    The streaming twin of queries/curation.py::scd2_value_intervals
+    (whose batch window computes the same intervals): at warehouse scale
+    this replaces the nightly MERGE "close old rows, open new" with
+    per-key O(1) state and append-only output — closed intervals are
+    facts, never updated.  Event times travel as int64 micros so state
+    stays timezone-free; within a batch rows are ordered by
+    (ts, event_id), matching the batch twin's tie-break.  Cross-batch
+    ordering relies on the watermark as usual for CDC-over-streams."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, value double, valid_from bigint, valid_to bigint"
+    state_schema = "ts bigint, event_id bigint, value double"
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    pdf["ts_us"].astype("int64"),
+                    pdf["event_id"].astype("int64"),
+                    pdf["value"].astype(float),
+                )
+            )
+        if not rows:
+            return
+        rows.sort()
+        seq = ([tuple(state.get)] if state.exists else []) + rows
+        state.update((int(seq[-1][0]), int(seq[-1][1]), float(seq[-1][2])))
+        if len(seq) < 2:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * (len(seq) - 1),
+                "value": [v for _, _, v in seq[:-1]],
+                "valid_from": [t for t, _, _ in seq[:-1]],
+                "valid_to": [t for t, _, _ in seq[1:]],
+            }
+        )
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "ts",
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+            "value",
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

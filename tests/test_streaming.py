@@ -197,3 +197,36 @@ def test_cm_heavy_hitters_stream_within_bound(spark, sf_small, events_stream):
         est = cm_est(r["user_id"])
         assert est >= r["count"], (r, est)
         assert est - r["count"] <= bound, (r, est, bound)
+
+
+def test_scd2_intervals_stream_matches_batch_closed_intervals(spark, sf_small, events_stream):
+    out = st.run_to_memory(
+        st.scd2_intervals_stream(events_stream), "scd2_stream_out", "append"
+    )
+    got = sorted(map(tuple, out.collect()))
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.tables import table
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        map(
+            tuple,
+            table(spark, sf_small, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                "value",
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("valid_from"),
+                F.unix_micros(F.lead(F.col("ts").cast("timestamp_ltz")).over(w)).alias(
+                    "valid_to"
+                ),
+            )
+            .filter(F.col("valid_to").isNotNull())  # open intervals live in state
+            .select("user_id", "value", "valid_from", "valid_to")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
