@@ -95,7 +95,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle and the audit join is inner.  est_jaccard = m/16 is an exact
     binary fraction; the exact Jaccard and the error are rounded to 6.
     """
-    sh = _shingles(table(spark, sf_dir, "documents"))
+    # the shingle stream feeds three consumers (signatures, set sizes,
+    # posting lists); checkpoint it once so the split+explode+distinct
+    # subtree runs once, not three times (dedup_clusters precedent)
+    sh = _shingles(table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
     h = F.md5("s")
     h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % _KM_P55
