@@ -455,3 +455,77 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage", "label", F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "snapshot_diff_incremental",
+    tags=("pipeline", "setop", "cdc"),
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 != 0
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' new' FROM documents WHERE doc_id % 11 = 0
+    ),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN md5(a.text) != md5(b.text) THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(len(string_split(a.text, ' ')), 0) AS t1,
+             COALESCE(len(string_split(b.text, ' ')), 0) AS t2
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t1) AS BIGINT) AS tokens_v1,
+           CAST(SUM(t2) AS BIGINT) AS tokens_v2
+    FROM j GROUP BY status
+    """,
+)
+def snapshot_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the audit step of an incremental update:
+    full-outer join v1 against v2 (a deterministic mutation: every 13th
+    doc removed, every 5th revised, every 11th re-added under a new id)
+    and classify each document added / removed / changed / unchanged by
+    content hash, with token totals on both sides.
+
+    At 100 TB both snapshots live bucketed by doc_id, so the full-outer
+    join is exchange-free; content comparison is hash-vs-hash (16 bytes),
+    never text-vs-text; and the 4-row report is what gates promotion of
+    the new snapshot (an unexpected 'removed' spike = a broken upstream
+    feed).  One shuffle here (unbucketed parquet), all JVM expressions."""
+    v1 = table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        v1.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" rev2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            v1.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.concat("text", F.lit(" new")).alias("text"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.md5("a.text") != F.md5("b.text"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.size(F.split("a.text", " ")), F.lit(0)).alias("t1"),
+        F.coalesce(F.size(F.split("b.text", " ")), F.lit(0)).alias("t2"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("t1").cast("bigint").alias("tokens_v1"),
+        F.sum("t2").cast("bigint").alias("tokens_v2"),
+    )
