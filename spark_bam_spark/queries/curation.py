@@ -529,3 +529,68 @@ def snapshot_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t1").cast("bigint").alias("tokens_v1"),
         F.sum("t2").cast("bigint").alias("tokens_v2"),
     )
+
+
+@register(
+    "dataset_card",
+    tags=("pipeline", "stats", "report"),
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             md5(text) AS h
+      FROM documents
+    ),
+    dup AS (SELECT COUNT(*) - COUNT(DISTINCT h) AS n_dup FROM base),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(MIN(n_words) AS BIGINT) AS min_words,
+             CAST(MAX(n_words) AS BIGINT) AS max_words,
+             CAST(SUM(n_words) // COUNT(*) AS BIGINT) AS mean_words_floor
+      FROM base
+    )
+    SELECT agg.*, CAST(dup.n_dup AS BIGINT) AS n_exact_dups,
+           ROUND(CAST(dup.n_dup AS DOUBLE) / agg.n_docs, 6) AS dup_rate
+    FROM agg, dup
+    """,
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the summary block a corpus release ships
+    with — document/token/char totals, source and language counts,
+    word-length range, and the exact-duplicate rate — computed in a
+    single pass (one scan, partial aggs map-side; the distinct counts
+    shuffle 16-byte hashes, never text).
+
+    At 100 TB this is the cheapest full-corpus statement one can make
+    (every number is a one-shuffle aggregate), and it is the artifact
+    downstream consumers diff between releases next to
+    snapshot_diff_incremental's row-level view."""
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.md5("text").alias("h"),
+    )
+    agg = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.min("n_words").cast("bigint").alias("min_words"),
+        F.max("n_words").cast("bigint").alias("max_words"),
+        F.expr("sum(n_words) div count(*)").cast("bigint").alias("mean_words_floor"),
+        (F.count("*") - F.countDistinct("h")).cast("bigint").alias("n_exact_dups"),
+    )
+    return agg.select(
+        "*",
+        F.round(
+            F.try_divide(F.col("n_exact_dups").cast("double"), F.col("n_docs")), 6
+        ).alias("dup_rate"),
+    )
