@@ -1,6 +1,6 @@
 """Corpus-curation operators (engine extension, round 4).
 
-Four primitives a 100 TB training-data pipeline runs between ingest and
+Primitives a 100 TB training-data pipeline runs between ingest and
 packing, each shuffle-bounded and cross-engine deterministic:
 
 - minhash_jaccard_estimate: signature-based similarity ESTIMATION joined
@@ -11,11 +11,18 @@ packing, each shuffle-bounded and cross-engine deterministic:
   primitive behind temperature/weight-based data mixing.
 - scd2_value_intervals: SCD-2 (CDC) validity-interval build over an event
   stream — one window shuffle, the standard "latest value + history"
-  shape of warehouse ingestion.
+  shape of warehouse ingestion (streaming twin: scd2_intervals_stream).
 - token_entropy_by_source: token-level Shannon entropy, type-token ratio
   and hapax fraction per source — corpus-diversity diagnostics consumed
   by mixing/curation decisions (complements source_mixture_diversity's
   language-level entropy).
+- curation_pipeline_funnel: the end-to-end quality → dedup →
+  decontaminate → sample pipeline as ONE job with per-stage counts and
+  no intermediate corpus materialized.
+- snapshot_diff_incremental: added/removed/changed/unchanged audit
+  between corpus snapshots by content hash.
+- dataset_card: the one-row release summary (totals, diversity counts,
+  duplicate rate) in a single pass.
 """
 
 from __future__ import annotations
