@@ -70,14 +70,111 @@ def _pil_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return (np.asarray(img, dtype="float32") / 255.0).mean(axis=0).tolist()
 
 
+def _ppm_decode(payload: bytes):
+    """Pure-numpy decoder for binary PPM (netpbm P6) — a REAL image
+    format that needs no external library, so the real-decode path is
+    executable even where Pillow/ffmpeg are absent.  Returns an
+    (H, W, 3) uint8 array."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens ('#' comments run to end-of-line), then ONE whitespace byte,
+    # then the raw RGB plane
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while payload[i : i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace separating header from raster
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"P6 maxval {maxval} unsupported (expected 255)")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
+    return raster.reshape(height, width, 3)
+
+
+def _ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image decode without any external dependency: P6 PPM →
+    luma grayscale → nearest-neighbor resample to dim×dim → column-mean
+    (identical output shape to the fake and Pillow codecs, so downstream
+    plumbing is codec-agnostic)."""
+    import numpy as np
+
+    rgb = _ppm_decode(payload).astype(np.float32)
+    gray = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]) / 255.0
+    h, w = gray.shape
+    ys = (np.arange(dim) * h) // dim
+    xs = (np.arange(dim) * w) // dim
+    resized = gray[np.ix_(ys, xs)]
+    return resized.mean(axis=0).astype("float32").tolist()
+
+
+def encode_ppm(width: int, height: int, seed: int) -> bytes:
+    """Deterministic P6 PPM test image: per-channel gradient patterns
+    seeded by ``seed`` (real encoded bytes — what a crawler would have
+    stored in the binary column)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    r = (x * 7 + seed) % 256
+    g = (y * 13 + 3 * seed) % 256
+    b = (x + y + 5 * seed) % 256
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return b"P6\n# synthetic\n%d %d\n255\n" % (width, height) + rgb.tobytes()
+
+
+def synth_ppm_media(spark: SparkSession, sf_dir: str, width: int = 32, height: int = 24) -> DataFrame:
+    """Media table whose payloads are REAL encoded images (P6 PPM),
+    generated deterministically per doc_id inside an Arrow-batched map —
+    the distributed shape of an ingest that re-encodes crawler bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    out_schema = (
+        "media_id bigint, kind string, content binary, "
+        "meta struct<format: string, width: int, height: int, duration_ms: int>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": [
+                        encode_ppm(width, height, int(d)) for d in pdf["doc_id"]
+                    ],
+                    "meta": [
+                        {"format": "ppm", "width": width, "height": height, "duration_ms": 0}
+                        for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, schema=out_schema)
+
+
 def decode_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     """content binary → fixed-dim feature vector via Arrow-batched
     mapInPandas (batch in, batch out; per-task codec init).
 
-    ``codec="pil"`` uses a real Pillow decode when the library is
-    importable (optional-dependency pattern, same as CRAM→pysam in
-    bam/cram.py); anything else real raises NotImplementedError."""
-    if codec == "pil":
+    ``codec="ppm"`` is a REAL decode with no external dependency (pure
+    numpy over netpbm P6); ``codec="pil"`` uses a real Pillow decode when
+    the library is importable (optional-dependency pattern, same as
+    CRAM→pysam in bam/cram.py); anything else real raises
+    NotImplementedError."""
+    if codec == "ppm":
+        decode = _ppm_features
+    elif codec == "pil":
         try:
             import PIL  # noqa: F401
         except ImportError as exc:

@@ -61,3 +61,25 @@ def multimodal_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("cosine"), "media_id").limit(5)
+
+
+@register(
+    "multimodal_ppm_real_decode",
+    doc="REAL image decode (pure-numpy netpbm P6) → features, no external lib",
+)
+def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-codec path, executable in any environment: payloads are
+    genuine P6 PPM images (generated distributed, per media_id) and the
+    decoder parses headers + raster with numpy alone — closing the gap
+    where Pillow/ffmpeg delegation can never run in minimal containers.
+    Per-image feature checksums make row content deterministic."""
+    from spark_bam_spark.operators import multimodal as mm
+
+    feats = mm.decode_features(mm.synth_ppm_media(spark, sf_dir), codec="ppm")
+    return feats.select(
+        "media_id",
+        F.round(F.expr("aggregate(features, cast(0 as double), (a, v) -> a + cast(v as double))"), 6).alias(
+            "feature_sum"
+        ),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )

@@ -86,3 +86,69 @@ def test_ann_pipeline_deterministic_topk(spark, sf_small):
     b = [tuple(r) for r in reg["multimodal_ann_pipeline"].fn(spark, sf_small).collect()]
     assert a == b and len(a) == 5
     assert all(-1.0 <= r[2] <= 1.0 for r in a)
+
+
+# -- real decode: pure-numpy PPM codec (no external library) -----------------
+
+
+def test_ppm_decode_roundtrip_exact():
+    import numpy as np
+
+    from spark_bam_spark.operators.multimodal import _ppm_decode, encode_ppm
+
+    payload = encode_ppm(8, 6, seed=42)
+    rgb = _ppm_decode(payload)
+    assert rgb.shape == (6, 8, 3)
+    # pixel values reconstruct the generator formulas exactly
+    y, x = np.mgrid[0:6, 0:8]
+    assert (rgb[:, :, 0] == (x * 7 + 42) % 256).all()
+    assert (rgb[:, :, 1] == (y * 13 + 126) % 256).all()
+    assert (rgb[:, :, 2] == (x + y + 210) % 256).all()
+
+
+def test_ppm_decode_handles_comments_and_rejects_bad_magic():
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_bam_spark.operators.multimodal import _ppm_decode
+
+    raw = bytes(range(12))  # 2x2 RGB
+    payload = b"P6\n# a comment\n2 2\n# another\n255\n" + raw
+    assert (_ppm_decode(payload).ravel() == np.frombuffer(raw, np.uint8)).all()
+    with _pytest.raises(ValueError):
+        _ppm_decode(b"P5\n2 2\n255\n" + raw)
+
+
+def test_real_ppm_decode_runs_distributed(spark, sf_small):
+    from spark_bam_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _ppm_features,
+        decode_features,
+        encode_ppm,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, sf_small)
+    feats = decode_features(media, codec="ppm")
+    rows = {r["media_id"]: r["features"] for r in feats.collect()}
+    assert len(rows) > 0
+    for r in rows.values():
+        assert len(r) == FEATURE_DIM
+    # the distributed decode equals a local single-image reference decode
+    for mid in sorted(rows)[:3]:
+        want = _ppm_features(encode_ppm(32, 24, int(mid)))
+        assert rows[mid] == want
+
+
+def test_pil_agrees_with_numpy_ppm_codec_when_available(spark):
+    # Pillow reads PPM too — where it exists, the two real codecs must
+    # agree on the same payload (grayscale rounding aside)
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    from spark_bam_spark.operators.multimodal import _pil_features, _ppm_features, encode_ppm
+
+    payload = encode_ppm(32, 24, seed=7)
+    a = np.array(_ppm_features(payload))
+    b = np.array(_pil_features(payload))
+    assert np.abs(a - b).max() < 0.02  # PIL L-mode rounds luma to uint8
