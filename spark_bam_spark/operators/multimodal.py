@@ -163,6 +163,101 @@ def synth_ppm_media(spark: SparkSession, sf_dir: str, width: int = 32, height: i
     return docs.mapInPandas(gen, schema=out_schema)
 
 
+def encode_wav(n_samples: int, seed: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic PCM WAV test clip: int16 mono sine whose frequency
+    and phase derive from ``seed`` (real RIFF/WAVE bytes)."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 110.0 + (seed % 32) * 55.0
+    wave = np.sin(2 * np.pi * freq * t / sample_rate + (seed % 7))
+    pcm = (wave * 32000).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _wav_decode(payload: bytes):
+    """Pure-numpy decoder for PCM WAV (RIFF little-endian, 16-bit mono):
+    walks the chunk list to 'fmt ' and 'data' — no audio library.
+    Returns (samples float32 in [-1, 1], sample_rate)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(f"only 16-bit mono PCM supported, got {fmt}")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    return samples, sample_rate
+
+
+def _wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real audio decode without any external dependency: PCM WAV →
+    per-window RMS energy over ``dim`` equal windows (the classic cheap
+    audio fingerprint; same output shape as the image codecs)."""
+    import numpy as np
+
+    samples, _ = _wav_decode(payload)
+    n = len(samples)
+    edges = (np.arange(dim + 1) * n) // dim
+    return [
+        float(np.sqrt(np.mean(np.square(samples[edges[k] : edges[k + 1]]))))
+        if edges[k + 1] > edges[k]
+        else 0.0
+        for k in range(dim)
+    ]
+
+
+def synth_wav_media(spark: SparkSession, sf_dir: str, n_samples: int = 2048) -> DataFrame:
+    """Media table whose payloads are REAL encoded audio clips (PCM WAV),
+    generated deterministically per doc_id inside an Arrow-batched map."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    out_schema = (
+        "media_id bigint, kind string, content binary, "
+        "meta struct<format: string, width: int, height: int, duration_ms: int>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "content": [encode_wav(n_samples, int(d)) for d in pdf["doc_id"]],
+                    "meta": [
+                        {
+                            "format": "wav",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": n_samples * 1000 // 8000,
+                        }
+                        for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, schema=out_schema)
+
+
 def decode_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     """content binary → fixed-dim feature vector via Arrow-batched
     mapInPandas (batch in, batch out; per-task codec init).
@@ -174,6 +269,8 @@ def decode_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     NotImplementedError."""
     if codec == "ppm":
         decode = _ppm_features
+    elif codec == "wav":
+        decode = _wav_features
     elif codec == "pil":
         try:
             import PIL  # noqa: F401

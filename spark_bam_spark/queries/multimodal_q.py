@@ -83,3 +83,23 @@ def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
+
+
+@register(
+    "multimodal_wav_real_decode",
+    doc="REAL audio decode (pure-numpy RIFF/PCM WAV) → RMS-window features",
+)
+def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sibling of multimodal_ppm_real_decode: payloads are genuine
+    PCM WAV clips and the decoder chunk-walks RIFF with numpy alone —
+    per-window RMS energy features, no audio library required."""
+    from spark_bam_spark.operators import multimodal as mm
+
+    feats = mm.decode_features(mm.synth_wav_media(spark, sf_dir), codec="wav")
+    return feats.select(
+        "media_id",
+        F.round(
+            F.expr("aggregate(features, cast(0 as double), (a, v) -> a + cast(v as double))"), 6
+        ).alias("energy_sum"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("rms0"),
+    )

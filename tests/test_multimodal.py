@@ -152,3 +152,59 @@ def test_pil_agrees_with_numpy_ppm_codec_when_available(spark):
     a = np.array(_ppm_features(payload))
     b = np.array(_pil_features(payload))
     assert np.abs(a - b).max() < 0.02  # PIL L-mode rounds luma to uint8
+
+
+# -- real decode: pure-numpy WAV codec (no external library) -----------------
+
+
+def test_wav_decode_roundtrip_exact():
+    import numpy as np
+
+    from spark_bam_spark.operators.multimodal import _wav_decode, encode_wav
+
+    payload = encode_wav(256, seed=5)
+    samples, sr = _wav_decode(payload)
+    assert sr == 8000 and len(samples) == 256
+    t = np.arange(256, dtype=np.float64)
+    freq = 110.0 + (5 % 32) * 55.0
+    want = (np.sin(2 * np.pi * freq * t / 8000 + 5) * 32000).astype("<i2")
+    assert (samples == want.astype(np.float32) / 32768.0).all()
+
+
+def test_wav_decode_skips_extra_chunks_and_rejects_nonpcm():
+    import struct
+
+    import pytest as _pytest
+
+    from spark_bam_spark.operators.multimodal import _wav_decode, encode_wav
+
+    base = encode_wav(16, seed=1)
+    # splice a LIST chunk between fmt and data — decoders must chunk-walk
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = base[:fmt_end] + extra + base[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    samples, _ = _wav_decode(spliced)
+    assert len(samples) == 16
+    with _pytest.raises(ValueError):
+        _wav_decode(b"RIFF\x00\x00\x00\x00AVI " + base[12:])
+
+
+def test_real_wav_decode_runs_distributed(spark, sf_small):
+    from spark_bam_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _wav_features,
+        decode_features,
+        encode_wav,
+        synth_wav_media,
+    )
+
+    feats = decode_features(synth_wav_media(spark, sf_small), codec="wav")
+    rows = {r["media_id"]: r["features"] for r in feats.collect()}
+    assert len(rows) > 0
+    for r in rows.values():
+        assert len(r) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r)  # RMS of [-1,1] samples
+    for mid in sorted(rows)[:3]:
+        want = _wav_features(encode_wav(2048, int(mid)))
+        assert [round(v, 6) for v in rows[mid]] == [round(v, 6) for v in want]
