@@ -103,3 +103,22 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("energy_sum"),
         F.round(F.element_at("features", 1).cast("double"), 6).alias("rms0"),
     )
+
+
+@register(
+    "multimodal_y4m_frame_sample",
+    doc="REAL video frame sampling (pure-numpy YUV4MPEG2) → frame stats",
+)
+def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video sibling of the PPM/WAV real decodes: payloads are genuine
+    uncompressed YUV4MPEG2 clips; the frame sampler parses the container
+    with numpy alone, keeps every 4th frame, and reports per-clip frame
+    counts and luma statistics."""
+    from spark_bam_spark.operators import multimodal as mm
+
+    frames = mm.frame_sample(mm.synth_y4m_media(spark, sf_dir), codec="y4m", every_n_frames=4)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames_kept"),
+        F.max("frame_idx").alias("max_idx"),
+        F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+    )
