@@ -887,16 +887,14 @@ def quantize_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M = 4  # subspaces
 PQ_D = EMB_DIM // PQ_M  # dims per subspace
-PQ_K = 4  # codes per subspace codebook
-PQ_QUERY_VEC = 9  # probe query (not an init centroid)
+PQ_K = 16  # codes per subspace codebook (4 bits/code)
+PQ_QUERY_VEC = 77  # probe query (outside the init-centroid range)
 PQ_TOP_K = 10
+PQ_RERANK_L = 50  # ADC candidate depth for exact re-ranking
 
 
-@register(
-    "ann_pq_adc_topk",
-    tags=("similarity", "ann", "quantization", "contract"),
-    oracle=f"""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+_PQ_ORACLE_CTES = f"""
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     sub AS (
       SELECT vec_id, m.m AS m, v[m.m * {PQ_D} + 1 : m.m * {PQ_D} + {PQ_D}] AS sv
@@ -948,40 +946,13 @@ PQ_TOP_K = 10
       FROM e, qv
     ),
     exact AS (SELECT vec_id, CAST(SUM(t) AS DOUBLE) AS exact_d2 FROM ext GROUP BY vec_id)
-    SELECT est.vec_id,
-           ROUND(pq_d2, 6) AS pq_d2,
-           ROUND(exact_d2, 6) AS exact_d2,
-           ROUND(ABS(pq_d2 - exact_d2), 6) AS abs_err
-    FROM est JOIN exact ON exact.vec_id = est.vec_id
-    WHERE est.vec_id != {PQ_QUERY_VEC}
-    ORDER BY est.pq_d2, est.vec_id
-    LIMIT {PQ_TOP_K}
-    """,
-)
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation:
-    split each vector into {PQ_M} subspaces of {PQ_D} dims, learn a
-    {PQ_K}-entry codebook per subspace (one Lloyd update from a
-    deterministic init, as in ivf_kmeans_probe), encode every vector as
-    {PQ_M} one-byte codes, and answer a query by summing the
-    query-to-codebook distance table over each vector's codes — with the
-    EXACT L2 distance joined in-frame so the quantization error of every
-    returned neighbor is part of the verified result.
+"""
 
-    This completes the ANN family's storage axis: int8 SQ compresses 4x
-    (quantize_int8_topk); PQ compresses {4 * EMB_DIM}B -> {PQ_M}B per
-    vector, and the scan that answers a query reads ONLY the code
-    columns plus a {PQ_M * PQ_K}-row broadcast distance table — the
-    layout that makes 100 TB of embeddings probe-able from kilobytes of
-    codebook. All codebook training and distance math accumulates in
-    DECIMAL (argmin ties broken by code id), so codes, estimates, and
-    the top-k boundary are bit-identical across engines.
 
-    Scale shape: subspace explode is a narrow map (x{PQ_M} rows, same
-    bytes); codebooks train on a {PQ_M * PQ_K}-group agg; encoding is an
-    in-row argmin against the broadcast codebook; ADC is a broadcast
-    lookup join + per-vector sum — no shuffle ever carries vectors
-    except the two tiny groupBys."""
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PQ pipeline: every vector (except nothing — the query row
+    included) scored with its ADC estimate AND exact L2 distance to the
+    probe; consumers apply their own filter/ordering/limit."""
     emb = fan_out(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
@@ -1038,8 +1009,51 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = emb.crossJoin(F.broadcast(qvec)).select(
         "vec_id", F.expr(ed2).cast("double").alias("exact_d2")
     )
+    return est.join(exact, "vec_id")
+
+
+@register(
+    "ann_pq_adc_topk",
+    tags=("similarity", "ann", "quantization", "contract"),
+    oracle=f"""
+    WITH {_PQ_ORACLE_CTES}
+    SELECT est.vec_id,
+           ROUND(pq_d2, 6) AS pq_d2,
+           ROUND(exact_d2, 6) AS exact_d2,
+           ROUND(ABS(pq_d2 - exact_d2), 6) AS abs_err
+    FROM est JOIN exact ON exact.vec_id = est.vec_id
+    WHERE est.vec_id != {PQ_QUERY_VEC}
+    ORDER BY est.pq_d2, est.vec_id
+    LIMIT {PQ_TOP_K}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    split each vector into {PQ_M} subspaces of {PQ_D} dims, learn a
+    {PQ_K}-entry codebook per subspace (one Lloyd update from a
+    deterministic init, as in ivf_kmeans_probe), encode every vector as
+    {PQ_M} one-byte codes, and answer a query by summing the
+    query-to-codebook distance table over each vector's codes — with the
+    EXACT L2 distance joined in-frame so the quantization error of every
+    returned neighbor is part of the verified result.
+
+    This completes the ANN family's storage axis: int8 SQ compresses 4x
+    (quantize_int8_topk); PQ compresses {4 * EMB_DIM}B -> {PQ_M}B per
+    vector, and the scan that answers a query reads ONLY the code
+    columns plus a {PQ_M * PQ_K}-row broadcast distance table — the
+    layout that makes 100 TB of embeddings probe-able from kilobytes of
+    codebook. All codebook training and distance math accumulates in
+    DECIMAL (argmin ties broken by code id), so codes, estimates, and
+    the top-k boundary are bit-identical across engines.
+
+    Scale shape: subspace explode is a narrow map (x{PQ_M} rows, same
+    bytes); codebooks train on a {PQ_M * PQ_K}-group agg; encoding is an
+    in-row argmin against the broadcast codebook; ADC is a broadcast
+    lookup join + per-vector sum — no shuffle ever carries vectors
+    except the two tiny groupBys."""
+    scored = _pq_scored(spark, sf_dir)
     return (
-        est.join(exact, "vec_id")
+        scored
         .filter(F.col("vec_id") != PQ_QUERY_VEC)
         .orderBy("pq_d2", "vec_id")
         .limit(PQ_TOP_K)
@@ -1049,4 +1063,75 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("exact_d2", 6).alias("exact_d2"),
             F.round(F.abs(F.col("pq_d2") - F.col("exact_d2")), 6).alias("abs_err"),
         )
+    )
+
+
+@register(
+    "pq_recall_eval",
+    tags=("similarity", "quantization", "eval", "contract"),
+    oracle=f"""
+    WITH {_PQ_ORACLE_CTES},
+    scored AS (
+      SELECT est.vec_id, est.pq_d2, exact.exact_d2
+      FROM est JOIN exact ON exact.vec_id = est.vec_id
+      WHERE est.vec_id != {PQ_QUERY_VEC}
+    ),
+    pq_top AS (SELECT vec_id FROM scored ORDER BY pq_d2, vec_id LIMIT {PQ_TOP_K}),
+    exact_top AS (SELECT vec_id FROM scored ORDER BY exact_d2, vec_id LIMIT {PQ_TOP_K}),
+    cand AS (SELECT vec_id, exact_d2 FROM scored ORDER BY pq_d2, vec_id LIMIT {PQ_RERANK_L}),
+    rerank_top AS (SELECT vec_id FROM cand ORDER BY exact_d2, vec_id LIMIT {PQ_TOP_K})
+    SELECT {PQ_TOP_K} AS k,
+           CAST((SELECT COUNT(*) FROM pq_top JOIN exact_top USING (vec_id)) AS BIGINT)
+             AS adc_overlap,
+           ROUND(CAST((SELECT COUNT(*) FROM pq_top JOIN exact_top USING (vec_id)) AS DOUBLE)
+                 / {PQ_TOP_K}, 6) AS adc_recall,
+           CAST((SELECT COUNT(*) FROM rerank_top JOIN exact_top USING (vec_id)) AS BIGINT)
+             AS rerank_overlap,
+           ROUND(CAST((SELECT COUNT(*) FROM rerank_top JOIN exact_top USING (vec_id)) AS DOUBLE)
+                 / {PQ_TOP_K}, 6) AS rerank_recall
+    """,
+)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC index against the exact L2 top-k, for both
+    the raw ADC ranking and the production shape — ADC retrieves a
+    {PQ_RERANK_L}-deep candidate list, exact distances re-rank it — so
+    the metric that decides codebook size AND rerank depth is part of
+    the verified result (companion to ann_recall_eval for the IVF
+    family).
+
+    Honest numbers on this corpus: the synthetic embeddings are
+    near-random, which bounds what {PQ_K}-entry codebooks can capture
+    (ADC recall 0.1-0.3, reranked 0.3-0.6 across probes/SFs); the eval
+    exists precisely to expose that — production would raise K / L
+    until rerank_recall clears its target.
+
+    Scale shape: one shared PQ plan (broadcast distance table over
+    codes + exact distances in the same frame), three
+    TakeOrderedAndProject heads over it, and {PQ_TOP_K}-row joins.  All
+    distances are exact DECIMAL, so every boundary — ADC top-k,
+    candidate cut, rerank — is bit-identical across engines."""
+    scored = _pq_scored(spark, sf_dir).filter(F.col("vec_id") != PQ_QUERY_VEC)
+    pq_top = scored.orderBy("pq_d2", "vec_id").limit(PQ_TOP_K).select("vec_id")
+    exact_top = scored.orderBy("exact_d2", "vec_id").limit(PQ_TOP_K).select("vec_id")
+    rerank_top = (
+        scored.orderBy("pq_d2", "vec_id")
+        .limit(PQ_RERANK_L)
+        .orderBy("exact_d2", "vec_id")
+        .limit(PQ_TOP_K)
+        .select("vec_id")
+    )
+    adc = pq_top.join(exact_top, "vec_id").agg(
+        F.count("*").cast("bigint").alias("adc_overlap")
+    )
+    rr = rerank_top.join(exact_top, "vec_id").agg(
+        F.count("*").cast("bigint").alias("rerank_overlap")
+    )
+    return adc.crossJoin(rr).select(
+        F.lit(PQ_TOP_K).alias("k"),
+        "adc_overlap",
+        F.round(F.col("adc_overlap").cast("double") / PQ_TOP_K, 6).alias("adc_recall"),
+        "rerank_overlap",
+        F.round(F.col("rerank_overlap").cast("double") / PQ_TOP_K, 6).alias(
+            "rerank_recall"
+        ),
     )
