@@ -34,11 +34,15 @@ from spark_bam_spark.queries import register
 from spark_bam_spark.queries.dedup import _SHINGLES_SQL, _shingles
 from spark_bam_spark.tables import fan_out, table
 
-# 16 minhash components via Kirsch-Mitzenmacher double hashing.  h2 is
-# reduced below 2^55 (largest prime) so h1 (< 2^60) + 15*h2 stays under
-# 2^61 — no int64 overflow in Spark (ANSI) or DuckDB for any k < 16.
+# 16 INDEPENDENT minhash components: h_k(s) = md5(k || ':' || s).
+# Kirsch-Mitzenmacher double hashing (dedup_minhash_lsh) is deliberately
+# NOT used here: KM components h1 + k*h2 share the h1-dominated arg-min
+# shingle, so "matching components" collapses toward all-or-nothing and
+# the Jaccard estimate biases upward catastrophically (measured mean
+# |est - exact| ~0.5).  KM is fine for LSH banding, where candidates are
+# re-verified; estimation needs independent permutations, which cost one
+# md5 per (component, shingle) — the price of an unbiased estimator.
 N_COMPONENTS = 16
-_KM_P55 = 36028797018963913
 
 
 @register(
@@ -46,15 +50,10 @@ _KM_P55 = 36028797018963913
     tags=("dedup", "lsh", "contract"),
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    hashed AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-             (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P55} AS h2
-      FROM sh
-    ),
     sig AS (
-      SELECT doc_id, k.k AS k, MIN(h1 + k.k * h2) AS sig
-      FROM hashed, (SELECT unnest(generate_series(0, {N_COMPONENTS - 1})) AS k) k
+      SELECT doc_id, k.k AS k,
+             MIN(('0x' || substr(md5(k.k || ':' || s), 1, 15))::BIGINT) AS sig
+      FROM sh, (SELECT unnest(generate_series(0, {N_COMPONENTS - 1})) AS k) k
       GROUP BY doc_id, k.k
     ),
     matches AS (
@@ -89,9 +88,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the contract that lets a 100 TB dedup pipeline verify
     candidates from 128-byte signatures instead of re-intersecting
     shingle sets: the estimate's cost is per-doc (16 int64s), the exact
-    side here is the audit.  Components use Kirsch-Mitzenmacher double
-    hashing (one md5 per shingle, h_k = h1 + k*h2 — see dedup_minhash_lsh)
-    so signature rows stay 8-byte longs.
+    side here is the audit.  Each component is an INDEPENDENT md5-seeded
+    permutation (md5(k:s)) — see the module note for why KM double
+    hashing, correct for LSH banding, biases estimation and is not used
+    here.
 
     Scale shape: sigs = one min-agg pass over the shingle stream; the
     component match count is bucket-and-enumerate on (k, sig) — never a
@@ -106,18 +106,13 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posting lists); checkpoint it once so the split+explode+distinct
     # subtree runs once, not three times (dedup_clusters precedent)
     sh = _shingles(table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
-    h = F.md5("s")
-    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % _KM_P55
-    sigs = (
-        sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.col("h1") + k * F.col("h2")).alias(f"sig_{k}")
-                for k in range(N_COMPONENTS)
-            ]
-        )
+
+    def comp(k: int):
+        h = F.md5(F.concat_ws(":", F.lit(k), F.col("s")))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(comp(k)).alias(f"sig_{k}") for k in range(N_COMPONENTS)]
     )
     stack_args = ", ".join(f"{k}, sig_{k}" for k in range(N_COMPONENTS))
     sig_rows = sigs.select(

@@ -226,3 +226,20 @@ def test_pipeline_funnel_is_monotone_and_jvm_only(spark, sf_small):
         assert rows[s]["n_docs"] <= rows[s - 1]["n_docs"]
         assert rows[s]["n_tokens"] <= rows[s - 1]["n_tokens"]
     assert rows[1]["n_docs"] > rows[5]["n_docs"] > 0  # stages actually filter
+
+
+def test_minhash_estimate_accuracy_contract(spark, sf_small):
+    """The estimation error the query carries in-frame must actually be
+    small on average — 16 components give std ≈ sqrt(J(1-J)/16) ≤ 0.125,
+    so the mean |est - exact| across candidate pairs should sit well
+    under 0.15 (a broken hash or band arithmetic blows this up)."""
+    rows = REGISTRY["minhash_jaccard_estimate"].fn(spark, sf_small).collect()
+    assert len(rows) > 0
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.15, mean_err
+    # and the estimate must correlate with truth: pairs with high exact
+    # Jaccard should estimate higher on average than low-Jaccard pairs
+    hi = [r["est_jaccard"] for r in rows if r["jaccard"] >= 0.5]
+    lo = [r["est_jaccard"] for r in rows if r["jaccard"] < 0.2]
+    if hi and lo:
+        assert sum(hi) / len(hi) > sum(lo) / len(lo)
