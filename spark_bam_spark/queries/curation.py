@@ -596,3 +596,53 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("n_exact_dups").cast("double"), F.col("n_docs")), 6
         ).alias("dup_rate"),
     )
+
+
+PER_SOURCE_K = 3
+
+
+@register(
+    "weighted_sample_per_source",
+    tags=("mlprep", "sampling", "window"),
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                / 4503599627370496.0) / n_chars AS sel_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, ROUND(sel_key, 10) AS sel_key,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY sel_key DESC, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= {PER_SOURCE_K}
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling: the A-ES selection key of
+    weighted_sample_aes, but top-{PER_SOURCE_K} PER SOURCE — the shape a
+    mixing step actually runs (every source contributes its quota,
+    weights bias within the stratum).
+
+    Scale shape differs from the global variant on purpose: a window
+    rank per source instead of a global top-k, which Spark executes as
+    WindowGroupLimit — per-partition group-local heaps prune to k rows
+    BEFORE the exchange, so the shuffle carries at most k rows per
+    (partition, source) no matter the corpus size.  Same md5-derived
+    deterministic uniforms; ties impossible at double precision."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    keyed = d.select(
+        "source", "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("sel_key")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("sel_key"), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PER_SOURCE_K)
+        .select("source", "doc_id", "n_chars", F.round("sel_key", 10).alias("sel_key"), "rank")
+    )
