@@ -1135,3 +1135,118 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rerank_recall"
         ),
     )
+
+
+SRP_QUERY_VEC = 77
+SRP_TOP_K = 10
+SRP_MULTIPROBE_HAMMING = 1  # probe buckets within this Hamming radius
+
+
+@register(
+    "srp_recall_eval",
+    tags=("similarity", "lsh", "eval", "contract"),
+    oracle=f"""
+    WITH terms AS (
+      SELECT e.vec_id, p.p,
+             unnest(list_transform(e.embedding, (x, i) -> CAST(CAST(x AS DOUBLE) *
+                    (CASE WHEN ((31*p.p + 17*(i - 1)) % 5) >= 2 THEN 1.0 ELSE -1.0 END)
+                    AS DECIMAL(28,12)))) AS t
+      FROM embeddings e, range(0, {SRP_PLANES}) p(p)
+    ),
+    bits AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(t) >= 0 THEN (1 << p) ELSE 0 END AS bit
+      FROM terms GROUP BY vec_id, p
+    ),
+    sigs AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+    qb AS (SELECT bucket FROM sigs WHERE vec_id = {SRP_QUERY_VEC}),
+    cand AS (
+      SELECT s.vec_id FROM sigs s, qb
+      WHERE s.vec_id != {SRP_QUERY_VEC}
+        AND bit_count(xor(s.bucket, qb.bucket)) <= {SRP_MULTIPROBE_HAMMING}
+    ),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = {SRP_QUERY_VEC}),
+    prods AS (
+      SELECT e.vec_id,
+             unnest(list_transform(e.v, (x, i) -> CAST(x * qv.v[i] AS DECIMAL(28,12)))) AS xy,
+             unnest(list_transform(e.v, (x, i) -> CAST(x * x AS DECIMAL(28,12)))) AS xx,
+             unnest(list_transform(qv.v, (y, i) -> CAST(y * y AS DECIMAL(28,12)))) AS yy
+      FROM e, qv WHERE e.vec_id != {SRP_QUERY_VEC}
+    ),
+    cosine AS (
+      SELECT vec_id,
+             CAST(SUM(xy) AS DOUBLE) /
+             (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cos
+      FROM prods GROUP BY vec_id
+    ),
+    exact_top AS (SELECT vec_id FROM cosine ORDER BY cos DESC, vec_id LIMIT {SRP_TOP_K})
+    SELECT {SRP_TOP_K} AS k,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM cand JOIN exact_top USING (vec_id)) AS BIGINT)
+             AS n_overlap,
+           ROUND(CAST((SELECT COUNT(*) FROM cand JOIN exact_top USING (vec_id)) AS DOUBLE)
+                 / {SRP_TOP_K}, 6) AS recall_at_k
+    """,
+)
+def srp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of multi-probe SRP-LSH against the exact cosine top-k —
+    completing the approximate-index evaluation trilogy
+    (lsh_quality_eval for MinHash banding, pq_recall_eval for PQ, this
+    for random-hyperplane buckets).  Candidates are every vector whose
+    {SRP_PLANES}-bit bucket lies within Hamming distance
+    {SRP_MULTIPROBE_HAMMING} of the probe's bucket (multi-probe: sign
+    flips near a hyperplane are the dominant miss mode, so probing
+    adjacent buckets buys recall without touching more than
+    ({SRP_PLANES}+1)/2^{SRP_PLANES} of the corpus).
+
+    Scale shape: signatures are the narrow SRP map; the Hamming filter
+    is bit_count(xor()) against one broadcast bucket id — at 100 TB one
+    would enumerate the {SRP_PLANES}+1 bucket ids and semi-join the
+    bucket-partitioned signature table instead of scanning, but the
+    candidate SET is identical; the exact side is one DECIMAL cosine
+    pass + TakeOrderedAndProject.  Every boundary is exact across
+    engines."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", F.expr(_srp_bucket_expr()).alias("bucket"))
+    qb = sigs.filter(F.col("vec_id") == SRP_QUERY_VEC).select(F.col("bucket").alias("qb"))
+    cand = (
+        sigs.crossJoin(F.broadcast(qb))
+        .filter(
+            (F.col("vec_id") != SRP_QUERY_VEC)
+            & (F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= SRP_MULTIPROBE_HAMMING)
+        )
+        .select("vec_id")
+    )
+    ev = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qv = ev.filter(F.col("vec_id") == SRP_QUERY_VEC).select(F.col("v").alias("qv"))
+    dot = _dec_sum(f"zip_with(v, qv, (x, y) -> cast(x * y as {_DEC}))")
+    n2 = _dec_sum(f"transform(v, x -> cast(x * x as {_DEC}))")
+    qn2 = _dec_sum(f"transform(qv, y -> cast(y * y as {_DEC}))")
+    exact_top = (
+        ev.filter(F.col("vec_id") != SRP_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (
+                F.expr(dot).cast("double")
+                / (F.sqrt(F.expr(n2).cast("double")) * F.sqrt(F.expr(qn2).cast("double")))
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(SRP_TOP_K)
+        .select("vec_id")
+    )
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    n_hit = cand.join(exact_top, "vec_id").agg(
+        F.count("*").cast("bigint").alias("n_overlap")
+    )
+    return n_cand.crossJoin(n_hit).select(
+        F.lit(SRP_TOP_K).alias("k"),
+        "n_candidates",
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / SRP_TOP_K, 6).alias("recall_at_k"),
+    )
