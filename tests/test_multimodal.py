@@ -268,3 +268,52 @@ def test_real_y4m_frame_sample_runs_distributed(spark, sf_small):
             assert abs(r["mean_luma"] - float(ref_y.mean())) < 1e-9
     # frame payloads are raw Y planes of the declared geometry
     assert all(len(bytes(r["frame"])) == 16 * 12 for r in rows)
+
+
+# -- property-based codec invariants (hypothesis) ----------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 40), h=st.integers(1, 30), seed=st.integers(0, 10_000))
+def test_ppm_roundtrip_property(w, h, seed):
+    from spark_bam_spark.operators.multimodal import _ppm_decode, _ppm_features, encode_ppm
+
+    payload = encode_ppm(w, h, seed)
+    rgb = _ppm_decode(payload)
+    assert rgb.shape == (h, w, 3)
+    feats = _ppm_features(payload)
+    assert len(feats) == 16 and all(0.0 <= v <= 1.0 for v in feats)
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(1, 4096), seed=st.integers(0, 10_000))
+def test_wav_roundtrip_property(n, seed):
+    from spark_bam_spark.operators.multimodal import _wav_decode, _wav_features, encode_wav
+
+    payload = encode_wav(n, seed)
+    samples, sr = _wav_decode(payload)
+    assert sr == 8000 and len(samples) == n
+    assert all(-1.0 <= s <= 1.0 for s in samples[:64])
+    feats = _wav_features(payload)
+    assert len(feats) == 16 and all(0.0 <= v <= 1.0 for v in feats)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    nf=st.integers(1, 8),
+    seed=st.integers(0, 10_000),
+)
+def test_y4m_roundtrip_property(w, h, nf, seed):
+    from spark_bam_spark.operators.multimodal import _y4m_decode, encode_y4m
+
+    payload = encode_y4m(w, h, nf, seed)
+    frames, rw, rh = _y4m_decode(payload)
+    assert (rw, rh, len(frames)) == (w, h, nf)
+    for y, u, v in frames:
+        assert y.shape == (h, w) and u.shape == (h, w) and v.shape == (h, w)
