@@ -537,3 +537,109 @@ def sketch_heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_eN"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership (exact cross-engine replica; completes the sketch
+# family: KLL quantiles, HLL distinct, theta set-ops, count-min, Bloom)
+# --------------------------------------------------------------------------
+
+BLOOM_M = 2048  # bits
+BLOOM_K = 3  # hash functions
+
+
+@register(
+    "sketch_bloom_membership",
+    tags=("sketch", "contract"),
+    oracle=f"""
+    WITH members AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(j.j || ':' || k), 1, 15))::BIGINT % {BLOOM_M} AS bit
+      FROM members, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j) j
+    ),
+    probe AS (
+      SELECT c.c_custkey AS k, c.c_nationkey AS nationkey,
+             c.c_mktsegment = 'BUILDING' AS is_member
+      FROM customer c
+    ),
+    hits AS (
+      SELECT p.k, p.nationkey, p.is_member,
+             COUNT(b.bit) = {BLOOM_K} AS bloom_hit
+      FROM probe p
+      CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j) j
+      LEFT JOIN bits b
+        ON b.bit = ('0x' || substr(md5(j.j || ':' || p.k), 1, 15))::BIGINT % {BLOOM_M}
+      GROUP BY p.k, p.nationkey, p.is_member
+    )
+    SELECT nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           ROUND(CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END), 0), 6)
+             AS fp_rate,
+           SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END) = 0
+             AS no_false_neg
+    FROM hits
+    GROUP BY nationkey
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership test, replicated EXACTLY in both engines
+    ({BLOOM_K} md5-derived hashes into {BLOOM_M} bits): build the filter
+    over the BUILDING-segment customer keys, probe with EVERY customer,
+    and report per-nation probe counts, Bloom hits, false positives, the
+    measured FP rate, and the structural no-false-negative guarantee as a
+    boolean contract column.  Like the count-min query (and unlike the
+    opaque JVM KLL/HLL sketches), the filter is plain integer arithmetic,
+    so the oracle reproduces every bit and the counts hash-match
+    bit-for-bit — the strongest verification tier for a sketch.
+
+    Scale shape: the bit set is an OR-monoid — per-partition partial
+    build, merge by union; only the {BLOOM_M}-bit set ever moves, and it
+    broadcasts to the probe side (the plan's BroadcastHashJoin on the bit
+    id).  This is exactly the runtime-filter pattern Spark itself uses for
+    Bloom join pruning, surfaced as a first-class queryable operator."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nationkey"),
+        (F.col("c_mktsegment") == "BUILDING").alias("is_member"),
+    )
+    bit_of = lambda j, k: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat_ws(":", j, k)), 1, 15), 16, 10).cast("long")
+        % BLOOM_M
+    )
+    bits = (
+        cust.filter("is_member")
+        .select(F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j"), "k")
+        .select(bit_of(F.col("j"), F.col("k")).alias("bit"))
+        .distinct()
+    )
+    hits = (
+        cust.select(
+            "k", "nationkey", "is_member",
+            F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j"),
+        )
+        .join(F.broadcast(bits), bit_of(F.col("j"), F.col("k")) == F.col("bit"), "left")
+        .groupBy("k", "nationkey", "is_member")
+        .agg((F.count("bit") == BLOOM_K).alias("bloom_hit"))
+    )
+    n_members = F.sum(F.col("is_member").cast("int"))
+    n_fp = F.sum((F.col("bloom_hit") & ~F.col("is_member")).cast("int"))
+    return hits.groupBy("nationkey").agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        n_members.cast("bigint").alias("n_members"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias("n_bloom_hits"),
+        n_fp.cast("bigint").alias("n_false_pos"),
+        F.round(
+            n_fp.cast("double") / F.nullif(F.count("*") - n_members, F.lit(0)), 6
+        ).alias("fp_rate"),
+        (F.sum((F.col("is_member") & ~F.col("bloom_hit")).cast("int")) == 0).alias(
+            "no_false_neg"
+        ),
+    )

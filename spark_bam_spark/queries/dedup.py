@@ -15,6 +15,7 @@ driver-side pairwise loop. Cross-engine determinism: all hashes are md5
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import REGISTRY, register
@@ -701,4 +702,91 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(cont >= 0.6)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    tags=("dedup", "text"),
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (
+      SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+      FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    cnt AS (SELECT gram, COUNT(*) AS c FROM pos GROUP BY gram),
+    dup AS (SELECT doc_id, i FROM pos JOIN cnt USING (gram) WHERE c >= 2),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM dup
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(i) AS BIGINT) AS span_start,
+             CAST(MAX(i) - MIN(i) + 8 AS BIGINT) AS span_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+      FROM isl GROUP BY doc_id, grp
+      HAVING COUNT(*) >= 5
+    )
+    SELECT s.doc_id, span_start, span_tokens, n_dup_grams,
+           md5(array_to_string(w[span_start:span_start + span_tokens - 1], ' '))
+             AS span_hash
+    FROM spans s JOIN toks USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span extraction — the actionable output of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): for each document, the maximal token ranges
+    whose every 8-gram occurs >= 2x corpus-wide, i.e. the spans a
+    dedup pass would delete. Where dup_ngram_coverage reports a per-source
+    coverage *fraction*, this emits the spans themselves (start, length,
+    and an md5 of the exact span text so the extraction is char-exact
+    across engines). Runs of >= 5 consecutive duplicated grams (>= 12
+    tokens) stand in for the reference method's >= 50-char threshold.
+
+    Scale shape: explode -> gram count (map-side partial agg, uniform text
+    key) -> hash join back -> one window over (doc_id, position) for the
+    gaps-and-islands grouping -> per-(doc, island) agg. Every shuffle keys
+    on the gram hash or doc_id (both uniform); the window partitions by
+    doc_id so its sort is per-document, never global. Positions are ints,
+    so island detection (i - row_number) is exact in both engines."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 8)
+    # inline transform in the explode (InferFiltersFromGenerate trap — see
+    # _shingles); struct carries the position alongside the gram
+    pos = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7),"
+                " i -> struct(i AS i, array_join(slice(w, i, 8), ' ') AS gram))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.i").alias("i"), F.col("p.gram").alias("gram"))
+    cnt = pos.groupBy("gram").agg(F.count("*").alias("c"))
+    dup = pos.join(cnt.filter(F.col("c") >= 2), "gram").select("doc_id", "i")
+    isl = dup.withColumn(
+        "grp", F.col("i") - F.row_number().over(W.partitionBy("doc_id").orderBy("i"))
+    )
+    spans = (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") - F.min("i") + 8).cast("bigint").alias("span_tokens"),
+            F.count("*").cast("bigint").alias("n_dup_grams"),
+        )
+        .filter(F.col("n_dup_grams") >= 5)
+        .drop("grp")
+    )
+    return spans.join(toks, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_tokens",
+        "n_dup_grams",
+        F.md5(F.expr("array_join(slice(w, cast(span_start as int), cast(span_tokens as int)), ' ')")).alias(
+            "span_hash"
+        ),
     )

@@ -456,3 +456,68 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.round(F.sum("nll") / F.count("*"), 6).alias("avg_nll"),
     )
+
+
+@register(
+    "bm25_topk_docs",
+    tags=("text", "ranking"),
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    docfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    q AS (SELECT w, df FROM docfreq ORDER BY df DESC, w LIMIT 3)
+    SELECT tf.doc_id,
+           ROUND(SUM(ln(1 + (stats.n_docs - q.df + 0.5) / (q.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6)
+             AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+    FROM tf JOIN q USING (w) JOIN dl USING (doc_id), stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (k1=1.2, b=0.75) for a deterministic query —
+    the 3 highest-document-frequency tokens — returning the top 20 docs
+    by score.  The exact-retrieval companion to tfidf_top_terms: idf uses
+    the standard ln(1 + (N - df + 0.5)/(df + 0.5)) form, tf saturates via
+    k1, and dl/avgdl length-normalizes via b.
+
+    Scale shape: tf table from one map-side-combined groupBy; the query
+    term list (3 rows) and the corpus stats (1 row) BROADCAST, so scoring
+    is a narrow probe of the tf table — no corpus-wide shuffle beyond the
+    tf build — then per-doc agg over <= 3 rows and a global top-k
+    (TakeOrderedAndProject, never a full sort).  Scores are rounded to
+    6dp on both engines and the ordering key is the ROUNDED score with a
+    doc_id tiebreak, so the top-20 boundary is engine-identical."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    qterms = docfreq.orderBy(F.desc("df"), "w").limit(3)
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term), 6).alias("bm25"),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

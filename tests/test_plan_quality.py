@@ -243,3 +243,27 @@ def test_minhash_estimate_accuracy_contract(spark, sf_small):
     lo = [r["est_jaccard"] for r in rows if r["jaccard"] < 0.2]
     if hi and lo:
         assert sum(hi) / len(hi) > sum(lo) / len(lo)
+
+
+# --- round-4 late additions: substring spans / Bloom / BM25 ---------------
+
+
+def test_substring_spans_windows_per_doc_no_python_eval(spark, sf_small):
+    plan = plan_of(REGISTRY["dedup_substring_spans"].fn(spark, sf_small))
+    assert "Window" in plan  # gaps-and-islands runs as a per-doc window
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_membership_broadcasts_bitset(spark, sf_small):
+    plan = plan_of(REGISTRY["sketch_bloom_membership"].fn(spark, sf_small))
+    # the bitset (<= BLOOM_M rows) must broadcast to the probe side
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_uses_take_ordered_and_broadcast_terms(spark, sf_small):
+    plan = plan_of(REGISTRY["bm25_topk_docs"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan  # top-20 is never a full sort
+    assert "BroadcastHashJoin" in plan  # 3-term query list broadcasts
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
