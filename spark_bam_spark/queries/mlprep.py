@@ -28,6 +28,7 @@ integer/decimal inputs on both sides.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
@@ -821,6 +822,135 @@ def ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(IVF_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup = k-means blocking + in-cluster cosine pruning
+# --------------------------------------------------------------------------
+
+SEM_K = 8  # clusters for the semantic blocking pass
+SEM_TAU = 0.99  # prune threshold (planted near-dups score ~0.9999)
+
+
+@register(
+    "semdedup_prune",
+    tags=("dedup", "similarity", "embedding", "iterative"),
+    oracle=f"""
+    WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    e AS (
+      SELECT vec_id, v FROM e0
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END)
+      FROM e0 WHERE vec_id % 11 = 0
+    ),
+    c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {SEM_K}),
+    t1 AS (SELECT e.vec_id, c0.cluster,
+                  unnest(list_transform(e.v, (x, i) ->
+                         CAST((x - c0.c[i]) * (x - c0.c[i]) AS DECIMAL(28,12)))) AS t
+           FROM e, c0),
+    d1 AS (SELECT vec_id, cluster, SUM(t) AS d2 FROM t1 GROUP BY vec_id, cluster),
+    a1 AS (SELECT vec_id, cluster FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+    m1 AS (SELECT a1.cluster, i.i AS i,
+                  CAST(SUM(CAST(e.v[i.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+           FROM a1 JOIN e USING (vec_id), range(1, {EMB_DIM + 1}) i(i)
+           GROUP BY a1.cluster, i.i),
+    t2 AS (SELECT e.vec_id, m1.cluster,
+                  CAST((e.v[m1.i] - m1.cv) * (e.v[m1.i] - m1.cv) AS DECIMAL(28,12)) AS t
+           FROM e, m1),
+    d2x AS (SELECT vec_id, cluster, SUM(t) AS d2 FROM t2 GROUP BY vec_id, cluster),
+    a2 AS (SELECT vec_id, cluster FROM d2x
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+    ex AS (SELECT e.vec_id, a2.cluster,
+                  unnest(list_transform(e.v, (x, i) -> {{'i': i, 'x': x}}),
+                         recursive := true)
+           FROM e JOIN a2 USING (vec_id)),
+    norms AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS xx
+              FROM ex GROUP BY vec_id),
+    dots AS (SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb,
+                    CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dotp
+             FROM ex a JOIN ex b
+               ON a.cluster = b.cluster AND a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY a.cluster, a.vec_id, b.vec_id),
+    scored AS (SELECT cluster, va, vb, dotp / (sqrt(na.xx) * sqrt(nb.xx)) AS cos
+               FROM dots
+               JOIN norms na ON na.vec_id = va
+               JOIN norms nb ON nb.vec_id = vb)
+    SELECT cluster, vec_pruned, kept_vec, ROUND(cos, 6) AS cosine
+    FROM (SELECT cluster, vb AS vec_pruned, va AS kept_vec, cos,
+                 row_number() OVER (PARTITION BY vb ORDER BY va) AS rn
+          FROM scored WHERE cos >= {SEM_TAU})
+    WHERE rn = 1
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    blocking — cluster the embedding corpus ({SEM_K} cells, one Lloyd
+    update from deterministic init, exactly the ivf_kmeans_probe
+    quantizer), then compute pairwise cosine ONLY within each cluster and
+    prune every vector whose cosine to a lower-id cluster-mate reaches
+    {SEM_TAU} (survivor = lowest vec_id, the dedup_exact/minhash
+    convention; kept_vec = the lowest-id partner, so the output is the
+    prune *decision list*). The synthetic corpus has no natural near-dups
+    (max in-label cosine ~0.47), so the input re-ingests every 11th
+    vector with one element scaled 1.01 (cos ~0.9999) — the operator must
+    find exactly those planted copies, and both engines plant
+    identically.
+
+    Scale shape: clustering is the SemDeDup point — all-pairs cosine is
+    quadratic, pairs-within-cluster is ~n²/k per cell and embarrassingly
+    parallel across cells. The centroid table ({SEM_K} rows) broadcasts
+    for assignment (no shuffle); the pair join shuffles once on the
+    cluster id; norms ride along in-row. DECIMAL accumulation keeps both
+    engines bit-identical; ranking/threshold use the raw double."""
+    emb0 = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    planted = emb0.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(v, (x, i) -> if(i = 0, x * 1.01d, x))").alias("v"),
+    )
+    corpus = fan_out(emb0.unionAll(planted))
+    c0 = corpus.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+    a1 = _assign(corpus, c0)
+    sums = [F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)]
+    cent1 = (
+        a1.groupBy("cluster")
+        .agg(F.count("*").alias("n"), *sums)
+        .select(
+            "cluster",
+            F.array(
+                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]
+            ).alias("c"),
+        )
+    )
+    a2 = _assign(corpus, cent1).withColumn(
+        "xx", F.expr(f"cast({_dec_sum('transform(v, x -> cast(x * x as ' + _DEC + '))')} as double)")
+    )
+    dot = (
+        f"cast({_dec_sum(f'zip_with(a.v, b.v, (x, y) -> cast(x * y as {_DEC}))')} as double)"
+    )
+    a, b = a2.alias("a"), a2.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cluster").alias("cluster"),
+        F.col("a.vec_id").alias("kept_vec"),
+        F.col("b.vec_id").alias("vec_pruned"),
+        (F.expr(dot) / (F.sqrt("a.xx") * F.sqrt("b.xx"))).alias("cos"),
+    )
+    w = W.partitionBy("vec_pruned").orderBy("kept_vec")
+    return (
+        scored.filter(F.col("cos") >= SEM_TAU)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", "vec_pruned", "kept_vec", F.round("cos", 6).alias("cosine"))
     )
 
 

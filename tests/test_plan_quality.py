@@ -267,3 +267,13 @@ def test_bm25_uses_take_ordered_and_broadcast_terms(spark, sf_small):
     assert "TakeOrderedAndProject" in plan  # top-20 is never a full sort
     assert "BroadcastHashJoin" in plan  # 3-term query list broadcasts
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_blocks_pairs_by_cluster(spark, sf_small):
+    plan = plan_of(REGISTRY["semdedup_prune"].fn(spark, sf_small))
+    # the in-cluster pair join must be a real equi-join on the cluster id,
+    # never an all-pairs cartesian (the centroid broadcast is the only
+    # nested-loop: a 1-row packed table)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
