@@ -646,3 +646,56 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PER_SOURCE_K)
         .select("source", "doc_id", "n_chars", F.round("sel_key", 10).alias("sel_key"), "rank")
     )
+
+
+@register(
+    "data_split_assign",
+    tags=("pipeline", "sampling"),
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 10 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM assigned
+    GROUP BY source, split
+    """,
+)
+def data_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by hashing the
+    document id into 10 md5 buckets — the split step every training-data
+    pipeline needs, reported as per-(source, split) doc and token counts.
+    Hash-bucket assignment (vs random) is reproducible across reruns and
+    engines, stable under corpus growth (a doc never changes split when
+    new docs arrive), and needs no global state.
+
+    Scale shape: the assignment is a narrow per-row expression on the
+    scan; the only shuffle is the final (source, split) agg, map-side
+    combined into at most sources x 3 groups. A salted prefix in the
+    hash input ('split:') decorrelates the split from every other
+    md5(doc_id)-derived decision in the pipeline (sampling keys,
+    uniforms) so joint selections stay unbiased."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select("source", split, F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )

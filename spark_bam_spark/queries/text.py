@@ -521,3 +521,91 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "gopher_rules_filter",
+    tags=("text", "quality"),
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS awl,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS alpha_frac,
+             len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                           x -> x IN {_SW_SQL}))) AS n_stop,
+             CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                    x -> len(list_filter(string_split(text, ' '), y -> y = x)))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS top_tok_frac
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tok BETWEEN 30 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+           CAST(SUM(CASE WHEN awl BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+           CAST(SUM(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+           CAST(SUM(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+           CAST(SUM(CASE WHEN top_tok_frac <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep,
+           CAST(SUM(CASE WHEN n_tok BETWEEN 30 AND 100000 AND awl BETWEEN 3 AND 10
+                          AND alpha_frac >= 0.8 AND n_stop >= 2 AND top_tok_frac <= 0.2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM scored GROUP BY source
+    """,
+)
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, Table A1) adapted
+    to the synthetic corpus, reported per source as per-rule pass counts
+    plus the conjunctive keep count: document length in [30, 1e5] tokens,
+    mean word length in [3, 10], >= 80% purely-alphabetic tokens, >= 2
+    distinct required stopwords, and top-token dominance <= 0.2 (the
+    intra-doc repetition gate standing in for Gopher's duplicate-line
+    fractions).
+
+    Scale shape: every rule — including the repetition gate, computed
+    in-row as an O(len^2) array expression over the <= 100-token docs
+    rather than an explode+groupBy — is a narrow JVM map; the only
+    shuffle is the final per-source agg (map-side combined). Integer
+    counts and exact int/int ratios keep both engines bit-identical."""
+    d = fan_out(table(spark, sf_dir, "documents"))
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ntok = F.size(F.split("text", " "))
+    awl = F.col("n_chars").cast("double") / ntok
+    alpha = (
+        F.expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))").cast("double")
+        / ntok
+    )
+    nstop = F.expr(
+        f"size(array_distinct(filter(split(lower(text), ' '), x -> x IN ({sw}))))"
+    )
+    toprat = (
+        F.expr(
+            "array_max(transform(array_distinct(split(text, ' ')),"
+            " x -> size(filter(split(text, ' '), y -> y = x))))"
+        ).cast("double")
+        / ntok
+    )
+    scored = d.select(
+        "source",
+        ntok.alias("n_tok"),
+        awl.alias("awl"),
+        alpha.alias("alpha_frac"),
+        nstop.alias("n_stop"),
+        toprat.alias("top_tok_frac"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    r_len = F.col("n_tok").between(30, 100000)
+    r_awl = F.col("awl").between(3, 10)
+    r_alpha = F.col("alpha_frac") >= 0.8
+    r_stop = F.col("n_stop") >= 2
+    r_rep = F.col("top_tok_frac") <= 0.2
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        one(r_len).alias("pass_len"),
+        one(r_awl).alias("pass_wordlen"),
+        one(r_alpha).alias("pass_alpha"),
+        one(r_stop).alias("pass_stop"),
+        one(r_rep).alias("pass_rep"),
+        one(r_len & r_awl & r_alpha & r_stop & r_rep).alias("n_keep"),
+    )

@@ -277,3 +277,17 @@ def test_semdedup_blocks_pairs_by_cluster(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_single_shuffle_no_python_eval(spark, sf_small):
+    plan = plan_of(REGISTRY["gopher_rules_filter"].fn(spark, sf_small))
+    # every rule (incl. the in-row repetition gate) is a narrow JVM map;
+    # the per-source agg is the only exchange beyond the fan-out repartition
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 4  # fan-out + partial/final agg (AQE reuse)
+
+
+def test_data_split_assign_is_narrow_map_plus_agg(spark, sf_small):
+    plan = plan_of(REGISTRY["data_split_assign"].fn(spark, sf_small))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan  # map-side combined (partial + final)
