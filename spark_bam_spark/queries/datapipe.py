@@ -643,3 +643,75 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_neg"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Key-skew diagnostic: the pre-flight check before any big shuffle
+# --------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_report",
+    tags=("pipeline", "stats", "scale"),
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    k AS (SELECT COUNT(*) AS k, SUM(n) AS total, MAX(n) AS mx, AVG(n) AS mean FROM c),
+    r AS (SELECT user_id, n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS rn FROM c)
+    SELECT CAST(k.k AS BIGINT) AS n_keys,
+           CAST(k.total AS BIGINT) AS total_rows,
+           ROUND(k.mean, 6) AS mean_per_key,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.50 * k.k) AS BIGINT) THEN n END) AS BIGINT) AS p50,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.90 * k.k) AS BIGINT) THEN n END) AS BIGINT) AS p90,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * k.k) AS BIGINT) THEN n END) AS BIGINT) AS p99,
+           CAST(k.mx AS BIGINT) AS max_cnt,
+           ROUND(k.mx / k.mean, 6) AS skew_ratio,
+           (SELECT (list(user_id ORDER BY n DESC, user_id))[1:5] FROM c) AS top5_keys
+    FROM r, k
+    GROUP BY k.k, k.total, k.mx, k.mean
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic over events.user_id: key count,
+    total rows, mean rows per key, rank-based exact p50/p90/p99 of the
+    per-key count distribution, the max, the max/mean skew ratio, and
+    the 5 heaviest keys — the report that decides whether a downstream
+    join needs salting or AQE skew handling (see skew_join_salted for
+    the remediation this report gates).
+
+    Scale shape: the per-key count table is |keys| rows — orders of
+    magnitude smaller than the corpus — so the rank window over it is
+    cheap even at 100 TB of events; the corpus itself is touched once by
+    a map-side-combined count. (For key spaces too large to rank
+    exactly, sketch_doclen_quantiles shows the KLL path.) Rank-based
+    percentiles (value at row ceil(q*k) in (count, key) order) are
+    integer-exact and engine-identical, unlike interpolating
+    percentile functions whose formulas differ across engines."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    k = c.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("mx"),
+        F.avg("n").alias("mean"),
+    )
+    r = c.withColumn("rn", F.row_number().over(W.orderBy("n", "user_id")))
+    at = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("k")), F.col("n"))
+    ).cast("bigint")
+    return (
+        r.crossJoin(F.broadcast(k))
+        .agg(
+            F.max("k").cast("bigint").alias("n_keys"),
+            F.max("total").cast("bigint").alias("total_rows"),
+            F.round(F.max("mean"), 6).alias("mean_per_key"),
+            at(0.50).alias("p50"),
+            at(0.90).alias("p90"),
+            at(0.99).alias("p99"),
+            F.max("mx").cast("bigint").alias("max_cnt"),
+            F.round(F.max("mx") / F.max("mean"), 6).alias("skew_ratio"),
+            F.expr(
+                "slice(transform(array_sort(collect_list(struct(-n AS negn, user_id AS user_id))),"
+                " s -> s.user_id), 1, 5)"
+            ).alias("top5_keys"),
+        )
+    )

@@ -609,3 +609,68 @@ def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(r_rep).alias("pass_rep"),
         one(r_len & r_awl & r_alpha & r_stop & r_rep).alias("n_keep"),
     )
+
+
+@register(
+    "bigram_logprob_score",
+    tags=("text", "quality"),
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM toks, unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT x) AS vsz
+          FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)),
+    scored AS (
+      SELECT b.doc_id, -ln((bc.c2 + 1.0) / (uc.c1 + v.vsz)) AS nll
+      FROM big b JOIN bc USING (w1, w2) JOIN uc USING (w1), v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(nll) / COUNT(*), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-one-smoothed
+    corpus BIGRAM model — the context-aware companion to
+    unigram_logprob_score (the perplexity-style filter of CCNet/Wikipedia
+    pipelines): p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V), with c(w1) counted
+    over bigram positions so train and eval see the same event space.
+
+    Scale shape: bigram counts from one map-side-combined groupBy on the
+    (w1,w2) pair key (uniform); scoring re-joins the bigram stream to the
+    count tables on the same keys — the bigram table is NOT broadcast
+    (it grows with the corpus; only the one-row vocab size is). The
+    explode keeps its transform inline (InferFiltersFromGenerate trap).
+    Rounded at 6dp to absorb double-sum ordering wobble."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uc = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = (
+        d.select(F.explode(F.split("text", " ")).alias("x"))
+        .agg(F.count_distinct("x").alias("vsz"))
+    )
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (-F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz")))).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("nll") / F.count("*"), 6).alias("avg_nll"),
+    )

@@ -291,3 +291,19 @@ def test_data_split_assign_is_narrow_map_plus_agg(spark, sf_small):
     plan = plan_of(REGISTRY["data_split_assign"].fn(spark, sf_small))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan  # map-side combined (partial + final)
+
+
+def test_key_skew_report_windows_key_table_only(spark, sf_small):
+    df = REGISTRY["key_skew_report"].fn(spark, sf_small)
+    plan = plan_of(df)
+    # the rank window runs over the per-key COUNT table, downstream of the
+    # map-side-combined aggregate — never over the raw event stream
+    assert "Window" in plan and "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert df.count() == 1
+
+
+def test_bigram_logprob_no_python_eval_no_cartesian(spark, sf_small):
+    plan = plan_of(REGISTRY["bigram_logprob_score"].fn(spark, sf_small))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
