@@ -95,6 +95,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="parquet table directory")
     p.add_argument("--out", default=None, help="write CSV here instead of stdout")
     p.add_argument("--print-limit", type=int, default=DEFAULT_PRINT_LIMIT)
+    p = sub.add_parser(
+        "explain", help="print a registered query's physical plan without running it"
+    )
+    p.add_argument("name", help="registry name (see list-queries)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="parquet table directory")
+    p.add_argument(
+        "--mode",
+        default="formatted",
+        choices=("simple", "extended", "formatted", "cost", "codegen"),
+        help="Spark explain mode",
+    )
     return ap
 
 
@@ -134,6 +145,18 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
             )
         df = registry[args.name].fn(spark, args.sf_dir)
         _df_to_out(df, args.out, print_limit=args.print_limit)
+        return
+    if cmd == "explain":
+        from spark_bam_spark.queries import load_all
+
+        registry = load_all()
+        if args.name not in registry:
+            raise SystemExit(
+                f"unknown query {args.name!r}; `list-queries` prints the registry"
+            )
+        df = registry[args.name].fn(spark, args.sf_dir)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(args.mode)
+        print(df._jdf.queryExecution().explainString(mode))
         return
     if cmd == "check-bam":
         df = qa.confusion_matrix(qa.calls(spark, args.path, stride=1))

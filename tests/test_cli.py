@@ -115,3 +115,14 @@ def test_query_unknown_name_errors(spark, capsys):
 
     with _pytest.raises(SystemExit):
         _run(spark, ["query", "no_such_query"], capsys)
+
+
+def test_explain_prints_physical_plan(spark, capsys):
+    lines = _run(
+        spark,
+        ["explain", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"],
+        capsys,
+    )
+    text = "\n".join(lines)
+    assert "Physical Plan" in text
+    assert "HashAggregate" in text and "Scan parquet" in text
