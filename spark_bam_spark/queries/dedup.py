@@ -790,3 +790,71 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_hash"
         ),
     )
+
+
+@register(
+    "boilerplate_strip",
+    tags=("dedup", "text"),
+    oracle="""
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 generate_series(1, greatest(CAST(ceil(len(w) / 4.0) AS INT), 0)),
+                 i -> {'i': i, 'seg': array_to_string(w[(i-1)*4+1:(i-1)*4+4], ' ')}),
+               recursive := true)
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN f.df < 2 THEN s.seg END, ' ' ORDER BY s.i), ''))
+             AS clean_hash
+    FROM segs s JOIN freq f USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL — the actionable companion to
+    boilerplate_segments (which only scores): rebuild each document with
+    its cross-document repeated 4-word segments deleted and emit the md5
+    of the cleaned text, so the reconstruction is char-exact across
+    engines (the C4/CCNet line-dedup pass as a transformation, not a
+    report; same relationship as dedup_substring_spans to
+    dup_ngram_coverage).
+
+    Scale shape: identical to boilerplate_segments — explode →
+    distinct-doc count per segment (map-side partial agg, uniform text
+    key) → hash join back → per-doc agg; the reassembly is an in-row
+    array_sort over the kept (position, segment) structs, no extra
+    shuffle. Kept segments re-join on ' ' in position order in BOTH
+    engines (collect_list and string_agg each skip the removed-segment
+    NULLs); a fully-boilerplate doc hashes the empty string."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    # inline transform in the explode (InferFiltersFromGenerate trap)
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(cast(ceil(size(w) / 4.0) as int), 0)),"
+                " i -> struct(i AS i, array_join(slice(w, (i-1)*4 + 1, 4), ' ') AS seg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.i", "p.seg")
+    freq = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum((F.col("df") >= 2).cast("int")).cast("bigint").alias("n_removed"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "case when df < 2 then struct(i AS i, seg AS seg) end)),"
+                    " s -> s.seg), ' ')"
+                )
+            ).alias("clean_hash"),
+        )
+    )

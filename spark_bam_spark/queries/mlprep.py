@@ -829,7 +829,8 @@ def ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: semantic dedup = k-means blocking + in-cluster cosine pruning
 # --------------------------------------------------------------------------
 
-SEM_K = 8  # clusters for the semantic blocking pass
+SEM_K = 8  # minimum clusters for the semantic blocking pass
+SEM_TARGET = 512  # target cluster size: K = max(SEM_K, ceil(n / SEM_TARGET))
 SEM_TAU = 0.99  # prune threshold (planted near-dups score ~0.9999)
 
 
@@ -846,7 +847,9 @@ SEM_TAU = 0.99  # prune threshold (planted near-dups score ~0.9999)
              list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END)
       FROM e0 WHERE vec_id % 11 = 0
     ),
-    c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {SEM_K}),
+    kk AS (SELECT greatest({SEM_K}, CAST(ceil(COUNT(*) / {SEM_TARGET}.0) AS BIGINT)) AS k
+           FROM e),
+    c0 AS (SELECT vec_id AS cluster, v AS c FROM e, kk WHERE vec_id < kk.k),
     t1 AS (SELECT e.vec_id, c0.cluster,
                   unnest(list_transform(e.v, (x, i) ->
                          CAST((x - c0.c[i]) * (x - c0.c[i]) AS DECIMAL(28,12)))) AS t
@@ -888,24 +891,29 @@ SEM_TAU = 0.99  # prune threshold (planted near-dups score ~0.9999)
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
-    blocking — cluster the embedding corpus ({SEM_K} cells, one Lloyd
-    update from deterministic init, exactly the ivf_kmeans_probe
-    quantizer), then compute pairwise cosine ONLY within each cluster and
-    prune every vector whose cosine to a lower-id cluster-mate reaches
-    {SEM_TAU} (survivor = lowest vec_id, the dedup_exact/minhash
-    convention; kept_vec = the lowest-id partner, so the output is the
-    prune *decision list*). The synthetic corpus has no natural near-dups
-    (max in-label cosine ~0.47), so the input re-ingests every 11th
-    vector with one element scaled 1.01 (cos ~0.9999) — the operator must
-    find exactly those planted copies, and both engines plant
-    identically.
+    blocking — cluster the embedding corpus (one Lloyd update from
+    deterministic init, exactly the ivf_kmeans_probe quantizer), then
+    compute pairwise cosine ONLY within each cluster and prune every
+    vector whose cosine to a lower-id cluster-mate reaches {SEM_TAU}
+    (survivor = lowest vec_id, the dedup_exact/minhash convention;
+    kept_vec = the lowest-id partner, so the output is the prune
+    *decision list*). The synthetic corpus has no natural near-dups (max
+    in-label cosine ~0.47), so the input re-ingests every 11th vector
+    with one element scaled 1.01 (cos ~0.9999) — the operator must find
+    exactly those planted copies, and both engines plant identically.
 
     Scale shape: clustering is the SemDeDup point — all-pairs cosine is
-    quadratic, pairs-within-cluster is ~n²/k per cell and embarrassingly
-    parallel across cells. The centroid table ({SEM_K} rows) broadcasts
-    for assignment (no shuffle); the pair join shuffles once on the
-    cluster id; norms ride along in-row. DECIMAL accumulation keeps both
-    engines bit-identical; ranking/threshold use the raw double."""
+    quadratic, pairs-within-cluster is ~(n/k)² per cell and
+    embarrassingly parallel across cells. K is therefore ADAPTIVE:
+    max({SEM_K}, ceil(n/{SEM_TARGET})), computed identically on both
+    engines from one count, so cell size — and with it per-cell pair
+    work AND the worst single task — stays bounded as the corpus grows
+    (a fixed K=8 run at 10x data put ~all pairs in one mega-cluster:
+    one straggler task ran minutes while the other cells took seconds).
+    The centroid table (k rows) broadcasts for assignment (no shuffle);
+    the pair join shuffles once on the cluster id; norms ride along
+    in-row. DECIMAL accumulation keeps both engines bit-identical;
+    ranking/threshold use the raw double."""
     emb0 = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
@@ -914,8 +922,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(v, (x, i) -> if(i = 0, x * 1.01d, x))").alias("v"),
     )
     corpus = fan_out(emb0.unionAll(planted))
-    c0 = corpus.filter(F.col("vec_id") < SEM_K).select(
-        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    kk = corpus.agg(
+        F.greatest(
+            F.lit(SEM_K), F.ceil(F.count("*") / float(SEM_TARGET)).cast("long")
+        ).alias("k")
+    )
+    c0 = (
+        corpus.crossJoin(F.broadcast(kk))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("c"))
     )
     a1 = _assign(corpus, c0)
     sums = [F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)]
@@ -929,8 +944,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
-    a2 = _assign(corpus, cent1).withColumn(
-        "xx", F.expr(f"cast({_dec_sum('transform(v, x -> cast(x * x as ' + _DEC + '))')} as double)")
+    # checkpoint the assignment: the k*dim DECIMAL argmin subplan (scan ->
+    # a1 -> cent1 -> a2) would otherwise execute on BOTH sides of the pair
+    # self-join — measured 2x+ of the operator's wall time at 10x data
+    a2 = (
+        _assign(corpus, cent1)
+        .withColumn(
+            "xx",
+            F.expr(f"cast({_dec_sum('transform(v, x -> cast(x * x as ' + _DEC + '))')} as double)"),
+        )
+        .localCheckpoint(eager=True)
     )
     dot = (
         f"cast({_dec_sum(f'zip_with(a.v, b.v, (x, y) -> cast(x * y as {_DEC}))')} as double)"

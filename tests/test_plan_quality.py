@@ -307,3 +307,11 @@ def test_bigram_logprob_no_python_eval_no_cartesian(spark, sf_small):
     plan = plan_of(REGISTRY["bigram_logprob_score"].fn(spark, sf_small))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_strip_no_python_eval_no_extra_shuffle(spark, sf_small):
+    plan = plan_of(REGISTRY["boilerplate_strip"].fn(spark, sf_small))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # reassembly happens in-row inside the per-doc agg: segment explode,
+    # freq agg, join back, doc agg — no window, no cartesian
+    assert "CartesianProduct" not in plan

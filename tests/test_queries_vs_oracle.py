@@ -83,3 +83,22 @@ def test_ivf_pruned_scan_actually_prunes(spark, sf_small):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "label" in seg
+
+
+def test_boilerplate_strip_reconstructs_untouched_docs(spark, sf_small):
+    """A doc with n_removed == 0 must rebuild to EXACTLY its original
+    text (the 4-token segmentation partitions the token list), so its
+    clean_hash equals md5(text) — proves reassembly is lossless."""
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.tables import table
+
+    out = REGISTRY["boilerplate_strip"].fn(spark, sf_small)
+    docs = table(spark, sf_small, "documents").select(
+        "doc_id", F.md5("text").alias("orig_hash")
+    )
+    joined = out.filter(F.col("n_removed") == 0).join(docs, "doc_id")
+    rows = joined.collect()
+    assert len(rows) > 0
+    bad = [r for r in rows if r["clean_hash"] != r["orig_hash"]]
+    assert not bad, f"lossy reassembly for {len(bad)} docs, e.g. {bad[:3]}"
