@@ -699,3 +699,66 @@ def data_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "cdc_merge_latest",
+    tags=("events", "cdc", "pipeline"),
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_op,
+           value AS last_value,
+           CAST(ts_us AS BIGINT) AS last_ts_us,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins MERGE: collapse a change feed to current state —
+    one surviving row per key carrying the newest change, with keys whose
+    newest change is a delete dropped entirely (events stand in for the
+    feed: (user_id, ts, event_id) orders changes totally; 'error' plays
+    the delete op). The companion to scd2_value_intervals: SCD-2 keeps
+    history, this produces the type-1 current snapshot a MERGE INTO
+    target would hold.
+
+    Scale shape: the rank and the change count deliberately take
+    DIFFERENT paths. The rank-only window lets Spark plan the rn=1
+    predicate as WindowGroupLimit — per-partition heaps prune to one
+    row per key BEFORE the exchange, so the window shuffle carries
+    ~|keys| rows, not the feed (a count riding the same window would
+    force every row through the sort). The per-key change count comes
+    from a map-side-combined aggregate instead and joins back on the
+    already-co-partitioned key. Timestamps exported as unix
+    microseconds (integer-exact in both engines)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        # NTZ -> LTZ is exact under the session's pinned UTC zone (the
+        # ADVICE-r3 convention; see streaming_batch.py)
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        F.row_number().over(w).alias("rn"),
+    )
+    counts = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_changes"))
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .join(counts, "user_id")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+            F.col("ts_us").cast("bigint").alias("last_ts_us"),
+            "n_changes",
+        )
+    )

@@ -1621,3 +1621,60 @@ def bag_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.intersectAll(a).select(F.lit("intersect_all").alias("op"), "l_suppkey")
         .unionAll(r.exceptAll(a).select(F.lit("except_all").alias("op"), "l_suppkey"))
     )
+
+
+@register(
+    "attribution_last_touch",
+    tags=("events", "window", "analytics"),
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, 'direct')
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase's value is credited to the
+    channel of the user's most recent PRECEDING non-purchase event (the
+    classic marketing-attribution window; purchases with no prior event
+    credit 'direct'). Channel = event_type of that touch.
+
+    Scale shape: one shuffle on user_id, one per-user ordered window
+    carrying last_value(... IGNORE NULLS) over the preceding frame, then
+    a tiny per-channel agg. DECIMAL accumulation of the double values
+    keeps the sums bit-identical across engines (the events.value
+    convention shared with the streaming twins)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("channel"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("attributed_value"),
+        )
+    )

@@ -315,3 +315,16 @@ def test_boilerplate_strip_no_python_eval_no_extra_shuffle(spark, sf_small):
     # reassembly happens in-row inside the per-doc agg: segment explode,
     # freq agg, join back, doc agg — no window, no cartesian
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_merge_uses_window_group_limit(spark, sf_small):
+    plan = plan_of(REGISTRY["cdc_merge_latest"].fn(spark, sf_small))
+    # rn = 1 must prune per-partition BEFORE the exchange
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_single_user_window(spark, sf_small):
+    plan = plan_of(REGISTRY["attribution_last_touch"].fn(spark, sf_small))
+    assert "Window" in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
