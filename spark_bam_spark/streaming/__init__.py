@@ -358,3 +358,73 @@ def scd2_intervals_stream(events: DataFrame, watermark: str = "2 hours") -> Data
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cdc_merge_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming CDC latest-wins MERGE via applyInPandasWithState: per-key
+    ValueState holds the newest change seen so far ((ts, event_id) total
+    order); every batch folds its rows against the state and emits the
+    key's CURRENT merged row in UPDATE mode — the streaming twin of
+    queries/curation.py::cdc_merge_latest (the type-1 snapshot), exactly
+    as scd2_intervals_stream twins the SCD-2 interval builder.
+
+    At warehouse scale this is the continuous MERGE INTO: per-key O(1)
+    state (one row), update-mode output feeding an upsert sink. Delete
+    ops ('error' here) stay IN state — a later change may supersede
+    them — and consumers drop keys whose current op is the delete, same
+    as the batch filter. Event times travel as int64 micros so state is
+    timezone-free."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, last_op string, last_value double, last_ts_us bigint"
+    state_schema = "ts bigint, event_id bigint, op string, value double"
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    pdf["ts_us"].astype("int64"),
+                    pdf["event_id"].astype("int64"),
+                    pdf["event_type"],
+                    pdf["value"].astype(float),
+                )
+            )
+        if not rows:
+            return
+        cand = max(rows, key=lambda r: (r[0], r[1]))
+        if state.exists:
+            ts, eid, op, val = state.get
+            if (ts, eid) > (cand[0], cand[1]):
+                cand = (ts, eid, op, val)
+        state.update((int(cand[0]), int(cand[1]), str(cand[2]), float(cand[3])))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_op": [str(cand[2])],
+                "last_value": [float(cand[3])],
+                "last_ts_us": [int(cand[0])],
+            }
+        )
+
+    return (
+        events.select(
+            "ts",
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

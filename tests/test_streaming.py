@@ -230,3 +230,33 @@ def test_scd2_intervals_stream_matches_batch_closed_intervals(spark, sf_small, e
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_cdc_merge_stream_final_state_matches_batch(spark, sf_small, events_stream):
+    """The last UPDATE-mode emission per key must equal the batch
+    cdc_merge_latest snapshot (latest-wins over (ts, event_id); 'error'
+    keys dropped by the consumer-side filter, mirroring the batch
+    query)."""
+    out = st.run_to_memory(
+        st.cdc_merge_stream(events_stream), "cdc_merge_out", "update"
+    )
+    rows = out.collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["last_ts_us"] > cur["last_ts_us"]:
+            latest[r["user_id"]] = r
+    got = sorted(
+        (u, r["last_op"], r["last_value"], r["last_ts_us"])
+        for u, r in latest.items()
+        if r["last_op"] != "error"
+    )
+
+    from spark_bam_spark.queries import load_all
+
+    batch = load_all()["cdc_merge_latest"].fn(spark, sf_small)
+    want = sorted(
+        (r["user_id"], r["last_op"], r["last_value"], r["last_ts_us"])
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
