@@ -715,3 +715,161 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top5_keys"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier evaluation: decile lift + threshold metrics over the score
+# --------------------------------------------------------------------------
+
+# same stand-in linear score as classifier_linear_score; the "label" is a
+# deterministic quality proxy (>= 2 distinct required stopwords), so both
+# engines derive identical (score, label) pairs
+_SCORE_SQL = """
+      SELECT doc_id,
+             CAST(COALESCE(list_aggregate(list_transform(
+                      list_filter(string_split(text, ' '), x -> length(x) > 0),
+                      x -> (ascii(x)*31 + length(x)*7) % 101), 'sum'), 0) AS DOUBLE)
+               / (101.0 * greatest(len(list_filter(string_split(text, ' '),
+                                                   x -> length(x) > 0)), 1)) AS score,
+             len(list_distinct(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))) >= 2 AS label
+      FROM documents
+"""
+
+
+@register(
+    "score_decile_lift",
+    tags=("mlprep", "classifier", "eval"),
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    ranked AS (
+      SELECT score, label,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) OVER () AS DOUBLE)
+               / COUNT(*) OVER () AS base_rate
+      FROM scored
+    )
+    SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS pos_rate,
+           ROUND(CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 / base_rate, 6) AS lift
+    FROM ranked
+    GROUP BY CAST(((rn - 1) * 10) // n AS BIGINT), base_rate
+    """,
+)
+def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table for the classifier score — the standard
+    calibration artifact for a quality filter: rank all docs by score,
+    cut into 10 equal buckets with the EXPLICIT integer formula
+    floor((rn-1)*10/n) (never NTILE, whose remainder distribution is an
+    engine implementation detail), and report each decile's positive
+    rate against the base rate. Label = the deterministic stopword
+    quality proxy, so both engines derive identical (score, label)
+    pairs and the table is integer-exact up to the final rounded
+    ratios.
+
+    Scale shape: one global rank window over (score, doc_id) — at 100 TB
+    the rank would come from a two-pass range-partitioned sort (or the
+    KLL sketch for approximate deciles); the per-decile agg is 10
+    groups. Everything else is a narrow JVM map."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    raw = "aggregate(filter(split(text, ' '), x -> length(x) > 0), 0L, (acc, x) -> acc + (ascii(x)*31 + length(x)*7) % 101)"
+    ntok = "size(filter(split(text, ' '), x -> length(x) > 0))"
+    sw = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in"))
+    scored = d.select(
+        "doc_id",
+        (F.expr(raw).cast("double") / (101.0 * F.greatest(F.expr(ntok), F.lit(1)))).alias(
+            "score"
+        ),
+        (
+            F.expr(f"size(array_distinct(filter(split(lower(text), ' '), x -> x IN ({sw}))))")
+            >= 2
+        ).alias("label"),
+    )
+    ranked = scored.select(
+        "score",
+        "label",
+        F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        (
+            F.sum(F.col("label").cast("int")).over(W.partitionBy()).cast("double")
+            / F.count("*").over(W.partitionBy())
+        ).alias("base_rate"),
+    )
+    pos = F.sum(F.col("label").cast("int"))
+    rate = pos.cast("double") / F.count("*")
+    return ranked.groupBy(
+        F.expr("((rn - 1) * 10) div n").cast("bigint").alias("decile"), "base_rate"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        pos.cast("bigint").alias("n_pos"),
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(rate / F.col("base_rate"), 6).alias("lift"),
+    ).drop("base_rate")
+
+
+@register(
+    "score_threshold_metrics",
+    tags=("mlprep", "classifier", "eval"),
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    th AS (SELECT unnest([0.46, 0.50, 0.54]) AS threshold)
+    SELECT threshold,
+           CAST(SUM(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN score < threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           ROUND(CAST(SUM(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END), 0), 6) AS precision,
+           ROUND(CAST(SUM(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN label THEN 1 ELSE 0 END), 0), 6) AS recall
+    FROM scored, th
+    GROUP BY threshold
+    """,
+)
+def score_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point metrics for the classifier score: TP/FP/FN/TN and
+    precision/recall at three fixed thresholds against the deterministic
+    stopword quality label — the artifact that picks a quality filter's
+    cutoff (companion to score_decile_lift's ranking view).
+
+    Scale shape: the per-doc (score, label) map crossJoins a 3-row
+    broadcast threshold list and aggregates to 3 groups — map-side
+    combined, integer-exact counts, one tiny shuffle."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    raw = "aggregate(filter(split(text, ' '), x -> length(x) > 0), 0L, (acc, x) -> acc + (ascii(x)*31 + length(x)*7) % 101)"
+    ntok = "size(filter(split(text, ' '), x -> length(x) > 0))"
+    sw = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in"))
+    scored = d.select(
+        (F.expr(raw).cast("double") / (101.0 * F.greatest(F.expr(ntok), F.lit(1)))).alias(
+            "score"
+        ),
+        (
+            F.expr(f"size(array_distinct(filter(split(lower(text), ' '), x -> x IN ({sw}))))")
+            >= 2
+        ).alias("label"),
+    )
+    th = F.explode(F.array(F.lit(0.46), F.lit(0.50), F.lit(0.54))).alias("threshold")
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    pred = F.col("score") >= F.col("threshold")
+    tp = cnt(pred & F.col("label"))
+    return (
+        scored.select("score", "label", th)
+        .groupBy("threshold")
+        .agg(
+            tp.alias("tp"),
+            cnt(pred & ~F.col("label")).alias("fp"),
+            cnt(~pred & F.col("label")).alias("fn"),
+            cnt(~pred & ~F.col("label")).alias("tn"),
+            F.round(
+                tp.cast("double") / F.nullif(cnt(pred), F.lit(0)), 6
+            ).alias("precision"),
+            F.round(
+                tp.cast("double") / F.nullif(cnt(F.col("label")), F.lit(0)), 6
+            ).alias("recall"),
+        )
+    )

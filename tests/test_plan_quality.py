@@ -328,3 +328,10 @@ def test_attribution_single_user_window(spark, sf_small):
     plan = plan_of(REGISTRY["attribution_last_touch"].fn(spark, sf_small))
     assert "Window" in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_score_eval_queries_no_python_eval(spark, sf_small):
+    for name in ("score_decile_lift", "score_threshold_metrics"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_small))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
