@@ -674,3 +674,54 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.round(F.sum("nll") / F.count("*"), 6).alias("avg_nll"),
     )
+
+
+@register(
+    "bpe_merge_pairs",
+    tags=("text", "tokenizer"),
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, c
+      FROM vocab, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING-step statistic (Sennrich et al.): corpus-weighted
+    counts of adjacent symbol pairs — the quantity a byte-pair-encoding
+    trainer maximizes to pick each merge — reported as the top-20 pairs.
+    Complements text_bpe_token_stats (which APPLIES a GPT-2-style
+    pre-tokenizer): this is the statistic that BUILDS the vocabulary;
+    iterating it (merge the argmax, re-count) is the full trainer loop.
+
+    Scale shape: the crucial trick is counting pairs over the VOCABULARY
+    (word, count) table, not the raw token stream — the corpus is
+    touched once by a map-side-combined word count, then pair explosion
+    runs over |vocab| rows with each pair weighted by the word's corpus
+    count (exactly how production BPE trainers scale). Top-20 is a
+    TakeOrderedAndProject, never a full sort."""
+    d = fan_out(table(spark, sf_dir, "documents").select("text"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        "c",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )

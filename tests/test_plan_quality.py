@@ -335,3 +335,9 @@ def test_score_eval_queries_no_python_eval(spark, sf_small):
         plan = plan_of(REGISTRY[name].fn(spark, sf_small))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_bpe_merge_pairs_counts_over_vocab_with_take_ordered(spark, sf_small):
+    plan = plan_of(REGISTRY["bpe_merge_pairs"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
