@@ -160,8 +160,10 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_ann_pipeline",
     # -- new in r4 (never driver-checked; the two §2.9 twins take the two
     # spare window slots; everything below plus the unpinned late-r4
-    # additions — curation/PQ/count-min/funnel, ordered by registration —
-    # rotates into the r5 window, which has ~35 slots to spare) -----------
+    # additions — curation/PQ/count-min/funnel/substring-spans/Bloom/BM25/
+    # SemDeDup/Gopher/splits/skew/bigram/CDC/attribution/score-eval/BPE,
+    # ordered by registration — rotates into the r5 window: 38 names
+    # remain never-green after the r4 run, fitting with 12 slots spare) ---
     "stream_stream_click_purchase",
     "streaming_dedup_recovery",
     "stratified_sample_by_lang",
