@@ -1678,3 +1678,93 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("attributed_value"),
         )
     )
+
+
+@register(
+    "event_anomaly_zscore",
+    tags=("events", "window", "analytics"),
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, v100,
+             SUM(v100) OVER fr AS s1,
+             SUM(v100 * v100) OVER fr AS s2,
+             COUNT(*) OVER fr AS n
+      FROM v
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT user_id, event_id, v100 / 100.0 AS value,
+             CAST(s1 AS DOUBLE) / (100.0 * n) AS m,
+             CAST(s2 AS DOUBLE) / (10000.0 * n)
+               - (CAST(s1 AS DOUBLE) / (100.0 * n)) * (CAST(s1 AS DOUBLE) / (100.0 * n))
+               AS var,
+             n
+      FROM w
+    )
+    SELECT user_id, event_id, value,
+           ROUND((value - m) / sqrt(var), 6) AS z
+    FROM z
+    WHERE n >= 10 AND var > 0 AND (value - m) * (value - m) >= 9 * var
+    """,
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value sits
+    >= 3 sigma from the mean of the user's PREVIOUS <= 20 events (>= 10
+    for warm-up) — the standard per-entity outlier monitor, expressed as
+    one ordered window.
+
+    Cross-engine exactness: values are 2-dp, so the window sums run over
+    integer cents (floor(v*100 + 0.5)) — S1, S2 and n are integer-exact,
+    mean/variance derive from them in identical double arithmetic, and
+    the 3-sigma test compares (v-m)^2 >= 9*var (no sqrt at the decision
+    boundary; sqrt only for the reported z, rounded 6dp).
+
+    Scale shape: one shuffle on user_id, one bounded-frame window pass —
+    Spark keeps the 20-row frame incrementally, so cost is O(events),
+    not O(events * frame)."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v100"),
+    )
+    fr = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    w = v.select(
+        "user_id",
+        "event_id",
+        "v100",
+        F.sum("v100").over(fr).alias("s1"),
+        F.sum(F.col("v100") * F.col("v100")).over(fr).alias("s2"),
+        F.count("*").over(fr).alias("n"),
+    )
+    m = F.col("s1").cast("double") / (100.0 * F.col("n"))
+    var = F.col("s2").cast("double") / (10000.0 * F.col("n")) - m * m
+    val = F.col("v100") / 100.0
+    z = w.select(
+        "user_id",
+        "event_id",
+        val.alias("value"),
+        m.alias("m"),
+        var.alias("var"),
+        "n",
+    )
+    return (
+        z.filter(
+            (F.col("n") >= 10)
+            & (F.col("var") > 0)
+            & ((F.col("value") - F.col("m")) * (F.col("value") - F.col("m")) >= 9 * F.col("var"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round((F.col("value") - F.col("m")) / F.sqrt("var"), 6).alias("z"),
+        )
+    )

@@ -341,3 +341,9 @@ def test_bpe_merge_pairs_counts_over_vocab_with_take_ordered(spark, sf_small):
     plan = plan_of(REGISTRY["bpe_merge_pairs"].fn(spark, sf_small))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anomaly_zscore_single_bounded_window(spark, sf_small):
+    plan = plan_of(REGISTRY["event_anomaly_zscore"].fn(spark, sf_small))
+    assert plan.count("Window") == 1  # one bounded-frame pass, per user
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
