@@ -36,6 +36,13 @@ ORDER_SENSITIVE = [
     "sessionization_gap30m",
     "rolling_7d_user_spend",
     "source_cap_filter",
+    # late-r4 window/rank/top-k additions
+    "dedup_substring_spans",
+    "bm25_topk_docs",
+    "cdc_merge_latest",
+    "attribution_last_touch",
+    "score_decile_lift",
+    "event_anomaly_zscore",
 ]
 
 _SWEEP = os.environ.get("SPARK_GRAFT_DETERMINISM_SWEEP") == "1"

@@ -102,3 +102,47 @@ def test_boilerplate_strip_reconstructs_untouched_docs(spark, sf_small):
     assert len(rows) > 0
     bad = [r for r in rows if r["clean_hash"] != r["orig_hash"]]
     assert not bad, f"lossy reassembly for {len(bad)} docs, e.g. {bad[:3]}"
+
+
+def test_substring_spans_are_duplicated_and_maximal(spark, sf_small):
+    """Semantic contract of dedup_substring_spans beyond the oracle: every
+    reported span (a) is a true duplication witness — each of its 8-grams
+    occurs >= 2x corpus-wide — and (b) is maximal — the positions
+    immediately before and after the span are NOT duplicated grams (else
+    the island would have extended)."""
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.tables import table
+
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in REGISTRY["dedup_substring_spans"].fn(spark, sf_small).collect()
+    }
+    assert spans
+    toks = (
+        table(spark, sf_small, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 8)
+    )
+    pos = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7),"
+                " i -> struct(i AS i, array_join(slice(w, i, 8), ' ') AS gram))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.i", "p.gram")
+    cnt = {r["gram"]: r["c"] for r in pos.groupBy("gram").agg(F.count("*").alias("c")).collect()}
+    by_doc = {}
+    for r in pos.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["i"]] = r["gram"]
+    for doc_id, start, tokens in spans:
+        grams = by_doc[doc_id]
+        last_gram_pos = start + tokens - 8
+        for i in range(start, last_gram_pos + 1):
+            assert cnt[grams[i]] >= 2, f"non-duplicated gram inside span {doc_id}:{i}"
+        if start - 1 in grams:
+            assert cnt[grams[start - 1]] < 2, f"span {doc_id}:{start} not left-maximal"
+        if last_gram_pos + 1 in grams:
+            assert cnt[grams[last_gram_pos + 1]] < 2, f"span {doc_id}:{start} not right-maximal"
