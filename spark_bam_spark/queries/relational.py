@@ -1768,3 +1768,70 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - F.col("m")) / F.sqrt("var"), 6).alias("z"),
         )
     )
+
+
+@register(
+    "rfm_user_segments",
+    tags=("events", "analytics", "mlprep"),
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS now FROM events),
+    rfm AS (
+      SELECT user_id,
+             CAST((epoch_us(anchor.now) - epoch_us(MAX(ts))) // 86400000000 AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+                  AS DOUBLE) AS monetary
+      FROM events, anchor
+      GROUP BY user_id, anchor.now
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= 2 AND monetary >= 2000 THEN 'champion'
+                WHEN recency_days <= 2 THEN 'recent'
+                WHEN monetary >= 2000 THEN 'big_spender'
+                ELSE 'standard' END AS segment
+    FROM rfm
+    """,
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic feature-engineering pass for churn/value models: days since
+    last event (relative to the corpus max timestamp, so the query is
+    reproducible), total event count, DECIMAL-exact purchase revenue,
+    and a rule segment.
+
+    Scale shape: one map-side-combined agg on user_id plus a broadcast
+    one-row anchor; integer day arithmetic on unix micros (floor
+    division, identical in both engines), DECIMAL money — all
+    engine-exact, no windows."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    anchor = ev.agg(F.max("ts_us").alias("now_us"))
+    money = F.sum(
+        F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,4)"))
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    ).cast("double")
+    rfm = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "now_us")
+        .agg(
+            F.expr("(max(now_us) - max(ts_us)) div 86400000000").cast("bigint").alias(
+                "recency_days"
+            ),
+            F.count("*").cast("bigint").alias("frequency"),
+            money.alias("monetary"),
+        )
+        .drop("now_us")
+    )
+    seg = (
+        F.when((F.col("recency_days") <= 2) & (F.col("monetary") >= 2000), "champion")
+        .when(F.col("recency_days") <= 2, "recent")
+        .when(F.col("monetary") >= 2000, "big_spender")
+        .otherwise("standard")
+    )
+    return rfm.select("user_id", "recency_days", "frequency", "monetary", seg.alias("segment"))

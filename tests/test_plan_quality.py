@@ -347,3 +347,9 @@ def test_anomaly_zscore_single_bounded_window(spark, sf_small):
     plan = plan_of(REGISTRY["event_anomaly_zscore"].fn(spark, sf_small))
     assert plan.count("Window") == 1  # one bounded-frame pass, per user
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_single_agg_broadcast_anchor(spark, sf_small):
+    plan = plan_of(REGISTRY["rfm_user_segments"].fn(spark, sf_small))
+    assert "HashAggregate" in plan  # map-side combined user agg
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
