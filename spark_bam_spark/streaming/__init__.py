@@ -428,3 +428,28 @@ def cdc_merge_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def value_quantiles_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-event-type streaming value quantiles via KLL sketch
+    aggregation — the quantile member of the streaming sketch family
+    (HLL distinct in daily_distinct_users, count-min in cm_user_cells).
+    Exact percentiles are unsupported over unbounded streams (state
+    would hold every value); the KLL sketch is the scale path — a
+    fixed-size mergeable state per group whose published rank error
+    bounds the drift monitor's tolerance.
+
+    Tests assert the streamed estimates honor the sketch's rank
+    contract against the exact batch distribution, the same in-frame
+    bound the batch twin (queries/datapipe.py::sketch_doclen_quantiles)
+    carries in its oracle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+        .select(
+            "event_type",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50_est"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90_est"),
+        )
+    )

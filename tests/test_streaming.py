@@ -260,3 +260,27 @@ def test_cdc_merge_stream_final_state_matches_batch(spark, sf_small, events_stre
         for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_value_quantiles_stream_honors_rank_contract(spark, sf_small, events_stream):
+    """The streamed KLL p50/p90 estimates must sit at true batch rank
+    0.5/0.9 +- 3% (the k=200 sketch's published normalized rank error is
+    ~1.65%; same tolerance as the batch twin's oracle)."""
+    out = st.run_to_memory(
+        st.value_quantiles_stream(events_stream), "kll_stream_out", "complete"
+    )
+    est = {r["event_type"]: (r["p50_est"], r["p90_est"]) for r in out.collect()}
+    assert est
+
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.tables import table
+
+    ev = table(spark, sf_small, "events")
+    for etype, (p50, p90) in est.items():
+        vals = ev.filter(F.col("event_type") == etype)
+        n = vals.count()
+        r50 = vals.filter(F.col("value") <= p50).count() / n
+        r90 = vals.filter(F.col("value") <= p90).count() / n
+        assert abs(r50 - 0.5) <= 0.03, f"{etype}: p50 rank {r50}"
+        assert abs(r90 - 0.9) <= 0.03, f"{etype}: p90 rank {r90}"
