@@ -314,3 +314,76 @@ def streaming_dedup_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "session_path_analysis",
+    tags=("streaming", "session", "analytics"),
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the top-20 session-opening event-type
+    sequences (first 5 steps of each gap-30m session) by session count —
+    the "what do users do after arriving" report built on the same
+    lag+cumsum sessionization as sessionization_gap30m.
+
+    Scale shape: one shuffle on user_id; the session window and the
+    per-session path assembly (in-row array_sort over <= first-5 structs
+    after collect_list) reuse that partitioning; path counting is a
+    map-side-combined agg on the path string; top-20 is
+    TakeOrderedAndProject."""
+    ev = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = ts_us - F.lag(ts_us).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        ts_us.alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = flagged.withColumn("session_id", F.sum("is_new").over(cum))
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "array_join(slice(transform(array_sort(collect_list("
+            "struct(ts_us AS ts_us, event_id AS event_id, event_type AS event_type))),"
+            " s -> s.event_type), 1, 5), '>')"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

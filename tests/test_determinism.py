@@ -43,6 +43,7 @@ ORDER_SENSITIVE = [
     "attribution_last_touch",
     "score_decile_lift",
     "event_anomaly_zscore",
+    "session_path_analysis",
 ]
 
 _SWEEP = os.environ.get("SPARK_GRAFT_DETERMINISM_SWEEP") == "1"

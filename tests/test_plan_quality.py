@@ -353,3 +353,9 @@ def test_rfm_single_agg_broadcast_anchor(spark, sf_small):
     plan = plan_of(REGISTRY["rfm_user_segments"].fn(spark, sf_small))
     assert "HashAggregate" in plan  # map-side combined user agg
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session_path_take_ordered_no_python_eval(spark, sf_small):
+    plan = plan_of(REGISTRY["session_path_analysis"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
