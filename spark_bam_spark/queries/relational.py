@@ -1835,3 +1835,65 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("standard")
     )
     return rfm.select("user_id", "recency_days", "frequency", "monetary", seg.alias("segment"))
+
+
+@register(
+    "basket_part_pairs",
+    tags=("relational", "analytics"),
+    oracle="""
+    WITH parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM parts a JOIN parts b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    total AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem)
+    SELECT part_a, part_b,
+           CAST(COUNT(*) AS BIGINT) AS support_cnt,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / total.n_orders, 6) AS support
+    FROM pairs, total
+    GROUP BY part_a, part_b, total.n_orders
+    ORDER BY support_cnt DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-25 part pairs most often
+    bought together (distinct parts per order, unordered pairs, support
+    count + support rate) — the level-2 Apriori/FP-growth building block
+    as one declarative plan.
+
+    Scale shape: pair enumeration happens WITHIN each order — baskets
+    are small (~4 line items), so the per-order pair explosion is
+    bounded and the join key (l_orderkey) is uniform; never an all-pairs
+    across the catalog. Counting is a map-side-combined agg on the
+    (part_a, part_b) pair key; top-25 is TakeOrderedAndProject. The
+    one-row order count broadcasts."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.distinct()
+    a, b = parts.alias("a"), parts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    total = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("support_cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "support_cnt",
+            F.round(F.col("support_cnt").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.desc("support_cnt"), "part_a", "part_b")
+        .limit(25)
+    )

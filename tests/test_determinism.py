@@ -44,6 +44,7 @@ ORDER_SENSITIVE = [
     "score_decile_lift",
     "event_anomaly_zscore",
     "session_path_analysis",
+    "basket_part_pairs",
 ]
 
 _SWEEP = os.environ.get("SPARK_GRAFT_DETERMINISM_SWEEP") == "1"

@@ -359,3 +359,10 @@ def test_session_path_take_ordered_no_python_eval(spark, sf_small):
     plan = plan_of(REGISTRY["session_path_analysis"].fn(spark, sf_small))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_basket_pairs_within_order_take_ordered(spark, sf_small):
+    plan = plan_of(REGISTRY["basket_part_pairs"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
