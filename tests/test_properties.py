@@ -95,3 +95,66 @@ def test_checker_no_false_negatives(recs, data):
     # probing from any true start finds exactly that start
     probe = data.draw(st.sampled_from(starts))
     assert find_record_start(buf, probe, HDR) == probe
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for the lag+cumsum sessionization pattern: the same
+# session assignment computed by a trivial pure-Python scan must match what
+# the Spark window pipeline produces (a third implementation, independent of
+# both the Spark plan and the DuckDB oracle SQL that mirror each other).
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessions_py(events):
+    """events: list of (user_id, ts_us, event_id) -> {(user, session): n}."""
+    out = {}
+    by_user = {}
+    for u, t, e in events:
+        by_user.setdefault(u, []).append((t, e))
+    for u, rows in by_user.items():
+        rows.sort()
+        sid = 0
+        prev = None
+        for t, _ in rows:
+            if prev is None or t - prev > _GAP_US:
+                sid += 1
+            out[(u, sid)] = out.get((u, sid), 0) + 1
+            prev = t
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user_id
+            st.integers(min_value=0, max_value=10**10),  # ts_us
+            st.integers(min_value=0, max_value=10**6),  # event_id
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: (r[0], r[1], r[2]),
+    )
+)
+def test_sessionization_matches_python_reference(spark, events):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(events, "user_id long, ts_us long, event_id long")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = df.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0).alias("is_new"),
+    )
+    cum = w.rowsBetween(W.unboundedPreceding, 0)
+    sess = flagged.withColumn("sid", F.sum("is_new").over(cum))
+    got = {
+        (r["user_id"], r["sid"]): r["n"]
+        for r in sess.groupBy("user_id", "sid").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == _sessions_py(events)
