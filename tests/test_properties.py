@@ -158,3 +158,48 @@ def test_sessionization_matches_python_reference(spark, events):
         for r in sess.groupBy("user_id", "sid").agg(F.count("*").alias("n")).collect()
     }
     assert got == _sessions_py(events)
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for the CDC latest-wins merge: newest change per key
+# by (ts, event_id), delete ops dropping the key — computed by a pure-Python
+# scan and compared against the WindowGroupLimit pipeline shape.
+# ---------------------------------------------------------------------------
+
+
+def _merge_py(feed):
+    """feed: list of (user, ts, eid, op) -> {user: (ts, eid, op)} minus deletes."""
+    latest = {}
+    for u, t, e, op in feed:
+        if u not in latest or (t, e) > latest[u][:2]:
+            latest[u] = (t, e, op)
+    return {u: v for u, v in latest.items() if v[2] != "delete"}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=0, max_value=10**6),
+            st.sampled_from(["upsert", "touch", "delete"]),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda r: (r[0], r[1], r[2]),
+    )
+)
+def test_cdc_latest_wins_matches_python_reference(spark, feed):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(feed, "user_id long, ts long, event_id long, op string")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"], r["op"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .collect()
+    }
+    assert got == _merge_py(feed)
