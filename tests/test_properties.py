@@ -203,3 +203,72 @@ def test_cdc_latest_wins_matches_python_reference(spark, feed):
         .collect()
     }
     assert got == _merge_py(feed)
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for the rolling z-score anomaly window: integer-cent
+# sums over the previous <= 20 rows, flag (v-m)^2 >= 9*var with n >= 10 —
+# recomputed by a pure-Python scan.
+# ---------------------------------------------------------------------------
+
+
+def _anomalies_py(rows):
+    """rows: list of (user, ts, eid, cents) -> set of flagged (user, eid)."""
+    flagged = set()
+    by_user = {}
+    for u, t, e, c in rows:
+        by_user.setdefault(u, []).append((t, e, c))
+    for u, rs in by_user.items():
+        rs.sort()
+        for i, (_, e, c) in enumerate(rs):
+            frame = [x[2] for x in rs[max(0, i - 20):i]]
+            n = len(frame)
+            if n < 10:
+                continue
+            s1, s2 = sum(frame), sum(x * x for x in frame)
+            m = s1 / (100.0 * n)
+            var = s2 / (10000.0 * n) - m * m
+            v = c / 100.0
+            if var > 0 and (v - m) * (v - m) >= 9 * var:
+                flagged.add((u, e))
+    return flagged
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=50000),  # cents
+        ),
+        min_size=12,
+        max_size=80,
+        unique_by=lambda r: (r[0], r[1], r[2]),
+    )
+)
+def test_zscore_window_matches_python_reference(spark, rows):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, v100 long")
+    fr = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    w = df.select(
+        "user_id",
+        "event_id",
+        "v100",
+        F.sum("v100").over(fr).alias("s1"),
+        F.sum(F.col("v100") * F.col("v100")).over(fr).alias("s2"),
+        F.count("*").over(fr).alias("n"),
+    )
+    m = F.col("s1").cast("double") / (100.0 * F.col("n"))
+    var = F.col("s2").cast("double") / (10000.0 * F.col("n")) - m * m
+    v = F.col("v100") / 100.0
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in w.filter(
+            (F.col("n") >= 10) & (var > 0) & ((v - m) * (v - m) >= 9 * var)
+        ).collect()
+    }
+    assert got == _anomalies_py(rows)
