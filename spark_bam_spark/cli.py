@@ -96,7 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None, help="write CSV here instead of stdout")
     p.add_argument("--print-limit", type=int, default=DEFAULT_PRINT_LIMIT)
     p = sub.add_parser(
-        "explain", help="print a registered query's physical plan without running it"
+        "explain",
+        help="print a registered query's physical plan without executing the "
+        "query (queries built on eagerly-checkpointed iterations may still "
+        "run their preparatory jobs while the plan is constructed)",
     )
     p.add_argument("name", help="registry name (see list-queries)")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="parquet table directory")

@@ -714,6 +714,9 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " s -> s.user_id), 1, 5)"
             ).alias("top5_keys"),
         )
+        # a global no-groupBy agg yields one all-NULL row on empty input,
+        # but the oracle's GROUP BY yields zero rows — drop it for parity
+        .filter(F.col("n_keys").isNotNull())
     )
 
 
@@ -721,10 +724,15 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Classifier evaluation: decile lift + threshold metrics over the score
 # --------------------------------------------------------------------------
 
-# same stand-in linear score as classifier_linear_score; the "label" is a
-# deterministic quality proxy (>= 2 distinct required stopwords), so both
-# engines derive identical (score, label) pairs
-_SCORE_SQL = """
+# same stand-in linear score as classifier_linear_score (_W_SPARK/_N_SPARK
+# above are the single source of the Spark-side expression); the "label" is
+# the same ">= 2 distinct required stopwords" proxy gopher_rules_filter's
+# pass_stop rule uses — imported from text.STOPWORDS so they cannot diverge
+from spark_bam_spark.queries.text import STOPWORDS as _LABEL_STOPWORDS  # noqa: E402
+
+_SW_LIST = ", ".join(f"'{w}'" for w in _LABEL_STOPWORDS)
+
+_SCORE_SQL = f"""
       SELECT doc_id,
              CAST(COALESCE(list_aggregate(list_transform(
                       list_filter(string_split(text, ' '), x -> length(x) > 0),
@@ -732,9 +740,28 @@ _SCORE_SQL = """
                / (101.0 * greatest(len(list_filter(string_split(text, ' '),
                                                    x -> length(x) > 0)), 1)) AS score,
              len(list_distinct(list_filter(string_split(lower(text), ' '),
-                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))) >= 2 AS label
+                 x -> x IN ({_SW_LIST})))) >= 2 AS label
       FROM documents
 """
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, label) — the one Spark-side construction both
+    score-eval queries share; mirrors _SCORE_SQL exactly."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.select(
+        "doc_id",
+        (
+            F.expr(_W_SPARK).cast("double")
+            / (101.0 * F.greatest(F.expr(_N_SPARK), F.lit(1)))
+        ).alias("score"),
+        (
+            F.expr(
+                f"size(array_distinct(filter(split(lower(text), ' '), x -> x IN ({_SW_LIST}))))"
+            )
+            >= 2
+        ).alias("label"),
+    )
 
 
 @register(
@@ -776,20 +803,7 @@ def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank would come from a two-pass range-partitioned sort (or the
     KLL sketch for approximate deciles); the per-decile agg is 10
     groups. Everything else is a narrow JVM map."""
-    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    raw = "aggregate(filter(split(text, ' '), x -> length(x) > 0), 0L, (acc, x) -> acc + (ascii(x)*31 + length(x)*7) % 101)"
-    ntok = "size(filter(split(text, ' '), x -> length(x) > 0))"
-    sw = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in"))
-    scored = d.select(
-        "doc_id",
-        (F.expr(raw).cast("double") / (101.0 * F.greatest(F.expr(ntok), F.lit(1)))).alias(
-            "score"
-        ),
-        (
-            F.expr(f"size(array_distinct(filter(split(lower(text), ' '), x -> x IN ({sw}))))")
-            >= 2
-        ).alias("label"),
-    )
+    scored = _scored_docs(spark, sf_dir)
     ranked = scored.select(
         "score",
         "label",
@@ -840,19 +854,7 @@ def score_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-doc (score, label) map crossJoins a 3-row
     broadcast threshold list and aggregates to 3 groups — map-side
     combined, integer-exact counts, one tiny shuffle."""
-    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    raw = "aggregate(filter(split(text, ' '), x -> length(x) > 0), 0L, (acc, x) -> acc + (ascii(x)*31 + length(x)*7) % 101)"
-    ntok = "size(filter(split(text, ' '), x -> length(x) > 0))"
-    sw = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in"))
-    scored = d.select(
-        (F.expr(raw).cast("double") / (101.0 * F.greatest(F.expr(ntok), F.lit(1)))).alias(
-            "score"
-        ),
-        (
-            F.expr(f"size(array_distinct(filter(split(lower(text), ' '), x -> x IN ({sw}))))")
-            >= 2
-        ).alias("label"),
-    )
+    scored = _scored_docs(spark, sf_dir).drop("doc_id")
     th = F.explode(F.array(F.lit(0.46), F.lit(0.50), F.lit(0.54))).alias("threshold")
     cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
     pred = F.col("score") >= F.col("threshold")

@@ -946,14 +946,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # checkpoint the assignment: the k*dim DECIMAL argmin subplan (scan ->
     # a1 -> cent1 -> a2) would otherwise execute on BOTH sides of the pair
-    # self-join — measured 2x+ of the operator's wall time at 10x data
+    # self-join — measured 2x+ of the operator's wall time at 10x data.
+    # LAZY so building the DataFrame (e.g. `cli explain`) runs no jobs;
+    # materialization happens once at first execution and is then reused.
     a2 = (
         _assign(corpus, cent1)
         .withColumn(
             "xx",
             F.expr(f"cast({_dec_sum('transform(v, x -> cast(x * x as ' + _DEC + '))')} as double)"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dot = (
         f"cast({_dec_sum(f'zip_with(a.v, b.v, (x, y) -> cast(x * y as {_DEC}))')} as double)"

@@ -376,7 +376,10 @@ def cdc_merge_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame
     timezone-free."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = "user_id bigint, last_op string, last_value double, last_ts_us bigint"
+    out_schema = (
+        "user_id bigint, last_op string, last_value double,"
+        " last_ts_us bigint, last_event_id bigint"
+    )
     state_schema = "ts bigint, event_id bigint, op string, value double"
 
     def fold(key, pdfs, state: GroupState):
@@ -406,6 +409,7 @@ def cdc_merge_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame
                 "last_op": [str(cand[2])],
                 "last_value": [float(cand[3])],
                 "last_ts_us": [int(cand[0])],
+                "last_event_id": [int(cand[1])],
             }
         )
 

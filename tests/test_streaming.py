@@ -244,7 +244,11 @@ def test_cdc_merge_stream_final_state_matches_batch(spark, sf_small, events_stre
     latest = {}
     for r in rows:
         cur = latest.get(r["user_id"])
-        if cur is None or r["last_ts_us"] > cur["last_ts_us"]:
+        # total order: (ts, event_id) — the same tie-break the state uses
+        if cur is None or (r["last_ts_us"], r["last_event_id"]) > (
+            cur["last_ts_us"],
+            cur["last_event_id"],
+        ):
             latest[r["user_id"]] = r
     got = sorted(
         (u, r["last_op"], r["last_value"], r["last_ts_us"])
