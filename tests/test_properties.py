@@ -272,3 +272,57 @@ def test_zscore_window_matches_python_reference(spark, rows):
         ).collect()
     }
     assert got == _anomalies_py(rows)
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for Efraimidis-Spirakis weighted top-k sampling:
+# the md5-derived uniform and the selection key u^(1/w) recomputed in pure
+# Python must pick the same k items the Spark expression pipeline does.
+# ---------------------------------------------------------------------------
+
+
+def _aes_py(items, k):
+    """items: list of (doc_id, weight>0) -> top-k doc_ids by u^(1/w)."""
+    import hashlib
+
+    keyed = []
+    for doc_id, w in items:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        u = (int(h[:13], 16) + 0.5) / 16**13
+        keyed.append((u ** (1.0 / w), doc_id))
+    keyed.sort(reverse=True)
+    return [d for _, d in keyed[:k]]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=1, max_value=10**4),  # integer weights > 0
+        ),
+        min_size=5,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_aes_weighted_sampling_matches_python_reference(spark, items):
+    from pyspark.sql import functions as F
+
+    k = 3
+    df = spark.createDataFrame(items, "doc_id long, w long")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+            "long"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(16**13))
+    key = F.pow(u, 1.0 / F.col("w"))
+    got = [
+        r["doc_id"]
+        for r in df.select("doc_id", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(k)
+        .collect()
+    ]
+    assert got == _aes_py(items, k)
