@@ -326,3 +326,86 @@ def test_aes_weighted_sampling_matches_python_reference(spark, items):
         .collect()
     ]
     assert got == _aes_py(items, k)
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for BM25 scoring: k1/b/idf recomputed in pure Python
+# over tiny generated corpora must rank documents exactly as the Spark
+# pipeline's rounded scores do.
+# ---------------------------------------------------------------------------
+
+
+def _bm25_py(docs, k=20):
+    """docs: list of token lists (doc_id = index) -> [(doc_id, bm25, nterms)]
+    for the top-df-3 query, mirroring queries/text.py::bm25_topk_docs."""
+    import math as m
+
+    tf = [{} for _ in docs]
+    for i, ws in enumerate(docs):
+        for w in ws:
+            tf[i][w] = tf[i].get(w, 0) + 1
+    df = {}
+    for t in tf:
+        for w in t:
+            df[w] = df.get(w, 0) + 1
+    qterms = sorted(df, key=lambda w: (-df[w], w))[:3]
+    n_docs = len(docs)
+    avgdl = sum(len(ws) for ws in docs) / n_docs
+    out = []
+    for i, ws in enumerate(docs):
+        s, nt = 0.0, 0
+        for w in qterms:
+            f = tf[i].get(w, 0)
+            if not f:
+                continue
+            nt += 1
+            idf = m.log(1 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+            s += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+        if nt:
+            out.append((i, round(s, 6), nt))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=3,
+        max_size=15,
+    )
+)
+def test_bm25_matches_python_reference(spark, docs):
+    import pandas as pd
+
+    from spark_bam_spark.queries import load_all
+    from spark_bam_spark.tables import TABLE_NAMES
+
+    # stage a minimal documents table in a temp dir; other tables unused
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bm25_prop_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(ws) for ws in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["src0"] * len(docs),
+            "n_chars": [len(" ".join(ws)) for ws in docs],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in TABLE_NAMES:
+        if t != "documents":
+            spark.createDataFrame([], "x int").write.mode("overwrite").parquet(
+                f"{out}/{t}.parquet"
+            )
+    got = [
+        (r["doc_id"], r["bm25"], r["n_terms_matched"])
+        for r in load_all()["bm25_topk_docs"].fn(spark, out).collect()
+    ]
+    assert got == _bm25_py(docs)
