@@ -409,3 +409,56 @@ def test_bm25_matches_python_reference(spark, docs):
         for r in load_all()["bm25_topk_docs"].fn(spark, out).collect()
     ]
     assert got == _bm25_py(docs)
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for the Bloom filter arithmetic: bits and probes
+# recomputed in pure Python from the same md5 scheme must reproduce the
+# exact hit set (and the no-false-negative guarantee) on random key sets.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_py(members, probes, m_bits, k_hashes):
+    import hashlib
+
+    def bits_of(key):
+        return [
+            int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:15], 16) % m_bits
+            for j in range(k_hashes)
+        ]
+
+    bitset = {b for key in members for b in bits_of(key)}
+    return {p for p in probes if all(b in bitset for b in bits_of(p))}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40, unique=True),
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40, unique=True),
+)
+def test_bloom_bits_match_python_reference(spark, members, probes):
+    from pyspark.sql import functions as F
+
+    M, K = 256, 3  # small filter so false positives actually occur
+    mdf = spark.createDataFrame([(k,) for k in members], "k long")
+    pdf = spark.createDataFrame([(p,) for p in probes], "k long")
+    bit_of = lambda j, k: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat_ws(":", j, k)), 1, 15), 16, 10).cast("long") % M
+    )
+    bits = (
+        mdf.select(F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("j"), "k")
+        .select(bit_of(F.col("j"), F.col("k")).alias("bit"))
+        .distinct()
+    )
+    hits = (
+        pdf.select("k", F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("j"))
+        .join(F.broadcast(bits), bit_of(F.col("j"), F.col("k")) == F.col("bit"), "left")
+        .groupBy("k")
+        .agg((F.count("bit") == K).alias("hit"))
+    )
+    got = {r["k"] for r in hits.collect() if r["hit"]}
+    want = _bloom_py(members, probes, M, K)
+    assert got == want
+    # structural no-false-negative: every member probe must hit
+    member_probes = set(members) & set(probes)
+    assert member_probes <= got or not member_probes
