@@ -1897,3 +1897,115 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support_cnt"), "part_a", "part_b")
         .limit(25)
     )
+
+
+@register(
+    "interval_union_per_supplier",
+    tags=("relational", "window", "interval"),
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS k,
+             epoch_us(l_shipdate) // 86400000000 AS s,
+             epoch_us(l_shipdate) // 86400000000 + CAST(l_quantity AS BIGINT) AS e
+      FROM lineitem
+    ),
+    ord AS (
+      SELECT k, s, e,
+             MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ),
+    isl AS (
+      SELECT k, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+      FROM ord
+    ),
+    merged AS (SELECT k, grp, MIN(s) AS ms, MAX(e) AS me FROM isl GROUP BY k, grp)
+    SELECT k AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_days,
+           CAST(MAX(me - ms) AS BIGINT) AS longest_days
+    FROM merged GROUP BY k
+    """,
+)
+def interval_union_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval UNION (interval merge) per supplier — the
+    classic gaps-and-islands-with-running-max pattern: each line item
+    opens a delivery window [shipdate, shipdate + quantity days]; merge
+    every overlapping window per supplier and report merged-interval
+    count, total covered days, and the longest merged stretch.
+
+    Determinism: interval endpoints are integer epoch DAYS, the running
+    max orders by (start, end) — rows tied on both are interchangeable
+    in every window expression, so the result is layout-independent.
+    Scale shape: one shuffle on the supplier key, two window passes over
+    the same sort, then a per-(supplier, island) agg — the standard
+    O(n log n) interval-union plan, no self-join."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_shipdate", "l_quantity")
+    day = F.expr("unix_micros(cast(l_shipdate as timestamp_ltz)) div 86400000000")
+    iv = li.select(
+        F.col("l_suppkey").alias("k"),
+        day.alias("s"),
+        (day + F.col("l_quantity").cast("bigint")).alias("e"),
+    )
+    w = W.partitionBy("k").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    isl = iv.withColumn(
+        "grp",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        ).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("k", "grp").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy(F.col("k").alias("suppkey")).agg(
+        F.count("*").cast("bigint").alias("n_merged"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_days"),
+        F.max(F.col("me") - F.col("ms")).cast("bigint").alias("longest_days"),
+    )
+
+
+@register(
+    "revenue_mom_growth",
+    tags=("relational", "window", "analytics"),
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / NULLIF(CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE), 0) - 1, 6)
+             AS mom_growth
+    FROM m
+    """,
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the period-over-period report
+    every BI surface ships: monthly DECIMAL-exact revenue with the
+    growth rate against the previous month via lag (first month NULL).
+
+    Scale shape: a map-side-combined month agg (tiny output), then a
+    single-partition lag over the handful of month rows — the global
+    window is over |months|, never the fact table."""
+    o = table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+            ).alias("month")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    prev = F.lag("rev").over(W.orderBy("month"))
+    return m.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.nullif(prev.cast("double"), F.lit(0.0)) - 1, 6
+        ).alias("mom_growth"),
+    )

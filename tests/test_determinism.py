@@ -45,6 +45,8 @@ ORDER_SENSITIVE = [
     "event_anomaly_zscore",
     "session_path_analysis",
     "basket_part_pairs",
+    "interval_union_per_supplier",
+    "revenue_mom_growth",
 ]
 
 _SWEEP = os.environ.get("SPARK_GRAFT_DETERMINISM_SWEEP") == "1"

@@ -366,3 +366,15 @@ def test_basket_pairs_within_order_take_ordered(spark, sf_small):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_union_two_windows_one_shuffle_key(spark, sf_small):
+    plan = plan_of(REGISTRY["interval_union_per_supplier"].fn(spark, sf_small))
+    assert "Window" in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mom_growth_windows_month_table_only(spark, sf_small):
+    plan = plan_of(REGISTRY["revenue_mom_growth"].fn(spark, sf_small))
+    # the lag window runs over the aggregated month rows, not the facts
+    assert "Window" in plan and "HashAggregate" in plan
