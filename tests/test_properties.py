@@ -462,3 +462,69 @@ def test_bloom_bits_match_python_reference(spark, members, probes):
     # structural no-false-negative: every member probe must hit
     member_probes = set(members) & set(probes)
     assert member_probes <= got or not member_probes
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for interval union: merge overlapping [s, e] per key
+# with a trivial sweep and compare counts/coverage with the running-max
+# window pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _union_py(intervals):
+    """intervals: list of (k, s, e) -> {k: (n_merged, covered, longest)}."""
+    by_k = {}
+    for k, s, e in intervals:
+        by_k.setdefault(k, []).append((s, e))
+    out = {}
+    for k, ivs in by_k.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        lens = [e - s for s, e in merged]
+        out[k] = (len(merged), sum(lens), max(lens))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=50),  # length
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_interval_union_matches_python_reference(spark, raw):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    intervals = [(k, s, s + ln) for k, s, ln in raw]
+    df = spark.createDataFrame(intervals, "k long, s long, e long")
+    w = W.partitionBy("k").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    isl = df.withColumn(
+        "grp",
+        F.sum(F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    merged = isl.groupBy("k", "grp").agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    got = {
+        r["k"]: (r["n"], r["cov"], r["lng"])
+        for r in merged.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("me") - F.col("ms")).alias("cov"),
+            F.max(F.col("me") - F.col("ms")).alias("lng"),
+        )
+        .collect()
+    }
+    assert got == _union_py(intervals)
