@@ -528,3 +528,106 @@ def test_interval_union_matches_python_reference(spark, raw):
         .collect()
     }
     assert got == _union_py(intervals)
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for market-basket pair counting: support counts per
+# unordered pair of distinct items per basket, recomputed in pure Python.
+# ---------------------------------------------------------------------------
+
+
+def _pairs_py(baskets):
+    """baskets: list of (order, item) -> {(a, b): support} with a < b."""
+    by_o = {}
+    for o, i in baskets:
+        by_o.setdefault(o, set()).add(i)
+    out = {}
+    for items in by_o.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                out[(s[i], s[j])] = out.get((s[i], s[j]), 0) + 1
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # order
+            st.integers(min_value=1, max_value=8),  # item
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_basket_pair_counts_match_python_reference(spark, baskets):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(baskets, "o long, i long").distinct()
+    a, b = df.alias("a"), df.alias("b")
+    got = {
+        (r["pa"], r["pb"]): r["c"]
+        for r in a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.i") < F.col("b.i"))
+        )
+        .groupBy(F.col("a.i").alias("pa"), F.col("b.i").alias("pb"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == _pairs_py(baskets)
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for the RFM aggregate: recency/frequency/monetary
+# recomputed by a pure-Python scan over generated event feeds.
+# ---------------------------------------------------------------------------
+
+
+def _rfm_py(events):
+    """events: list of (user, ts_us, is_purchase, cents) -> per-user tuple."""
+    now = max(t for _, t, _, _ in events)
+    out = {}
+    for u, t, p, c in events:
+        r = out.setdefault(u, [0, 0, 0])
+        r[0] = max(r[0], t)
+        r[1] += 1
+        r[2] += c if p else 0
+    return {
+        u: ((now - last) // 86_400_000_000, n, cents / 100.0)
+        for u, (last, n, cents) in out.items()
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=0, max_value=10**12),
+            st.booleans(),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_rfm_aggregate_matches_python_reference(spark, events):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(events, "u long, ts long, p boolean, cents long")
+    anchor = df.agg(F.max("ts").alias("now"))
+    money = F.sum(F.when(F.col("p"), F.col("cents")).otherwise(0)) / 100.0
+    got = {
+        r["u"]: (r["rec"], r["n"], r["m"])
+        for r in df.crossJoin(F.broadcast(anchor))
+        .groupBy("u", "now")
+        .agg(
+            F.expr("(max(now) - max(ts)) div 86400000000").alias("rec"),
+            F.count("*").alias("n"),
+            money.alias("m"),
+        )
+        .collect()
+    }
+    assert got == _rfm_py(events)
