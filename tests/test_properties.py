@@ -631,3 +631,47 @@ def test_rfm_aggregate_matches_python_reference(spark, events):
         .collect()
     }
     assert got == _rfm_py(events)
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for the decile bucketing formula floor((rn-1)*10/n):
+# the exact integer semantics that differ between DuckDB's rounding CAST and
+# Spark's truncating cast — pinned against pure Python so the intended
+# meaning is explicit.
+# ---------------------------------------------------------------------------
+
+
+def _deciles_py(scores):
+    """scores: list of (id, score) -> {id: decile} by (score desc, id)."""
+    ranked = sorted(scores, key=lambda r: (-r[1], r[0]))
+    n = len(ranked)
+    return {i: (rn * 10) // n for rn, (i, _) in enumerate(ranked)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=100),  # integer scores force ties
+        ),
+        min_size=1,
+        max_size=45,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_decile_formula_matches_python_reference(spark, scores):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(scores, "id long, score long")
+    ranked = df.select(
+        "id", F.row_number().over(W.orderBy(F.desc("score"), "id")).alias("rn")
+    ).crossJoin(F.broadcast(df.agg(F.count("*").alias("n"))))
+    got = {
+        r["id"]: r["d"]
+        for r in ranked.select(
+            "id", F.expr("((rn - 1) * 10) div n").alias("d")
+        ).collect()
+    }
+    assert got == _deciles_py(scores)
