@@ -675,3 +675,81 @@ def test_decile_formula_matches_python_reference(spark, scores):
         ).collect()
     }
     assert got == _deciles_py(scores)
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for the Gopher rule battery: all five per-doc rules
+# recomputed in pure Python over generated corpora.
+# ---------------------------------------------------------------------------
+
+
+def _gopher_py(docs, stopwords):
+    """docs: list of token lists -> per-doc 5-tuple of rule booleans."""
+    out = []
+    for ws in docs:
+        n = len(ws)
+        n_chars = len(" ".join(ws))
+        awl = n_chars / n
+        alpha = sum(1 for w in ws if w.isalpha() and w.islower()) / n
+        nstop = len({w for w in ws if w in stopwords})
+        top = max(sum(1 for y in ws if y == w) for w in set(ws)) / n
+        out.append(
+            (
+                30 <= n <= 100000,
+                3 <= awl <= 10,
+                alpha >= 0.8,
+                nstop >= 2,
+                top <= 0.2,
+            )
+        )
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "a", "of", "zz", "q9", "longword", "x"]),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_gopher_rules_match_python_reference(spark, docs):
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.queries.text import STOPWORDS
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text"))
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ntok = F.size(F.split("text", " "))
+    awl = F.col("n_chars").cast("double") / ntok
+    alpha = (
+        F.expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))").cast("double")
+        / ntok
+    )
+    nstop = F.expr(
+        f"size(array_distinct(filter(split(lower(text), ' '), x -> x IN ({sw}))))"
+    )
+    top = (
+        F.expr(
+            "array_max(transform(array_distinct(split(text, ' ')),"
+            " x -> size(filter(split(text, ' '), y -> y = x))))"
+        ).cast("double")
+        / ntok
+    )
+    rows = df.select(
+        "doc_id",
+        ntok.between(30, 100000).alias("r1"),
+        awl.between(3, 10).alias("r2"),
+        (alpha >= 0.8).alias("r3"),
+        (nstop >= 2).alias("r4"),
+        (top <= 0.2).alias("r5"),
+    ).collect()
+    got = {r["doc_id"]: (r["r1"], r["r2"], r["r3"], r["r4"], r["r5"]) for r in rows}
+    want = dict(enumerate(_gopher_py(docs, set(STOPWORDS))))
+    assert got == want
