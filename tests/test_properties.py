@@ -753,3 +753,71 @@ def test_gopher_rules_match_python_reference(spark, docs):
     got = {r["doc_id"]: (r["r1"], r["r2"], r["r3"], r["r4"], r["r5"]) for r in rows}
     want = dict(enumerate(_gopher_py(docs, set(STOPWORDS))))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Independent reference for the add-one bigram LM: per-doc mean NLL
+# recomputed in pure Python over generated corpora staged as parquet.
+# ---------------------------------------------------------------------------
+
+
+def _bigram_py(docs):
+    import math as m
+
+    bc, uc, vocab = {}, {}, set()
+    for ws in docs:
+        vocab.update(ws)
+        for w1, w2 in zip(ws, ws[1:]):
+            bc[(w1, w2)] = bc.get((w1, w2), 0) + 1
+            uc[w1] = uc.get(w1, 0) + 1
+    V = len(vocab)
+    out = {}
+    for i, ws in enumerate(docs):
+        if len(ws) < 2:
+            continue
+        nll = [
+            -m.log((bc[(w1, w2)] + 1.0) / (uc[w1] + V)) for w1, w2 in zip(ws, ws[1:])
+        ]
+        out[i] = (len(nll), round(sum(nll) / len(nll), 6))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=10
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_bigram_lm_matches_python_reference(spark, docs):
+    import tempfile
+
+    import pandas as pd
+
+    from spark_bam_spark.queries import load_all
+    from spark_bam_spark.tables import TABLE_NAMES
+
+    out = tempfile.mkdtemp(prefix="bigram_prop_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(ws) for ws in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["src0"] * len(docs),
+            "n_chars": [len(" ".join(ws)) for ws in docs],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in TABLE_NAMES:
+        if t != "documents":
+            spark.createDataFrame([], "x int").write.mode("overwrite").parquet(
+                f"{out}/{t}.parquet"
+            )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in load_all()["bigram_logprob_score"].fn(spark, out).collect()
+    }
+    assert got == _bigram_py(docs)
