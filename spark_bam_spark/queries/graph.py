@@ -83,9 +83,23 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
         e0.select(snode.alias("src"), cnode.alias("dst"))
     )
+    return (
+        _pagerank_ranks(edges, iterations=2)
+        .select("node", F.col("r").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), "node")
+        .limit(20)
+    )
+
+
+def _pagerank_ranks(edges: DataFrame, iterations: int) -> DataFrame:
+    """Damped fixed-point PageRank over a directed edge list (src, dst)
+    where every node has out-degree >= 1 (the bipartite caller guarantees
+    this by emitting both edge directions).  Returns (node, r) with r in
+    fixed-point BIGINTs; all arithmetic is truncating-integer so the
+    result is accumulation-order independent."""
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(_ONE).cast("long").alias("r"))
-    for _ in range(2):
+    for _ in range(iterations):
         contribs = (
             edges.join(deg, "src")
             .join(ranks, F.col("src") == F.col("node"))
@@ -99,11 +113,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(_TELEPORT) + F.expr("(85 * m) div 100")).alias("r"),
             )
         )
-    return (
-        ranks.select("node", F.col("r").alias("rank_fp"))
-        .orderBy(F.desc("rank_fp"), "node")
-        .limit(20)
-    )
+    return ranks
 
 
 @register(
@@ -165,6 +175,12 @@ def triangle_count_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.queries.dedup import _candidate_pairs
 
     pairs = _candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    return _triangle_stats(pairs)
+
+
+def _triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Node/edge/wedge/triangle counts + global clustering coefficient for
+    an undirected edge list stored once per edge as (doc_a < doc_b)."""
     deg = (
         pairs.select(F.col("doc_a").alias("n"))
         .unionAll(pairs.select(F.col("doc_b").alias("n")))
