@@ -387,7 +387,10 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = n_words.between(20, 1000) & mean_wlen.between(3, 12)
 
     grams = (
-        corpus.select(
+        # size guard: sequence(1, 0) is descending in Spark (slice start 0
+        # is an ANSI error for a <DECON_N-word doc) — see dedup._shingles
+        corpus.filter(F.size(F.split("text", " ")) >= DECON_N)
+        .select(
             "doc_id",
             F.explode(
                 F.expr(

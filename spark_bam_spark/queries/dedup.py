@@ -33,7 +33,15 @@ def _shingles(df: DataFrame, distinct: bool = True) -> DataFrame:
     """doc_id + exploded 3-word shingles (distinct where the consumer
     needs set semantics; min-hash is duplicate-insensitive so it skips
     the dedup shuffle)."""
-    toks = fan_out(df).select("doc_id", F.split("text", " ").alias("w"))
+    # guard BEFORE the transform: Spark's sequence(1, 0) is DESCENDING
+    # ([1, 0]), not empty like DuckDB's generate_series — a <3-word doc
+    # would hit w[i+1] out of bounds (ANSI error). The size filter is a
+    # cheap narrow predicate and matches the oracle's empty-series shape.
+    toks = (
+        fan_out(df)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
     # the transform stays INLINE in the explode: naming it as a column
     # first lets InferFiltersFromGenerate derive a `size(shingles) > 0`
     # predicate that projection-collapse expands to the full transform
@@ -250,6 +258,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT label, vec_a, vec_b, dotp / (sqrt(na.xx) * sqrt(nb.xx)) AS cos
       FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+      WHERE na.xx > 0 AND nb.xx > 0
     )
     SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cosine
     FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) AS rn
@@ -294,8 +303,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.label").alias("label"),
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        (F.expr(dot_expr) / (F.sqrt("a.xx") * F.sqrt("b.xx"))).alias("cos"),
-    )
+        # zero-norm guard: see similarity._cosine_scores
+        F.try_divide(F.expr(dot_expr), F.sqrt("a.xx") * F.sqrt("b.xx")).alias("cos"),
+    ).filter(F.col("cos").isNotNull())
     w = Window.partitionBy("label").orderBy(F.desc("cos"), "vec_a", "vec_b")
     return (
         scored.withColumn("rn", F.row_number().over(w))

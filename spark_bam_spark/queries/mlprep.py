@@ -395,7 +395,13 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     map+filter over the training scan (one gram explode, no corpus-side
     shuffle except the per-doc count)."""
     doc = table(spark, sf_dir, "documents")
-    toks = fan_out(doc).select("doc_id", F.split("text", " ").alias("w"))
+    # size guard: sequence(1, 0) is descending in Spark (w[i+3] would be
+    # out of bounds under ANSI for a <DECON_N-word doc) — see _shingles
+    toks = (
+        fan_out(doc)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= DECON_N)
+    )
     # transform stays INLINE in the explode (InferFiltersFromGenerate —
     # see _shingles in dedup.py)
     g = (
@@ -600,7 +606,10 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = fan_out(d.unionAll(mutated))
-    toks = corpus.select("doc_id", F.split("text", " ").alias("w"))
+    # size guard: sequence(1, 0) is descending in Spark — see _shingles
+    toks = corpus.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
     sh = toks.select(
         "doc_id",
         F.explode(
@@ -773,6 +782,7 @@ def dataset_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(xy) AS DOUBLE) /
            (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cosine
     FROM prods GROUP BY vec_id
+    HAVING SUM(xx) > 0 AND SUM(yy) > 0
     ORDER BY cosine DESC, vec_id
     LIMIT {IVF_TOP_K}
     """,
@@ -815,11 +825,13 @@ def ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.crossJoin(F.broadcast(qvec))
         .select(
             "vec_id",
-            (
-                F.expr(_dec_sum(prod))
-                / (F.sqrt(F.expr(_dec_sum(sq))) * F.sqrt(F.expr(_dec_sum(qsq))))
+            # zero-norm guard: see similarity._cosine_scores
+            F.try_divide(
+                F.expr(_dec_sum(prod)),
+                F.sqrt(F.expr(_dec_sum(sq))) * F.sqrt(F.expr(_dec_sum(qsq))),
             ).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(IVF_TOP_K)
     )
@@ -968,7 +980,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.cluster").alias("cluster"),
         F.col("a.vec_id").alias("kept_vec"),
         F.col("b.vec_id").alias("vec_pruned"),
-        (F.expr(dot) / (F.sqrt("a.xx") * F.sqrt("b.xx"))).alias("cos"),
+        # zero-norm guard (see similarity._cosine_scores); the NULL cos of
+        # a zero-norm pair then fails the >= SEM_TAU filter in BOTH engines
+        F.try_divide(F.expr(dot), F.sqrt("a.xx") * F.sqrt("b.xx")).alias("cos"),
     )
     w = W.partitionBy("vec_pruned").orderBy("kept_vec")
     return (
@@ -1335,6 +1349,7 @@ SRP_MULTIPROBE_HAMMING = 1  # probe buckets within this Hamming radius
              CAST(SUM(xy) AS DOUBLE) /
              (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cos
       FROM prods GROUP BY vec_id
+      HAVING SUM(xx) > 0 AND SUM(yy) > 0
     ),
     exact_top AS (SELECT vec_id FROM cosine ORDER BY cos DESC, vec_id LIMIT {SRP_TOP_K})
     SELECT {SRP_TOP_K} AS k,
@@ -1386,11 +1401,13 @@ def srp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
-            (
-                F.expr(dot).cast("double")
-                / (F.sqrt(F.expr(n2).cast("double")) * F.sqrt(F.expr(qn2).cast("double")))
+            # zero-norm guard: see similarity._cosine_scores
+            F.try_divide(
+                F.expr(dot).cast("double"),
+                F.sqrt(F.expr(n2).cast("double")) * F.sqrt(F.expr(qn2).cast("double")),
             ).alias("cos"),
         )
+        .filter(F.col("cos").isNotNull())
         .orderBy(F.desc("cos"), "vec_id")
         .limit(SRP_TOP_K)
         .select("vec_id")

@@ -46,13 +46,19 @@ def _cosine_scores(spark: SparkSession, sf_dir: str, restrict_label: bool) -> Da
     prod = f"zip_with(embedding, qv, (x, y) -> cast(cast(x as double) * cast(y as double) as {_DEC}))"
     sq = f"transform(embedding, x -> cast(cast(x as double) * cast(x as double) as {_DEC}))"
     qsq = f"transform(qv, y -> cast(cast(y as double) * cast(y as double) as {_DEC}))"
+    # try_divide + not-null filter: a zero-norm vector (or query) has no
+    # defined cosine — plain `/` would throw DIVIDE_BY_ZERO under ANSI
+    # (the deployment default), and a NULL cosine would sort differently
+    # in the two engines (Spark DESC = NULLS LAST, DuckDB = NULLS FIRST).
+    # The oracle excludes the same rows via HAVING SUM(xx) > 0 AND
+    # SUM(yy) > 0.
     return j.select(
         "vec_id",
-        (
-            F.expr(_dec_array_sum(prod))
-            / (F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))))
+        F.try_divide(
+            F.expr(_dec_array_sum(prod)),
+            F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))),
         ).alias("cosine"),
-    )
+    ).filter(F.col("cosine").isNotNull())
 
 
 def _oracle(restrict: str) -> str:
@@ -74,6 +80,7 @@ def _oracle(restrict: str) -> str:
            CAST(SUM(xy) AS DOUBLE) / (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cosine
     FROM prods
     GROUP BY vec_id
+    HAVING SUM(xx) > 0 AND SUM(yy) > 0
     ORDER BY cosine DESC, vec_id
     LIMIT {TOP_K}
     """
@@ -153,14 +160,16 @@ def cosine_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod = f"zip_with(embedding, qv, (x, y) -> cast(cast(x as double) * cast(y as double) as {_DEC}))"
     sq = f"transform(embedding, x -> cast(cast(x as double) * cast(x as double) as {_DEC}))"
     qsq = f"transform(qv, y -> cast(cast(y as double) * cast(y as double) as {_DEC}))"
+    # zero-norm guard: see _cosine_scores
     return (
         j.select(
             "vec_id",
-            (
-                F.expr(_dec_array_sum(prod))
-                / (F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))))
+            F.try_divide(
+                F.expr(_dec_array_sum(prod)),
+                F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))),
             ).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
@@ -186,6 +195,7 @@ def cosine_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q_id, q_label, label, vec_id,
              CAST(SUM(xy) AS DOUBLE) / (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cosine
       FROM prods GROUP BY q_id, q_label, label, vec_id
+      HAVING SUM(xx) > 0 AND SUM(yy) > 0
     ),
     exact AS (
       SELECT q_id, vec_id FROM (
@@ -237,6 +247,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod = f"zip_with(embedding, qv, (x, y) -> cast(cast(x as double) * cast(y as double) as {_DEC}))"
     sq = f"transform(embedding, x -> cast(cast(x as double) * cast(x as double) as {_DEC}))"
     qsq = f"transform(qv, y -> cast(cast(y as double) * cast(y as double) as {_DEC}))"
+    # zero-norm guard: see _cosine_scores
     scores = (
         fan_out(emb)
         .crossJoin(F.broadcast(qs))
@@ -245,11 +256,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_label",
             "label",
             "vec_id",
-            (
-                F.expr(_dec_array_sum(prod))
-                / (F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))))
+            F.try_divide(
+                F.expr(_dec_array_sum(prod)),
+                F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))),
             ).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     exact = (
@@ -302,6 +314,7 @@ JOIN_K = 3
       SELECT q_id, vec_id,
              CAST(SUM(xy) AS DOUBLE) / (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cosine
       FROM prods GROUP BY q_id, vec_id
+      HAVING SUM(xx) > 0 AND SUM(yy) > 0
     )
     SELECT q_id, vec_id, cosine, rnk FROM (
       SELECT q_id, vec_id, cosine,
@@ -335,14 +348,15 @@ def ann_join_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod = f"zip_with(embedding, qv, (x, y) -> cast(cast(x as double) * cast(y as double) as {_DEC}))"
     sq = f"transform(embedding, x -> cast(cast(x as double) * cast(x as double) as {_DEC}))"
     qsq = f"transform(qv, y -> cast(cast(y as double) * cast(y as double) as {_DEC}))"
+    # zero-norm guard: see _cosine_scores
     scored = j.select(
         "q_id",
         "vec_id",
-        (
-            F.expr(_dec_array_sum(prod))
-            / (F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))))
+        F.try_divide(
+            F.expr(_dec_array_sum(prod)),
+            F.sqrt(F.expr(_dec_array_sum(sq))) * F.sqrt(F.expr(_dec_array_sum(qsq))),
         ).alias("cosine"),
-    )
+    ).filter(F.col("cosine").isNotNull())
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
