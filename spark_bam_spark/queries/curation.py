@@ -387,15 +387,16 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = n_words.between(20, 1000) & mean_wlen.between(3, 12)
 
     grams = (
-        # size guard: sequence(1, 0) is descending in Spark (slice start 0
-        # is an ANSI error for a <DECON_N-word doc) — see dedup._shingles
-        corpus.filter(F.size(F.split("text", " ")) >= DECON_N)
-        .select(
+        # inline if() short-doc guard: sequence(1, 0) is descending in
+        # Spark (slice start 0 is an ANSI error for a <DECON_N-word doc)
+        # — see dedup._shingles
+        corpus.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {DECON_N - 1}, 0)),"
-                    " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+                    f"if(size(split(text, ' ')) < {DECON_N}, array(),"
+                    f" transform(sequence(1, size(split(text, ' ')) - {DECON_N - 1}),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 5))))"
                 )
             ).alias("s"),
         )

@@ -33,27 +33,25 @@ def _shingles(df: DataFrame, distinct: bool = True) -> DataFrame:
     """doc_id + exploded 3-word shingles (distinct where the consumer
     needs set semantics; min-hash is duplicate-insensitive so it skips
     the dedup shuffle)."""
-    # guard BEFORE the transform: Spark's sequence(1, 0) is DESCENDING
-    # ([1, 0]), not empty like DuckDB's generate_series — a <3-word doc
-    # would hit w[i+1] out of bounds (ANSI error). The size filter is a
-    # cheap narrow predicate and matches the oracle's empty-series shape.
-    toks = (
-        fan_out(df)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= 3)
-    )
+    toks = fan_out(df).select("doc_id", F.split("text", " ").alias("w"))
     # the transform stays INLINE in the explode: naming it as a column
     # first lets InferFiltersFromGenerate derive a `size(shingles) > 0`
     # predicate that projection-collapse expands to the full transform
     # (with split(text) re-evaluated per element → O(words²)) and pushes
     # below the repartition Exchange — onto the serial scan stage. Inline,
     # no such filter is inferred and the work runs once, parallel.
+    # The if() short-doc guard stays inside the expression for the same
+    # reason (an explicit row filter would also push below the Exchange):
+    # Spark's sequence(1, 0) is DESCENDING ([1, 0]), not empty like
+    # DuckDB's generate_series — a <3-word doc would hit w[i+1] out of
+    # bounds (ANSI error) without it.
     out = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(w) - 2, 0)),"
-                " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                "if(size(w) < 3, array(),"
+                " transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
             )
         ).alias("s"),
     )

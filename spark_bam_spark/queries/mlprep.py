@@ -395,22 +395,19 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     map+filter over the training scan (one gram explode, no corpus-side
     shuffle except the per-doc count)."""
     doc = table(spark, sf_dir, "documents")
-    # size guard: sequence(1, 0) is descending in Spark (w[i+3] would be
-    # out of bounds under ANSI for a <DECON_N-word doc) — see _shingles
-    toks = (
-        fan_out(doc)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= DECON_N)
-    )
-    # transform stays INLINE in the explode (InferFiltersFromGenerate —
-    # see _shingles in dedup.py)
+    toks = fan_out(doc).select("doc_id", F.split("text", " ").alias("w"))
+    # transform (and its if() short-doc guard: sequence(1, 0) is
+    # descending in Spark, so w[i+3] would be out of bounds under ANSI
+    # for a <DECON_N-word doc) stays INLINE in the explode
+    # (InferFiltersFromGenerate / filter-pushdown — see _shingles)
     g = (
         toks.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(w) - {DECON_N - 1}, 0)),"
-                    " i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))"
+                    f"if(size(w) < {DECON_N}, array(),"
+                    f" transform(sequence(1, size(w) - {DECON_N - 1}),"
+                    " i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3])))"
                 )
             ).alias("s"),
         )
@@ -606,16 +603,16 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = fan_out(d.unionAll(mutated))
-    # size guard: sequence(1, 0) is descending in Spark — see _shingles
-    toks = corpus.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 3
-    )
+    toks = corpus.select("doc_id", F.split("text", " ").alias("w"))
+    # inline if() short-doc guard: sequence(1, 0) is descending in Spark
+    # — see _shingles
     sh = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(w) - 2, 0)),"
-                " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                "if(size(w) < 3, array(),"
+                " transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
             )
         ).alias("s"),
     ).distinct()

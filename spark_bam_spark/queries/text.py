@@ -212,15 +212,19 @@ def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", F.lower("text").alias("t"), (F.col("doc_id") % 5 == 0).alias("is_test")
     )
-    # length guard: sequence(1, 0) is descending in Spark, and substring
-    # treats position 0 as 1 — a <3-char doc would emit phantom duplicate
-    # trigrams that DuckDB's empty generate_series never produces
-    grams = d.filter(F.length("t") >= 3).select(
+    # inline if() length guard: sequence(1, 0) is descending in Spark,
+    # and substring treats position 0 as 1 — a <3-char doc would emit
+    # phantom duplicate trigrams that DuckDB's empty generate_series
+    # never produces
+    grams = d.select(
         "doc_id",
         "lang",
         "is_test",
         F.explode(
-            F.expr("transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")
+            F.expr(
+                "if(length(t) < 3, array(),"
+                " transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)))"
+            )
         ).alias("g"),
     )
     w_prof = Window.partitionBy("lang").orderBy(F.desc("cnt"), "g")
