@@ -180,9 +180,14 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 def driver_green_names() -> set[str]:
     """Names with a passing driver row in any CORRECTNESS_r*.json shipped at
     the repo root.  A row passes when rows+schema matched, the value hash
-    matched (when an oracle existed), and no error was recorded.  Missing or
-    unreadable history files contribute nothing (fresh checkouts order the
-    whole registry as unverified, which is the conservative choice)."""
+    matched (when an oracle existed), and no error was recorded.  A query
+    that currently ships NO oracle (genuinely non-SQL-expressible) can never
+    do better than the driver's rows-only check, so a recorded rows-only row
+    (``err == 'no_oracle'`` with >0 rows) also counts — otherwise those names
+    would occupy verification-window slots forever, crowding out queries that
+    still need a first hash check.  Missing or unreadable history files
+    contribute nothing (fresh checkouts order the whole registry as
+    unverified, which is the conservative choice)."""
     import json
     from pathlib import Path
 
@@ -196,13 +201,22 @@ def driver_green_names() -> set[str]:
         if not isinstance(records, dict):
             continue
         for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
             if (
-                isinstance(rec, dict)
-                and rec.get("rows_match")
+                rec.get("rows_match")
                 and rec.get("schema_match")
                 and rec.get("hash_match", True)
                 and not rec.get("err")
             ):
+                green.add(name)
+            elif (
+                rec.get("err") == "no_oracle"
+                and (rec.get("spark_rows") or 0) > 0
+                and name in REGISTRY
+                and REGISTRY[name].oracle is None
+            ):
+                # rows-only is the strongest check this query can ever get
                 green.add(name)
     return green
 
