@@ -762,15 +762,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id so its sort is per-document, never global. Positions are ints,
     so island detection (i - row_number) is exact in both engines."""
     d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 8)
-    # inline transform in the explode (InferFiltersFromGenerate trap — see
-    # _shingles); struct carries the position alongside the gram
+    # short-doc guard lives INSIDE the explode expression: a row filter on
+    # size(w) would be pushed below fan_out's repartition into the FileScan
+    # (InferFiltersFromGenerate trap — see _shingles), serializing split()
+    # on the scan stage and re-evaluating it at every reuse of this subtree
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
     pos = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(w) - 7),"
-                " i -> struct(i AS i, array_join(slice(w, i, 8), ' ') AS gram))"
+                "if(size(w) < 8, array(),"
+                " transform(sequence(1, size(w) - 7),"
+                " i -> struct(i AS i, array_join(slice(w, i, 8), ' ') AS gram)))"
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.i").alias("i"), F.col("p.gram").alias("gram"))

@@ -655,11 +655,18 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode keeps its transform inline (InferFiltersFromGenerate trap).
     Rounded at 6dp to absorb double-sum ordering wobble."""
     d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 2)
+    # single-token guard inline in the explode: a row filter on size(w)
+    # would be pushed below fan_out's repartition into the FileScan,
+    # serializing split() on the scan stage for every reuse (big/bc/uc)
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
     big = toks.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+            F.expr(
+                "if(size(w) < 2, array(),"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i-1] AS w1, w[i] AS w2)))"
+            )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))

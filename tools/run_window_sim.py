@@ -73,14 +73,16 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
-    ok = bad = 0
+    ok = bad = rows_only = 0
     for name in names:
         try:
             df = qs[name](spark, args.sf_dir)
             cols = list(df.columns)
             srows = [tuple(r) for r in df.collect()]
             if name not in osql:
-                status, detail = len(srows) >= 0, f"rows-only ({len(srows)} rows)"
+                # rows-only: "ran" is not "verified" — demand >0 rows so an
+                # empty/garbage result can't print PASS vacuously
+                status, detail = len(srows) > 0, f"rows-only ({len(srows)} rows)"
             else:
                 res = con.sql(osql[name])
                 dcols, drows = list(res.columns), res.fetchall()
@@ -94,10 +96,15 @@ def main() -> int:
             status, detail = False, f"ERROR {e!r}"[:200]
         if status:
             ok += 1
+            if name not in osql:
+                rows_only += 1
         else:
             bad += 1
         print(("PASS" if status else "FAIL"), name, detail, flush=True)
-    print(f"window green: {ok}/{len(names)}, bad: {bad}")
+    print(
+        f"window green: {ok}/{len(names)}, bad: {bad}"
+        f" (hash-verified: {ok - rows_only}, rows-only: {rows_only})"
+    )
     return 1 if bad else 0
 
 
