@@ -191,6 +191,10 @@ def driver_green_names() -> set[str]:
     import json
     from pathlib import Path
 
+    # the rows-only clause consults REGISTRY — populate it so the result
+    # does not depend on whether the caller already ran load_all()
+    _import_query_modules()
+
     green: set[str] = set()
     root = Path(__file__).resolve().parents[2]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -221,11 +225,7 @@ def driver_green_names() -> set[str]:
     return green
 
 
-def load_all() -> dict[str, QuerySpec]:
-    """Import every query module so REGISTRY is fully populated; return it
-    ordered for the driver's 50-slot verification window (see note above):
-    never-driver-green names first (pinned debt order, then registration
-    order), already-verified names after."""
+def _import_query_modules() -> None:
     from spark_bam_spark.queries import (  # noqa: F401
         bam_qa,
         curation,
@@ -243,6 +243,13 @@ def load_all() -> dict[str, QuerySpec]:
         udf_surface,
     )
 
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module so REGISTRY is fully populated; return it
+    ordered for the driver's 50-slot verification window (see note above):
+    never-driver-green names first (pinned debt order, then registration
+    order), already-verified names after."""
+    _import_query_modules()
     green = driver_green_names()
     pinned = {name: i for i, name in enumerate(_DRIVER_CHECK_PRIORITY)}
     reg_idx = {name: i for i, name in enumerate(REGISTRY)}

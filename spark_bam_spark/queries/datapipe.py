@@ -665,7 +665,8 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * k.k) AS BIGINT) THEN n END) AS BIGINT) AS p99,
            CAST(k.mx AS BIGINT) AS max_cnt,
            ROUND(k.mx / k.mean, 6) AS skew_ratio,
-           (SELECT (list(user_id ORDER BY n DESC, user_id))[1:5] FROM c) AS top5_keys
+           (SELECT array_to_string(list_transform((list(user_id ORDER BY n DESC, user_id))[1:5],
+                                                  x -> CAST(x AS VARCHAR)), ',') FROM c) AS top5_keys
     FROM r, k
     GROUP BY k.k, k.total, k.mx, k.mean
     """,
@@ -709,9 +710,12 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             at(0.99).alias("p99"),
             F.max("mx").cast("bigint").alias("max_cnt"),
             F.round(F.max("mx") / F.max("mean"), 6).alias("skew_ratio"),
+            # STRING, not ARRAY: the driver canonicalizes result rows with a
+            # pandas sort, which cannot sort list columns — no registered
+            # query may emit a top-level complex type (tests/test_oracle_types.py)
             F.expr(
-                "slice(transform(array_sort(collect_list(struct(-n AS negn, user_id AS user_id))),"
-                " s -> s.user_id), 1, 5)"
+                "concat_ws(',', slice(transform(array_sort(collect_list(struct(-n AS negn, user_id AS user_id))),"
+                " s -> cast(s.user_id as string)), 1, 5))"
             ).alias("top5_keys"),
         )
         # a global no-groupBy agg yields one all-NULL row on empty input,

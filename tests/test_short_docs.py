@@ -69,6 +69,9 @@ _PINNED = [
     "lsh_quality_eval",
     "curation_pipeline_funnel",
     "langid_ngram_confusion",
+    # moved to the inline-if guard class in r5 — pin the regression here too
+    "dedup_substring_spans",
+    "bigram_logprob_score",
 ]
 
 

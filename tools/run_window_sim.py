@@ -68,6 +68,11 @@ def main() -> int:
     spark = get_spark("window-sim")
     qs, osql = mod.queries(), mod.oracle_sql()
     names = args.names.split(",") if args.names else list(qs)[: args.window]
+    if not args.names:
+        # rows-only queries fall out of the driver's window forever once they
+        # record a passing row, so a later regression (crash / empty result)
+        # would go unseen by the driver — always re-check them locally
+        names += [n for n in qs if n not in osql and n not in names]
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
