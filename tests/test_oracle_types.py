@@ -57,5 +57,38 @@ def test_registry_names_are_nonempty():
     assert all(isinstance(n, str) and n for n in registry)
 
 
+# ---------------------------------------------------------------------------
+# Oracle-side type contract: the driver's value hash is type-sensitive, and
+# DuckDB promotes SUM() over integer columns to HUGEINT (int128), which
+# hashes differently from Spark's BIGINT even when every value is equal —
+# exactly the r2 failures (`boilerplate_segments`, `pagerank_bipartite`).
+# DESCRIBE every oracle and reject HUGEINT/UHUGEINT columns (the oracle SQL
+# must CAST(... AS BIGINT) explicitly).
+# ---------------------------------------------------------------------------
+
+_REGISTRY = load_all()
+WITH_ORACLE = sorted(n for n, s in _REGISTRY.items() if s.oracle is not None)
+
+
+@pytest.fixture(scope="module")
+def con():
+    from tests.conftest import SF_SMALL
+    from tests.oracle import duck_con
+
+    c = duck_con(SF_SMALL)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_has_no_hugeint_columns(con, name):
+    desc = con.execute(f"DESCRIBE {_REGISTRY[name].oracle}").fetchall()
+    huge = [(col, typ) for col, typ, *_ in desc if "HUGEINT" in typ.upper()]
+    assert not huge, (
+        f"{name}: oracle yields int128 columns {huge}; wrap in CAST(... AS BIGINT) "
+        "or the driver's type-sensitive hash will mismatch Spark's BIGINT"
+    )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
