@@ -27,7 +27,8 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL; None => driver does rows-only check
     doc: str = ""
-    headline: bool = False  # included in bench.py timings
+    headline: bool = False  # included in bench.py timings (tier 1, r1 set)
+    headline2: bool = False  # bench tier 2: the LLM-pipeline surface
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
@@ -68,6 +69,7 @@ def register(
     oracle: str | None = None,
     doc: str = "",
     headline: bool = False,
+    headline2: bool = False,
     tags: tuple[str, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -80,7 +82,14 @@ def register(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        REGISTRY[name] = QuerySpec(fn=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), headline=headline, tags=tags)
+        REGISTRY[name] = QuerySpec(
+            fn=wrapped,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            headline=headline,
+            headline2=headline2,
+            tags=tags,
+        )
         return fn
     return deco
 

@@ -47,6 +47,7 @@ N_COMPONENTS = 16
 
 @register(
     "minhash_jaccard_estimate",
+    headline2=True,
     tags=("dedup", "lsh", "contract"),
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
@@ -307,6 +308,7 @@ DECON_N = 5
 
 @register(
     "curation_pipeline_funnel",
+    headline2=True,
     tags=("pipeline", "dedup", "decontamination", "sampling"),
     oracle=f"""
     WITH corpus AS (

@@ -22,6 +22,19 @@ from spark_bam_spark.queries import REGISTRY, register
 from spark_bam_spark.tables import fan_out, table
 
 N_BANDS = 4
+# Hub-shingle document-frequency cap for the LSH candidate generator: a
+# shingle present in more than this many documents (boilerplate headers,
+# license text, navigation chrome) is dropped BEFORE min-hashing.  Hubs are
+# what break banded LSH at scale: one shingle shared by m documents tends to
+# become the band minimum for all of them, producing an O(m²) candidate
+# bucket that no banding parameter can split.  With the cap, every bucket is
+# bounded near the cap, so candidate pairs grow ~linearly with the corpus.
+# Recall cost is nil for near-dup detection — a shingle carried by >64
+# documents has no discriminative power (true copies still share their many
+# sub-cap shingles).  The test fixtures' max df is 25 (sf0.1), so the valve
+# provably never fires there; tests/test_lsh_df_cap.py pins the degenerate
+# corpus where it does.
+LSH_DF_CAP = 64
 # Kirsch-Mitzenmacher second-hash modulus: largest prime < 2^59, so
 # h1 (< 2^60) + band * h2 stays below 2^63 for any band < 8 — no int64
 # overflow in Spark (ANSI) or DuckDB.
@@ -110,11 +123,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh"),
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
+    hub AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
+    capped AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hub)),
     hashed AS (
       SELECT doc_id,
              ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
              (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P} AS h2
-      FROM sh
+      FROM capped
     ),
     mh AS (
       SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
@@ -139,8 +154,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: the self-join key is (band, signature) — uniformly
     distributed, so the shuffle is balanced; candidate pairs (not all
     pairs) are materialized, which is the whole point of LSH at 100 TB.
+    The df-cap pass (see LSH_DF_CAP) costs one extra map-side-combined
+    aggregation over the shingle stream; the resulting hub list is tiny
+    (only shingles in >{LSH_DF_CAP} docs), so it broadcasts and the cap
+    itself is a broadcast anti-join — no extra shuffle of the corpus.
     """
     sh = _shingles(table(spark, sf_dir, "documents"), distinct=False)
+    hubs = (
+        sh.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > LSH_DF_CAP)
+        .select("s")
+    )
+    sh = sh.join(F.broadcast(hubs), "s", "left_anti")
     # all band signatures in ONE pass: N_BANDS min-aggregates over the raw
     # shingle stream (no distinct — min is duplicate-insensitive; no band
     # cross-join — the explode would multiply shuffle volume ×N_BANDS),
@@ -353,11 +379,13 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "graph", "iterative"),
     oracle=f"""
     WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    hub AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
+    capped AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hub)),
     hashed AS (
       SELECT doc_id,
              ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
              (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P} AS h2
-      FROM sh
+      FROM capped
     ),
     mh AS (
       SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
@@ -715,6 +743,7 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_substring_spans",
+    headline2=True,
     tags=("dedup", "text"),
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

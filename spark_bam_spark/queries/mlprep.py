@@ -32,7 +32,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
-from spark_bam_spark.queries.dedup import N_BANDS
+from spark_bam_spark.queries.dedup import LSH_DF_CAP, N_BANDS
 from spark_bam_spark.tables import fan_out, table
 
 _DEC = "decimal(28,12)"
@@ -546,9 +546,11 @@ _JACCARD_THRESH = 0.5
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
       )
     ),
+    hub AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
+    capped AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hub)),
     mh AS (
       SELECT doc_id, b.band, MIN(md5(CAST(b.band AS VARCHAR) || '|' || s)) AS sig
-      FROM sh, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+      FROM capped, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
       GROUP BY doc_id, b.band
     ),
     cand AS (
@@ -616,9 +618,18 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).distinct()
+    # production LSH config includes the hub-shingle df-cap (dedup.LSH_DF_CAP)
+    # — the eval must measure recall/precision of the config actually deployed
+    hubs = (
+        sh.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > LSH_DF_CAP)
+        .select("s")
+    )
+    capped = sh.join(F.broadcast(hubs), "s", "left_anti")
     bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
     mh = (
-        sh.crossJoin(F.broadcast(bands))
+        capped.crossJoin(F.broadcast(bands))
         .groupBy("doc_id", "band")
         .agg(F.min(F.md5(F.concat_ws("|", F.col("band").cast("string"), "s"))).alias("sig"))
     )
@@ -843,10 +854,50 @@ SEM_TARGET = 512  # target cluster size: K = max(SEM_K, ceil(n / SEM_TARGET))
 SEM_TAU = 0.99  # prune threshold (planted near-dups score ~0.9999)
 
 
-@register(
-    "semdedup_prune",
-    tags=("dedup", "similarity", "embedding", "iterative"),
-    oracle=f"""
+def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SemDeDup blocking phase: plant the near-dups, pick adaptive
+    K = max(SEM_K, ceil(n/SEM_TARGET)), run one Lloyd update from the
+    deterministic init, and return (vec_id, v, cluster).  Distance/centroid
+    arithmetic is exact DECIMAL so the cluster labels are bit-identical
+    across engines AND row orders — both the oracle-twin (DECIMAL scoring)
+    and the production path (numpy scoring) consume the same blocking."""
+    emb0 = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    planted = emb0.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(v, (x, i) -> if(i = 0, x * 1.01d, x))").alias("v"),
+    )
+    corpus = fan_out(emb0.unionAll(planted))
+    kk = corpus.agg(
+        F.greatest(
+            F.lit(SEM_K), F.ceil(F.count("*") / float(SEM_TARGET)).cast("long")
+        ).alias("k")
+    )
+    c0 = (
+        corpus.crossJoin(F.broadcast(kk))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("c"))
+    )
+    a1 = _assign(corpus, c0)
+    sums = [F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)]
+    cent1 = (
+        a1.groupBy("cluster")
+        .agg(F.count("*").alias("n"), *sums)
+        .select(
+            "cluster",
+            F.array(
+                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]
+            ).alias("c"),
+        )
+    )
+    return _assign(corpus, cent1)
+
+
+# Shared oracle CTE prefix: plant + adaptive K + one DECIMAL Lloyd update
+# (mirrors _semdedup_assign exactly; both the DECIMAL oracle-twin and the
+# numpy production path append their own scoring tail to it).
+_SEM_ASSIGN_SQL = f"""
     WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                 FROM embeddings),
     e AS (
@@ -875,7 +926,14 @@ SEM_TAU = 0.99  # prune threshold (planted near-dups score ~0.9999)
            FROM e, m1),
     d2x AS (SELECT vec_id, cluster, SUM(t) AS d2 FROM t2 GROUP BY vec_id, cluster),
     a2 AS (SELECT vec_id, cluster FROM d2x
-           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1)"""
+
+
+@register(
+    "semdedup_prune",
+    tags=("dedup", "similarity", "embedding", "iterative"),
+    oracle=_SEM_ASSIGN_SQL
+    + f""",
     ex AS (SELECT e.vec_id, a2.cluster,
                   unnest(list_transform(e.v, (x, i) -> {{'i': i, 'x': x}}),
                          recursive := true)
@@ -923,43 +981,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join shuffles once on the cluster id; norms ride along
     in-row. DECIMAL accumulation keeps both engines bit-identical;
     ranking/threshold use the raw double."""
-    emb0 = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    planted = emb0.filter(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.expr("transform(v, (x, i) -> if(i = 0, x * 1.01d, x))").alias("v"),
-    )
-    corpus = fan_out(emb0.unionAll(planted))
-    kk = corpus.agg(
-        F.greatest(
-            F.lit(SEM_K), F.ceil(F.count("*") / float(SEM_TARGET)).cast("long")
-        ).alias("k")
-    )
-    c0 = (
-        corpus.crossJoin(F.broadcast(kk))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("c"))
-    )
-    a1 = _assign(corpus, c0)
-    sums = [F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)]
-    cent1 = (
-        a1.groupBy("cluster")
-        .agg(F.count("*").alias("n"), *sums)
-        .select(
-            "cluster",
-            F.array(
-                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]
-            ).alias("c"),
-        )
-    )
     # checkpoint the assignment: the k*dim DECIMAL argmin subplan (scan ->
     # a1 -> cent1 -> a2) would otherwise execute on BOTH sides of the pair
     # self-join — measured 2x+ of the operator's wall time at 10x data.
     # LAZY so building the DataFrame (e.g. `cli explain`) runs no jobs;
     # materialization happens once at first execution and is then reused.
     a2 = (
-        _assign(corpus, cent1)
+        _semdedup_assign(spark, sf_dir)
         .withColumn(
             "xx",
             F.expr(f"cast({_dec_sum('transform(v, x -> cast(x * x as ' + _DEC + '))')} as double)"),
@@ -987,6 +1015,81 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("cluster", "vec_pruned", "kept_vec", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "semdedup_prune_fast",
+    headline2=True,
+    tags=("dedup", "similarity", "embedding", "pandas-udf"),
+    oracle=_SEM_ASSIGN_SQL
+    + f""",
+    ex AS (SELECT e.vec_id, a2.cluster,
+                  unnest(list_transform(e.v, (x, i) -> {{'i': i, 'x': x}}),
+                         recursive := true)
+           FROM e JOIN a2 USING (vec_id)),
+    norms AS (SELECT vec_id, SUM(x * x) AS xx FROM ex GROUP BY vec_id),
+    dots AS (SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb, SUM(a.x * b.x) AS dotp
+             FROM ex a JOIN ex b
+               ON a.cluster = b.cluster AND a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY a.cluster, a.vec_id, b.vec_id),
+    scored AS (SELECT cluster, va, vb, dotp / (sqrt(na.xx) * sqrt(nb.xx)) AS cos
+               FROM dots
+               JOIN norms na ON na.vec_id = va
+               JOIN norms nb ON nb.vec_id = vb
+               WHERE na.xx > 0 AND nb.xx > 0)
+    SELECT cluster, vb AS vec_pruned, CAST(MIN(va) AS BIGINT) AS kept_vec
+    FROM scored WHERE cos >= {SEM_TAU}
+    GROUP BY cluster, vb
+    """,
+)
+def semdedup_prune_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup production path: identical blocking to ``semdedup_prune``
+    (shared ``_semdedup_assign`` — exact DECIMAL Lloyd update, so both
+    engines put every vector in the same cluster), but the in-cluster
+    pairwise cosine runs as ONE numpy matmul per cluster inside an
+    Arrow-batched ``applyInPandas`` instead of a DECIMAL zip_with
+    self-join.  Output is the prune decision list only (no float cosine
+    column): the planted near-dups score ~0.9999 vs the natural max
+    ~0.47 against the {SEM_TAU} threshold, so the ~1e-13 summation-order
+    noise between BLAS, Spark, and DuckDB can never flip membership —
+    the decision set is engine-exact even though the scoring is double.
+
+    Scale shape: the grouped-map shuffle is one pass keyed on the
+    cluster id, and adaptive K bounds each group near {SEM_TARGET} rows,
+    so the per-task matmul is ~{SEM_TARGET}x{SEM_TARGET}x{EMB_DIM} —
+    constant work per task, task count grows linearly with the corpus.
+    This is the SemDeDup paper's own execution shape (per-cluster dense
+    matmuls); the DECIMAL twin exists to give the driver a bit-exact
+    oracle, at ~5x the cost."""
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        M = np.asarray(pdf["v"].to_list(), dtype=np.float64)[order]
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        ok = nrm > 0.0
+        U = np.where(ok[:, None], M / np.where(ok, nrm, 1.0)[:, None], 0.0)
+        C = U @ U.T
+        mask = C >= SEM_TAU
+        mask[~ok, :] = False
+        mask[:, ~ok] = False
+        mask[np.tril_indices(len(ids))] = False  # keep i<j in vec_id order
+        has = mask.any(axis=0)
+        kept = mask.argmax(axis=0)  # first True = lowest kept vec_id
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(has.sum()), pdf["cluster"].iloc[0], dtype=np.int64),
+                "vec_pruned": ids[has],
+                "kept_vec": ids[kept[has]],
+            }
+        )
+
+    return _semdedup_assign(spark, sf_dir).groupBy("cluster").applyInPandas(
+        score, "cluster bigint, vec_pruned bigint, kept_vec bigint"
     )
 
 

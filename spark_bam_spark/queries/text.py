@@ -467,6 +467,7 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bm25_topk_docs",
+    headline2=True,
     tags=("text", "ranking"),
     oracle="""
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

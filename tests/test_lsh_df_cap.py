@@ -1,0 +1,112 @@
+"""Hub-shingle df-cap (dedup.LSH_DF_CAP): the release valve that keeps
+banded MinHash-LSH linear on corpora with boilerplate.
+
+A shingle shared by m documents tends to become the band minimum for all
+of them, producing one O(m²) candidate bucket no banding parameter can
+split.  The cap drops shingles with document frequency > LSH_DF_CAP
+before min-hashing, on BOTH engine sides.
+
+Two pins:
+1. The fixtures (max df 25 at sf0.1) sit below the cap, so the capped
+   pipeline is bit-identical to the uncapped one there — recall of
+   lsh_quality_eval is unchanged by construction, asserted directly.
+2. A degenerate corpus (one boilerplate trigram in every doc, otherwise
+   pairwise-disjoint vocabulary) explodes quadratically uncapped and
+   yields ZERO candidate pairs capped — and the capped result still
+   hash-matches the DuckDB oracle on that corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spark_bam_spark.queries import load_all
+from spark_bam_spark.queries.dedup import LSH_DF_CAP
+from tests.oracle import compare
+
+REGISTRY = load_all()
+
+SF_SRC = "/root/testdata/sf0.001"
+
+N_HUB_DOCS = LSH_DF_CAP + 6  # enough docs that the shared trigram is a hub
+
+
+@pytest.fixture(scope="module")
+def hub_corpus_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("hub_corpus")
+    for name in os.listdir(SF_SRC):
+        if name.endswith(".parquet") and name != "documents.parquet":
+            shutil.copy(os.path.join(SF_SRC, name), out / name)
+    # every doc: the SAME leading boilerplate trigram, then a private
+    # 3-word tail (disjoint vocab) — so the only shared shingles involve
+    # the boilerplate prefix, and each appears in all N_HUB_DOCS docs
+    rows = [
+        (
+            i,
+            f"common header line u{i}a u{i}b u{i}c",
+            "en",
+            "src0",
+            30,
+        )
+        for i in range(N_HUB_DOCS)
+    ]
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip([f.name for f in schema], r)) for r in rows], schema=schema
+    ), str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_cap_kills_degenerate_bucket_and_stays_oracle_exact(spark, hub_corpus_dir):
+    spec = REGISTRY["dedup_minhash_lsh"]
+    # capped: every cross-doc shingle is a hub (df = N_HUB_DOCS > cap), so
+    # no candidate pairs survive — instead of N*(N-1)/2 ≈ 2.4k pairs
+    pairs = spec.fn(spark, hub_corpus_dir).count()
+    assert pairs == 0, f"expected hub bucket suppressed, got {pairs} pairs"
+    # and the capped pipeline still hash-matches its DuckDB oracle here
+    compare(spark, "dedup_minhash_lsh", spec, hub_corpus_dir)
+
+
+def test_cap_is_inert_on_fixtures(spark, sf_medium):
+    """Fixture max df (7 at sf0.01, 25 at sf0.1) < LSH_DF_CAP: the hub
+    list must be empty, so capped == uncapped there (recall unchanged)."""
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.queries.dedup import _shingles
+    from spark_bam_spark.tables import table
+
+    sh = _shingles(table(spark, sf_medium, "documents"), distinct=False)
+    n_hubs = (
+        sh.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > LSH_DF_CAP)
+        .count()
+    )
+    assert n_hubs == 0
+
+
+def test_quality_eval_recall_unchanged(spark, sf_medium):
+    """Planted-near-dup recall under the capped production config — the
+    eval corpus' hub list is empty (max df ~2x the fixture's 7, far below
+    the cap), so recall must equal the pre-cap r3-verified value:
+    62/72 planted pairs found at sf0.01."""
+    row = REGISTRY["lsh_quality_eval"].fn(spark, sf_medium).collect()[0]
+    assert row["n_planted"] == 72 and row["n_planted_found"] == 62, row
+    assert abs(row["recall"] - 62 / 72) < 1e-12, row
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
