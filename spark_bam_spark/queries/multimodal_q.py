@@ -1,15 +1,52 @@
-"""Multimodal-column queries (rows-only: binary payloads + fake codec are
-not DuckDB-expressible; exact coverage in tests/test_multimodal.py)."""
+"""Multimodal-column queries.
+
+Oracle strategy (they were rows-only through r5):
+
+- The fake-codec trio is fully DERIVABLE in SQL: the 'decode' is
+  md5(payload) with the digest's 16 bytes cycled into the feature
+  vector, and the payload is the document text's utf-8 bytes — so
+  DuckDB recomputes features straight from ``documents.text``.
+- The real-codec decodes (PPM/WAV/Y4M) depend only on doc_id; their
+  expected outputs are committed golden parquet keyed by media_id
+  (tools/gen_bam_golden.py, dumped at the superset sf0.1 id range) and
+  the oracle JOINs them against the sf-dir's documents table.  Exact
+  value-level coverage stays in tests/test_multimodal.py.
+"""
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
 
+_FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures"
+).replace(os.sep, "/")
+_G_PPM_PQ = f"{_FIXTURES_DIR}/multimodal_golden_ppm.parquet"
+_G_WAV_PQ = f"{_FIXTURES_DIR}/multimodal_golden_wav.parquet"
+_G_Y4M_PQ = f"{_FIXTURES_DIR}/multimodal_golden_y4m.parquet"
 
-@register("multimodal_decode_features", doc="binary media → feature vectors via Arrow-batched mapInPandas")
+# the fake codec's feature i = md5-digest byte (i mod 16) scaled to [0,1]
+# and narrowed to float32 (the features column is array<float>)
+_F0_SQL = "CAST(CAST(('0x' || substr(md5(text), 1, 2))::INT / 255.0 AS FLOAT) AS DOUBLE)"
+_KIND_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@register(
+    "multimodal_decode_features",
+    doc="binary media → feature vectors via Arrow-batched mapInPandas",
+    oracle=f"""
+    SELECT {_KIND_SQL} AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG({_F0_SQL}), 6) AS avg_f0
+    FROM documents GROUP BY 1
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import multimodal as mm
 
@@ -20,7 +57,16 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", doc="video frame sampling: one row per fixed-stride frame")
+@register(
+    "multimodal_frame_sample",
+    doc="video frame sampling: one row per fixed-stride frame",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(ceil(octet_length(encode(text)) / 128.0) AS BIGINT) AS n_frames,
+           CAST(ceil(octet_length(encode(text)) / 128.0) - 1 AS INT) AS max_idx
+    FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import multimodal as mm
 
@@ -31,6 +77,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_ann_pipeline",
     doc="end-to-end: media binary → decoded features → cosine top-5 vs a query item",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, {_KIND_SQL} AS kind,
+             list_transform(generate_series(1, 16),
+               i -> CAST(CAST(('0x' || substr(md5(text), 2*i - 1, 2))::INT / 255.0 AS FLOAT) AS DOUBLE)) AS v
+      FROM documents
+    ),
+    q AS (SELECT v AS qv FROM f WHERE doc_id = 0)
+    SELECT doc_id AS media_id, kind,
+           ROUND(list_aggregate(list_transform(generate_series(1, 16), i -> f.v[i] * q.qv[i]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(f.v, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(q.qv, y -> y * y), 'sum'))), 6) AS cosine
+    FROM f, q WHERE doc_id != 0
+    ORDER BY cosine DESC, media_id LIMIT 5
+    """,
 )
 def multimodal_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data shape: decode binary payloads to vectors
@@ -66,6 +127,10 @@ def multimodal_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_ppm_real_decode",
     doc="REAL image decode (pure-numpy netpbm P6) → features, no external lib",
+    oracle=f"""
+    SELECT g.media_id, g.feature_sum, g.f0
+    FROM read_parquet('{_G_PPM_PQ}') g JOIN documents d ON d.doc_id = g.media_id
+    """,
 )
 def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real-codec path, executable in any environment: payloads are
@@ -88,6 +153,10 @@ def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_wav_real_decode",
     doc="REAL audio decode (pure-numpy RIFF/PCM WAV) → RMS-window features",
+    oracle=f"""
+    SELECT g.media_id, g.energy_sum, g.rms0
+    FROM read_parquet('{_G_WAV_PQ}') g JOIN documents d ON d.doc_id = g.media_id
+    """,
 )
 def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio sibling of multimodal_ppm_real_decode: payloads are genuine
@@ -108,6 +177,10 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_y4m_frame_sample",
     doc="REAL video frame sampling (pure-numpy YUV4MPEG2) → frame stats",
+    oracle=f"""
+    SELECT g.media_id, g.n_frames_kept, g.max_idx, g.avg_luma
+    FROM read_parquet('{_G_Y4M_PQ}') g JOIN documents d ON d.doc_id = g.media_id
+    """,
 )
 def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video sibling of the PPM/WAV real decodes: payloads are genuine
