@@ -269,6 +269,65 @@ def bam_count_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REWRITE_DIR = "/tmp/spark_bam_spark_fixture/rewrite_roundtrip"
+
+
+@register(
+    "bam_rewrite_roundtrip",
+    doc="S18 BAM writer sink: write → rescan → field-level match vs source (HTSJDKRewrite.scala:21-93)",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+           CAST(COUNT(*) AS BIGINT) AS n_rewritten,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           TRUE AS all_match
+    FROM read_parquet('{_TRUTH_PQ}')
+    """,
+)
+def bam_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible round-trip for the S18 writer sink: scan the 2500-
+    record fixture, write it back through ``df.write.format("bam")``
+    (different block_payload so the BGZF framing genuinely changes),
+    rescan the part-BAMs, and full-outer-join on qname comparing every
+    logical field (flag/rname/pos/mapq/cigar/tlen/seq/qual).  The oracle
+    derives the expected single row from the generator truth sidecar:
+    both counts equal the truth count, zero mismatches.  Any writer or
+    reader regression shows up as a mismatch/missing row and breaks the
+    hash.  (HTSJDKRewrite.scala:21-93 parity: rewrite-then-compare.)"""
+    import shutil
+
+    from spark_bam_spark.bam.datasource import register as reg
+    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES
+
+    src = _reads(spark, split_size=65536)
+    shutil.rmtree(_REWRITE_DIR, ignore_errors=True)
+    contigs = ",".join(f"{n}:{ln}" for n, ln in zip(CONTIG_NAMES, CONTIG_LENGTHS))
+    (
+        src.repartition(4)
+        .write.format("bam")
+        .option("contigs", contigs)
+        .option("block_payload", 4096)
+        .mode("append")
+        .save(_REWRITE_DIR)
+    )
+    reg(spark)
+    # fresh plan on purpose (no _PLAN_CACHE): the rewrite dir is recreated
+    # on every call, so the reader must re-list and re-scan it
+    back = spark.read.format("bam").option("split_size", 16384).load(_REWRITE_DIR)
+    fields = ["flag", "rname", "pos", "mapq", "cigar", "tlen", "seq", "qual"]
+    a = src.select("qname", *fields).alias("a")
+    b = back.select("qname", *fields).alias("b")
+    joined = a.join(b, on="qname", how="full_outer")
+    mismatch = ~(F.col("a.flag").isNotNull() & F.col("b.flag").isNotNull())
+    for f in fields:
+        mismatch = mismatch | ~F.col(f"a.{f}").eqNullSafe(F.col(f"b.{f}"))
+    return joined.agg(
+        F.sum(F.col("a.flag").isNotNull().cast("int")).cast("bigint").alias("n_source"),
+        F.sum(F.col("b.flag").isNotNull().cast("int")).cast("bigint").alias("n_rewritten"),
+        F.sum(mismatch.cast("int")).cast("bigint").alias("n_mismatch"),
+        (F.sum(mismatch.cast("int")) == 0).alias("all_match"),
+    )
+
+
 @register(
     "bam_time_load",
     doc="time-load: first read per partition at two split sizes + name anti-joins",
