@@ -123,14 +123,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh"),
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    hub AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
-    capped AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hub)),
-    hashed AS (
+    hashed0 AS (
       SELECT doc_id,
              ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
              (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P} AS h2
-      FROM capped
+      FROM sh
     ),
+    hub AS (SELECT h1 FROM hashed0 GROUP BY h1 HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
+    hashed AS (SELECT * FROM hashed0 WHERE h1 NOT IN (SELECT h1 FROM hub)),
     mh AS (
       SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
       FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
@@ -154,19 +154,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: the self-join key is (band, signature) — uniformly
     distributed, so the shuffle is balanced; candidate pairs (not all
     pairs) are materialized, which is the whole point of LSH at 100 TB.
-    The df-cap pass (see LSH_DF_CAP) costs one extra map-side-combined
-    aggregation over the shingle stream; the resulting hub list is tiny
-    (only shingles in >{LSH_DF_CAP} docs), so it broadcasts and the cap
-    itself is a broadcast anti-join — no extra shuffle of the corpus.
+    The df-cap pass (see LSH_DF_CAP) adds one distinct-aggregate shuffle
+    keyed on the 60-bit shingle hash h1 — 8-byte longs, not the shingle
+    strings, and partial-distinct combines map-side — and the resulting
+    hub list is tiny (only shingles in >{LSH_DF_CAP} docs), so the cap
+    itself is a broadcast anti-join on the already-computed h1.  (At
+    100 TB the exact df pass could be swapped for a count-min/HLL
+    pre-filter; exactness is kept here because the DuckDB oracle hashes
+    the result bit-for-bit.)
     """
     sh = _shingles(table(spark, sf_dir, "documents"), distinct=False)
-    hubs = (
-        sh.groupBy("s")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") > LSH_DF_CAP)
-        .select("s")
-    )
-    sh = sh.join(F.broadcast(hubs), "s", "left_anti")
     # all band signatures in ONE pass: N_BANDS min-aggregates over the raw
     # shingle stream (no distinct — min is duplicate-insensitive; no band
     # cross-join — the explode would multiply shuffle volume ×N_BANDS),
@@ -174,7 +171,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5("s")
     h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % _KM_P
-    sigs = sh.select("doc_id", h1.alias("h1"), h2.alias("h2")).groupBy("doc_id").agg(
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    # hub detection on h1, not the string: both engines compute the same
+    # md5-derived key, so even a (negligible, 60-bit) collision caps the
+    # same shingles on both sides
+    hubs = (
+        hashed.groupBy("h1")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > LSH_DF_CAP)
+        .select("h1")
+    )
+    sigs = hashed.join(F.broadcast(hubs), "h1", "left_anti").groupBy("doc_id").agg(
         *[F.min(F.col("h1") + b * F.col("h2")).alias(f"sig_{b}") for b in range(N_BANDS)]
     )
     stack_args = ", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))
@@ -379,14 +386,14 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "graph", "iterative"),
     oracle=f"""
     WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
-    hub AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
-    capped AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hub)),
-    hashed AS (
+    hashed0 AS (
       SELECT doc_id,
              ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
              (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P} AS h2
-      FROM capped
+      FROM sh
     ),
+    hub AS (SELECT h1 FROM hashed0 GROUP BY h1 HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
+    hashed AS (SELECT * FROM hashed0 WHERE h1 NOT IN (SELECT h1 FROM hub)),
     mh AS (
       SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
       FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
