@@ -103,12 +103,17 @@ def register(
 # the oldest verification debt so a query registered later can never displace
 # an older unverified one out of the 50-slot window.
 #
-# Round history: r1+r2 verified 73 queries (bam_qa/dedup/graph/mlprep/
-# multimodal + relational head); r3 verified 50 more (streaming_batch, tpch,
-# relational tail, text, similarity head) => union 98/146.  The tuple below
-# is the full set of 48 names never driver-green after r3: 36 oracle-bearing
-# (verified by row+schema+hash) first, then the 12 genuinely rows-only.
-# They fit the 50-slot r4 window with 2 slots spare.
+# Round history: r1-r5 cleared the entire backlog (192/192 driver-checked,
+# union over rounds).  Round 6 then UPGRADED the 15 rows-only queries to
+# hash-grade oracles — which intentionally invalidates their historical
+# rows-only greens (driver_green_names only counts a rows-only row for a
+# query that still ships no oracle) — and added semdedup_prune_fast +
+# bam_rewrite_roundtrip, so the r6 window re-verifies those 17 at hash
+# grade first, then re-runs 33 greens in registration order.
+#
+# The tuple below is retained as the stable relative order of the old
+# debt (the r4 backlog); upgraded/new names not in it simply sort by
+# registration order within the never-green group.
 _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- oracle-bearing, never driver-checked (36) --------------------------
     # scalar functions (SURVEY §2.8 — zero driver-green rows ever)
