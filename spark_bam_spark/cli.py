@@ -132,11 +132,13 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
         from spark_bam_spark.queries import load_all
 
         writer = csv.writer(sys.stdout, lineterminator="\n")
-        writer.writerow(["name", "tags", "oracle", "headline"])
+        writer.writerow(["name", "tags", "oracle", "headline", "headline2"])
         for name, spec in load_all().items():
             if args.tag and args.tag not in spec.tags:
                 continue
-            writer.writerow([name, " ".join(spec.tags), bool(spec.oracle), spec.headline])
+            writer.writerow(
+                [name, " ".join(spec.tags), bool(spec.oracle), spec.headline, spec.headline2]
+            )
         return
     if cmd == "query":
         from spark_bam_spark.queries import load_all

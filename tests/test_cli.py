@@ -89,7 +89,7 @@ def test_stdout_csv_quotes_special_values(spark, capsys):
 
 def test_list_queries_prints_registry(spark, capsys):
     lines = _run(spark, ["list-queries"], capsys)
-    assert lines[0] == "name,tags,oracle,headline"
+    assert lines[0] == "name,tags,oracle,headline,headline2"
     names = {ln.split(",")[0] for ln in lines[1:]}
     assert {"pricing_summary", "dedup_minhash_lsh", "curation_pipeline_funnel"} <= names
 
