@@ -601,8 +601,10 @@ def compare_splits_multi(spark: SparkSession, paths: list[str], split_size: int 
                         len(se & su),
                         len(se - su),
                         len(su - se),
-                        round(eager_ms, 3),
-                        round(up_ms, 3),
+                        # floor at 1µs: a timing that rounds to 0.0 would
+                        # turn the downstream ratio into NaN/0-division
+                        max(round(eager_ms, 3), 0.001),
+                        max(round(up_ms, 3), 0.001),
                     )
                 )
             yield pd.DataFrame(
