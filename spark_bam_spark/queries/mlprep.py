@@ -1061,7 +1061,18 @@ def semdedup_prune_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant work per task, task count grows linearly with the corpus.
     This is the SemDeDup paper's own execution shape (per-cluster dense
     matmuls); the DECIMAL twin exists to give the driver a bit-exact
-    oracle, at ~5x the cost."""
+    oracle, at ~5x the cost.
+
+    Known scale term: the shared assignment phase is n*K distances with
+    K = n/{SEM_TARGET}, i.e. O(n²/{SEM_TARGET}) — measured 45s at the
+    30x local probe vs 2s at sf0.1 (the scoring phase stays linear).
+    It is kept flat + DECIMAL deliberately, so the production path makes
+    IDENTICAL decisions to the oracle twin (pinned in
+    tests/test_semdedup_paths.py).  The 100 TB escape hatch is a
+    two-level (coarse-then-fine, IVF-style) assignment — O(n*sqrt(K)) —
+    mirrored on both engine sides; it trades flat-k-means blocking for
+    nested blocking and would be introduced as its own registered query
+    so this decision-list contract stays intact."""
     import pandas as pd
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
