@@ -854,13 +854,45 @@ SEM_TARGET = 512  # target cluster size: K = max(SEM_K, ceil(n / SEM_TARGET))
 SEM_TAU = 0.99  # prune threshold (planted near-dups score ~0.9999)
 
 
-def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared SemDeDup blocking phase: plant the near-dups, pick adaptive
-    K = max(SEM_K, ceil(n/SEM_TARGET)), run one Lloyd update from the
-    deterministic init, and return (vec_id, v, cluster).  Distance/centroid
-    arithmetic is exact DECIMAL so the cluster labels are bit-identical
-    across engines AND row orders — both the oracle-twin (DECIMAL scoring)
-    and the production path (numpy scoring) consume the same blocking."""
+def _score_clusters_numpy(assigned: DataFrame) -> DataFrame:
+    """SemDeDup scoring phase shared by the production paths: one numpy
+    cosine matmul per cluster group (Arrow-batched grouped map), emitting
+    the prune decision list (cluster, vec_pruned, kept_vec).  Input must
+    have columns (vec_id, v, cluster)."""
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        M = np.asarray(pdf["v"].to_list(), dtype=np.float64)[order]
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        ok = nrm > 0.0
+        U = np.where(ok[:, None], M / np.where(ok, nrm, 1.0)[:, None], 0.0)
+        C = U @ U.T
+        mask = C >= SEM_TAU
+        mask[~ok, :] = False
+        mask[:, ~ok] = False
+        mask[np.tril_indices(len(ids))] = False  # keep i<j in vec_id order
+        has = mask.any(axis=0)
+        kept = mask.argmax(axis=0)  # first True = lowest kept vec_id
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(has.sum()), pdf["cluster"].iloc[0], dtype=np.int64),
+                "vec_pruned": ids[has],
+                "kept_vec": ids[kept[has]],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        score, "cluster bigint, vec_pruned bigint, kept_vec bigint"
+    )
+
+
+def _semdedup_corpus(spark: SparkSession, sf_dir: str):
+    """Planted corpus + adaptive-K scalar, shared by the flat and IVF
+    blocking phases."""
     emb0 = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
@@ -874,6 +906,17 @@ def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(SEM_K), F.ceil(F.count("*") / float(SEM_TARGET)).cast("long")
         ).alias("k")
     )
+    return corpus, kk
+
+
+def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SemDeDup blocking phase: plant the near-dups, pick adaptive
+    K = max(SEM_K, ceil(n/SEM_TARGET)), run one Lloyd update from the
+    deterministic init, and return (vec_id, v, cluster).  Distance/centroid
+    arithmetic is exact DECIMAL so the cluster labels are bit-identical
+    across engines AND row orders — both the oracle-twin (DECIMAL scoring)
+    and the production path (numpy scoring) consume the same blocking."""
+    corpus, kk = _semdedup_corpus(spark, sf_dir)
     c0 = (
         corpus.crossJoin(F.broadcast(kk))
         .filter(F.col("vec_id") < F.col("k"))
@@ -1073,35 +1116,188 @@ def semdedup_prune_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored on both engine sides; it trades flat-k-means blocking for
     nested blocking and would be introduced as its own registered query
     so this decision-list contract stays intact."""
-    import pandas as pd
+    return _score_clusters_numpy(_semdedup_assign(spark, sf_dir))
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
 
-        order = np.argsort(pdf["vec_id"].to_numpy())
-        ids = pdf["vec_id"].to_numpy()[order]
-        M = np.asarray(pdf["v"].to_list(), dtype=np.float64)[order]
-        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
-        ok = nrm > 0.0
-        U = np.where(ok[:, None], M / np.where(ok, nrm, 1.0)[:, None], 0.0)
-        C = U @ U.T
-        mask = C >= SEM_TAU
-        mask[~ok, :] = False
-        mask[:, ~ok] = False
-        mask[np.tril_indices(len(ids))] = False  # keep i<j in vec_id order
-        has = mask.any(axis=0)
-        kept = mask.argmax(axis=0)  # first True = lowest kept vec_id
-        return pd.DataFrame(
-            {
-                "cluster": np.full(int(has.sum()), pdf["cluster"].iloc[0], dtype=np.int64),
-                "vec_pruned": ids[has],
-                "kept_vec": ids[kept[has]],
-            }
-        )
+# --------------------------------------------------------------------------
+# SemDeDup two-level (IVF-style) blocking: the O(n·√K) assignment
+# --------------------------------------------------------------------------
+#
+# The flat assignment above is n·K distances with K = n/SEM_TARGET, i.e.
+# O(n²/SEM_TARGET) — the one super-linear term left in the family (45s at
+# the 30× local probe).  This variant blocks in two exact DECIMAL levels:
+# K1 = ceil(√K) coarse cells (one Lloyd update), then per-cell fine
+# subclusters sized to SEM_TARGET (one Lloyd update inside each cell) —
+# O(n·√K) total distance work, labels still bit-identical across engines.
+# Nested blocking is NOT flat k-means, so its decision list legitimately
+# differs from semdedup_prune/semdedup_prune_fast; the quality contract is
+# planted-near-dup recall (tests/test_semdedup_paths.py pins it at 100%).
+#
+# NOT yet registered: the r5 verdict froze registrations outside its
+# sanctioned items; `SEMDEDUP_IVF_ORACLE_SQL` + `semdedup_prune_ivf` are
+# fully built and oracle-tested (tests/test_semdedup_paths.py) so round 7
+# can register them as one line inside its verification window.
 
-    return _semdedup_assign(spark, sf_dir).groupBy("cluster").applyInPandas(
-        score, "cluster bigint, vec_pruned bigint, kept_vec bigint"
+SEM_IVF_MIN_COARSE = 4  # K1 = max(this, ceil(sqrt(K)))
+SEM_IVF_CELL_SHIFT = 1_000_000  # composite label = coarse * shift + fine
+
+
+def _assign_in_cell(members: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-fine-centroid assignment WITHIN each coarse cell: the per-
+    cell centroid lists (K total rows) broadcast, argmin runs in-row —
+    exact DECIMAL distances, ties to the lowest fine id (struct ordering
+    mirrors the oracle's ORDER BY d2, fid)."""
+    packed = cents.groupBy("g").agg(
+        F.collect_list(F.struct(F.col("fid").alias("fid"), F.col("c").alias("c"))).alias("cs")
     )
+    d2 = _dec_sum(f"zip_with(v, s.c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))")
+    argmin = F.expr(f"array_min(transform(cs, s -> struct({d2} as d2, s.fid as fid))).fid")
+    return members.join(F.broadcast(packed), "g").select(
+        "vec_id", "v", "g", argmin.alias("fid")
+    )
+
+
+def _semdedup_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level blocking: coarse K1-means (one Lloyd update, flat
+    algorithm at √K scale), then per-cell fine subclustering (init = the
+    K_g lowest vec_ids of the cell, one Lloyd update).  Returns
+    (vec_id, v, cluster) with the composite bigint label."""
+    corpus, kk = _semdedup_corpus(spark, sf_dir)
+    kk1 = kk.select(
+        F.greatest(
+            F.lit(SEM_IVF_MIN_COARSE), F.ceil(F.sqrt(F.col("k").cast("double"))).cast("long")
+        ).alias("k1")
+    )
+    c0 = (
+        corpus.crossJoin(F.broadcast(kk1))
+        .filter(F.col("vec_id") < F.col("k1"))
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("c"))
+    )
+    a1 = _assign(corpus, c0)
+    sums = [F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)]
+    cent1 = (
+        a1.groupBy("cluster")
+        .agg(F.count("*").alias("n"), *sums)
+        .select(
+            "cluster",
+            F.array(
+                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]
+            ).alias("c"),
+        )
+    )
+    coarse = _assign(corpus, cent1).withColumnRenamed("cluster", "g")
+    # per-cell fine budget + deterministic init (lowest K_g vec_ids)
+    kg = coarse.groupBy("g").agg(F.count("*").alias("n_g")).select(
+        "g",
+        F.greatest(F.lit(1), F.ceil(F.col("n_g") / float(SEM_TARGET)).cast("long")).alias("kg"),
+    )
+    mem = coarse.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("vec_id")))
+    finit = (
+        mem.join(F.broadcast(kg), "g")
+        .filter(F.col("rn") <= F.col("kg"))
+        .select("g", (F.col("rn") - 1).alias("fid"), F.col("v").alias("c"))
+    )
+    members = mem.select("vec_id", "v", "g")
+    fa1 = _assign_in_cell(members, finit)
+    fcent = (
+        fa1.groupBy("g", "fid")
+        .agg(F.count("*").alias("n"), *sums)
+        .select(
+            "g",
+            "fid",
+            F.array(
+                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]
+            ).alias("c"),
+        )
+    )
+    fa2 = _assign_in_cell(members, fcent)
+    return fa2.select(
+        "vec_id", "v", (F.col("g") * SEM_IVF_CELL_SHIFT + F.col("fid")).alias("cluster")
+    )
+
+
+def semdedup_prune_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the O(n·√K) two-level blocking and numpy scoring —
+    the 100 TB production shape (registration deferred to round 7; see
+    the module note above)."""
+    return _score_clusters_numpy(_semdedup_assign_ivf(spark, sf_dir))
+
+
+SEMDEDUP_IVF_ORACLE_SQL = f"""
+    WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    e AS (
+      SELECT vec_id, v FROM e0
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END)
+      FROM e0 WHERE vec_id % 11 = 0
+    ),
+    kk AS (SELECT greatest({SEM_K}, CAST(ceil(COUNT(*) / {SEM_TARGET}.0) AS BIGINT)) AS k
+           FROM e),
+    kk1 AS (SELECT greatest({SEM_IVF_MIN_COARSE},
+                            CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS k1 FROM kk),
+    c0 AS (SELECT vec_id AS cluster, v AS c FROM e, kk1 WHERE vec_id < kk1.k1),
+    t1 AS (SELECT e.vec_id, c0.cluster,
+                  unnest(list_transform(e.v, (x, i) ->
+                         CAST((x - c0.c[i]) * (x - c0.c[i]) AS DECIMAL(28,12)))) AS t
+           FROM e, c0),
+    d1 AS (SELECT vec_id, cluster, SUM(t) AS d2 FROM t1 GROUP BY vec_id, cluster),
+    a1 AS (SELECT vec_id, cluster FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+    m1 AS (SELECT a1.cluster, i.i AS i,
+                  CAST(SUM(CAST(e.v[i.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+           FROM a1 JOIN e USING (vec_id), range(1, {EMB_DIM + 1}) i(i)
+           GROUP BY a1.cluster, i.i),
+    t2 AS (SELECT e.vec_id, m1.cluster,
+                  CAST((e.v[m1.i] - m1.cv) * (e.v[m1.i] - m1.cv) AS DECIMAL(28,12)) AS t
+           FROM e, m1),
+    d2x AS (SELECT vec_id, cluster, SUM(t) AS d2 FROM t2 GROUP BY vec_id, cluster),
+    a2 AS (SELECT vec_id, cluster AS g FROM d2x
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+    kg AS (SELECT g, greatest(1, CAST(ceil(COUNT(*) / {SEM_TARGET}.0) AS BIGINT)) AS kg
+           FROM a2 GROUP BY g),
+    mem AS (SELECT e.vec_id, e.v, a2.g,
+                   row_number() OVER (PARTITION BY a2.g ORDER BY e.vec_id) AS rn
+            FROM e JOIN a2 USING (vec_id)),
+    finit AS (SELECT mem.g, mem.rn - 1 AS fid, mem.v AS c
+              FROM mem JOIN kg USING (g) WHERE mem.rn <= kg.kg),
+    ft1 AS (SELECT mem.vec_id, mem.g, finit.fid,
+                   unnest(list_transform(mem.v, (x, i) ->
+                          CAST((x - finit.c[i]) * (x - finit.c[i]) AS DECIMAL(28,12)))) AS t
+            FROM mem JOIN finit ON finit.g = mem.g),
+    fd1 AS (SELECT vec_id, g, fid, SUM(t) AS d2 FROM ft1 GROUP BY vec_id, g, fid),
+    fa1 AS (SELECT vec_id, g, fid FROM fd1
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, fid) = 1),
+    fm1 AS (SELECT fa1.g, fa1.fid, i.i AS i,
+                   CAST(SUM(CAST(e.v[i.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+            FROM fa1 JOIN e USING (vec_id), range(1, {EMB_DIM + 1}) i(i)
+            GROUP BY fa1.g, fa1.fid, i.i),
+    ft2 AS (SELECT mem.vec_id, mem.g, fm1.fid,
+                   CAST((mem.v[fm1.i] - fm1.cv) * (mem.v[fm1.i] - fm1.cv) AS DECIMAL(28,12)) AS t
+            FROM mem JOIN fm1 ON fm1.g = mem.g),
+    fd2 AS (SELECT vec_id, g, fid, SUM(t) AS d2 FROM ft2 GROUP BY vec_id, g, fid),
+    fa2 AS (SELECT vec_id, g, fid FROM fd2
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, fid) = 1),
+    ex AS (SELECT e.vec_id, fa2.g, fa2.fid,
+                  unnest(list_transform(e.v, (x, i) -> {{'i': i, 'x': x}}),
+                         recursive := true)
+           FROM e JOIN fa2 USING (vec_id)),
+    norms AS (SELECT vec_id, SUM(x * x) AS xx FROM ex GROUP BY vec_id),
+    dots AS (SELECT a.g, a.fid, a.vec_id AS va, b.vec_id AS vb, SUM(a.x * b.x) AS dotp
+             FROM ex a JOIN ex b
+               ON a.g = b.g AND a.fid = b.fid AND a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY a.g, a.fid, a.vec_id, b.vec_id),
+    scored AS (SELECT g, fid, va, vb, dotp / (sqrt(na.xx) * sqrt(nb.xx)) AS cos
+               FROM dots
+               JOIN norms na ON na.vec_id = va
+               JOIN norms nb ON nb.vec_id = vb
+               WHERE na.xx > 0 AND nb.xx > 0)
+    SELECT g * {SEM_IVF_CELL_SHIFT} + fid AS cluster,
+           vb AS vec_pruned, CAST(MIN(va) AS BIGINT) AS kept_vec
+    FROM scored WHERE cos >= {SEM_TAU}
+    GROUP BY g, fid, vb
+    """
 
 
 # --------------------------------------------------------------------------

@@ -31,6 +31,41 @@ def test_fast_and_decimal_paths_agree(spark, sf):
     assert fast == slow
 
 
+def test_ivf_path_matches_its_oracle(spark, sf_medium):
+    """The (round-7 candidate, not yet registered) two-level blocking:
+    Spark result must hash-match SEMDEDUP_IVF_ORACLE_SQL — same bar the
+    driver will apply when it is registered."""
+    from spark_bam_spark.queries import mlprep
+    from tests.oracle import _keyed_rows, duck_con
+
+    df = mlprep.semdedup_prune_ivf(spark, sf_medium)
+    scols, srows = list(df.columns), [tuple(r) for r in df.collect()]
+    con = duck_con(sf_medium)
+    res = con.sql(mlprep.SEMDEDUP_IVF_ORACLE_SQL)
+    dcols, drows = list(res.columns), res.fetchall()
+    con.close()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert _keyed_rows(scols, srows) == _keyed_rows(dcols, drows)
+
+
+def test_ivf_path_planted_recall(spark, sf_medium):
+    """Nested blocking may legitimately split rare boundary pairs at large
+    n (one of 63,455 at the 30x probe); at the driver's scales the
+    decision list is identical to the flat path."""
+    from spark_bam_spark.queries import mlprep
+
+    ivf = {
+        (r["vec_pruned"], r["kept_vec"])
+        for r in mlprep.semdedup_prune_ivf(spark, sf_medium).collect()
+    }
+    flat = {
+        (r["vec_pruned"], r["kept_vec"])
+        for r in REGISTRY["semdedup_prune_fast"].fn(spark, sf_medium).collect()
+    }
+    assert flat and ivf == flat
+
+
 def test_fast_path_finds_exactly_the_planted_dups(spark):
     rows = REGISTRY["semdedup_prune_fast"].fn(spark, "/root/testdata/sf0.01").collect()
     # every planted copy (vec_id + 100000 of each vec_id % 11 == 0) must be
