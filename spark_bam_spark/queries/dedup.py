@@ -159,9 +159,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings, and partial-distinct combines map-side — and the resulting
     hub list is tiny (only shingles in >{LSH_DF_CAP} docs), so the cap
     itself is a broadcast anti-join on the already-computed h1.  (At
-    100 TB the exact df pass could be swapped for a count-min/HLL
-    pre-filter; exactness is kept here because the DuckDB oracle hashes
-    the result bit-for-bit.)
+    100 TB the exact df pass can run on a p-sample of documents with the
+    threshold scaled to p·cap — true hubs sit far above the cap, so a
+    sample finds them reliably; a count-min sketch is NOT the right tool
+    here because its error grows with stream size, so detecting a low
+    absolute threshold would need a sketch as large as the df table.
+    Exactness is kept in-repo because the DuckDB oracle hashes the
+    result bit-for-bit.)
     """
     sh = _shingles(table(spark, sf_dir, "documents"), distinct=False)
     # all band signatures in ONE pass: N_BANDS min-aggregates over the raw
