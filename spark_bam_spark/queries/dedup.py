@@ -35,10 +35,6 @@ N_BANDS = 4
 # provably never fires there; tests/test_lsh_df_cap.py pins the degenerate
 # corpus where it does.
 LSH_DF_CAP = 64
-# Kirsch-Mitzenmacher second-hash modulus: largest prime < 2^59, so
-# h1 (< 2^60) + band * h2 stays below 2^63 for any band < 8 — no int64
-# overflow in Spark (ANSI) or DuckDB.
-_KM_P = 576460752303423433
 _DEC = "decimal(28,12)"
 
 
@@ -117,6 +113,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Independent 60-bit hash per band: md5('<b>:' || s).  Kirsch-Mitzenmacher
+# double hashing (h1 + b*h2 from ONE md5) was used through round 6 — 4x
+# less hash CPU — until lsh_quality_eval, realigned to evaluate the
+# PRODUCTION config, measured its planted-near-dup recall at 0.597 vs
+# 0.861 for independent bands: KM band minima are correlated (bands tend
+# to agree on which shingle attains the minimum), so one differing
+# minimum often kills all four band collisions at once.  Recall is the
+# product of a dedup pipeline; the 4x hash CPU is linear and cheap.
+_BAND_HASH_COLS_SQL = ",\n             ".join(
+    f"('0x' || substr(md5('{b}:' || s), 1, 15))::BIGINT AS h{b}" for b in range(N_BANDS)
+)
+_BAND_CASE_SQL = (
+    "CASE b.band " + " ".join(f"WHEN {b} THEN h{b}" for b in range(N_BANDS)) + " END"
+)
+
+
+def _band_hash_col(b: int):
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(b), F.col("s"))), 1, 15), 16, 10
+    ).cast("long")
+
+
 @register(
     "dedup_minhash_lsh",
     headline=True,
@@ -125,14 +143,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS ({_SHINGLES_SQL}),
     hashed0 AS (
       SELECT doc_id,
-             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-             (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P} AS h2
+             {_BAND_HASH_COLS_SQL}
       FROM sh
     ),
-    hub AS (SELECT h1 FROM hashed0 GROUP BY h1 HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
-    hashed AS (SELECT * FROM hashed0 WHERE h1 NOT IN (SELECT h1 FROM hub)),
+    hub AS (SELECT h0 FROM hashed0 GROUP BY h0 HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
+    hashed AS (SELECT * FROM hashed0 WHERE h0 NOT IN (SELECT h0 FROM hub)),
     mh AS (
-      SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+      SELECT doc_id, b.band, MIN({_BAND_CASE_SQL}) AS sig
       FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
       GROUP BY doc_id, b.band
     )
@@ -144,21 +161,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: shingle → per-band min-hash → bucket
     self-join emits candidate near-duplicate pairs.
 
-    Band hashes use Kirsch-Mitzenmacher double hashing — ONE md5 per
-    shingle split into two 60-bit halves, band b's hash = h1 + b*h2
-    (h2 reduced below 2^59 so b*h2 + h1 never overflows int64 in either
-    engine) — instead of N_BANDS md5 calls per shingle; signatures are
-    8-byte longs instead of 32-char digest strings, shrinking both the
-    hash CPU and the shuffled signature width ~4x.
+    Band hashes are INDEPENDENT 60-bit md5-derived permutations (see the
+    module note above _BAND_HASH_COLS_SQL for why the cheaper
+    Kirsch-Mitzenmacher double hashing was retired: correlated band
+    minima cost 26 recall points on the planted-near-dup eval);
+    signatures stay 8-byte longs, so the shuffled width is unchanged.
 
     Scale path: the self-join key is (band, signature) — uniformly
     distributed, so the shuffle is balanced; candidate pairs (not all
     pairs) are materialized, which is the whole point of LSH at 100 TB.
     The df-cap pass (see LSH_DF_CAP) adds one distinct-aggregate shuffle
-    keyed on the 60-bit shingle hash h1 — 8-byte longs, not the shingle
+    keyed on the band-0 shingle hash — 8-byte longs, not the shingle
     strings, and partial-distinct combines map-side — and the resulting
     hub list is tiny (only shingles in >{LSH_DF_CAP} docs), so the cap
-    itself is a broadcast anti-join on the already-computed h1.  (At
+    itself is a broadcast anti-join on the already-computed h0.  (At
     100 TB the exact df pass can run on a p-sample of documents with the
     threshold scaled to p·cap — true hubs sit far above the cap, so a
     sample finds them reliably; a count-min sketch is NOT the right tool
@@ -172,21 +188,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle stream (no distinct — min is duplicate-insensitive; no band
     # cross-join — the explode would multiply shuffle volume ×N_BANDS),
     # then unpivot the per-doc signature row with stack()
-    h = F.md5("s")
-    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % _KM_P
-    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
-    # hub detection on h1, not the string: both engines compute the same
+    hashed = sh.select(
+        "doc_id", *[_band_hash_col(b).alias(f"h{b}") for b in range(N_BANDS)]
+    )
+    # hub detection on h0, not the string: both engines compute the same
     # md5-derived key, so even a (negligible, 60-bit) collision caps the
     # same shingles on both sides
     hubs = (
-        hashed.groupBy("h1")
+        hashed.groupBy("h0")
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") > LSH_DF_CAP)
-        .select("h1")
+        .select("h0")
     )
-    sigs = hashed.join(F.broadcast(hubs), "h1", "left_anti").groupBy("doc_id").agg(
-        *[F.min(F.col("h1") + b * F.col("h2")).alias(f"sig_{b}") for b in range(N_BANDS)]
+    sigs = hashed.join(F.broadcast(hubs), "h0", "left_anti").groupBy("doc_id").agg(
+        *[F.min(F.col(f"h{b}")).alias(f"sig_{b}") for b in range(N_BANDS)]
     )
     stack_args = ", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))
     mh = sigs.select(
@@ -392,14 +407,13 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
     hashed0 AS (
       SELECT doc_id,
-             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-             (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P} AS h2
+             {_BAND_HASH_COLS_SQL}
       FROM sh
     ),
-    hub AS (SELECT h1 FROM hashed0 GROUP BY h1 HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
-    hashed AS (SELECT * FROM hashed0 WHERE h1 NOT IN (SELECT h1 FROM hub)),
+    hub AS (SELECT h0 FROM hashed0 GROUP BY h0 HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
+    hashed AS (SELECT * FROM hashed0 WHERE h0 NOT IN (SELECT h0 FROM hub)),
     mh AS (
-      SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+      SELECT doc_id, b.band, MIN({_BAND_CASE_SQL}) AS sig
       FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
       GROUP BY doc_id, b.band
     ),

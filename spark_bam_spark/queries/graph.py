@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
-from spark_bam_spark.queries.dedup import _KM_P, _SHINGLES_SQL, N_BANDS
+from spark_bam_spark.queries.dedup import (
+    _BAND_CASE_SQL,
+    _BAND_HASH_COLS_SQL,
+    _SHINGLES_SQL,
+    LSH_DF_CAP,
+    N_BANDS,
+)
 from spark_bam_spark.tables import table
 
 _ONE = 1_000_000_000  # fixed-point 1.0
@@ -121,14 +127,15 @@ def _pagerank_ranks(edges: DataFrame, iterations: int) -> DataFrame:
     tags=("graph", "dedup"),
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    hashed AS (
+    hashed0 AS (
       SELECT doc_id,
-             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-             (('0x' || substr(md5(s), 16, 15))::BIGINT) % {_KM_P} AS h2
+             {_BAND_HASH_COLS_SQL}
       FROM sh
     ),
+    hub AS (SELECT h0 FROM hashed0 GROUP BY h0 HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
+    hashed AS (SELECT * FROM hashed0 WHERE h0 NOT IN (SELECT h0 FROM hub)),
     mh AS (
-      SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+      SELECT doc_id, b.band, MIN({_BAND_CASE_SQL}) AS sig
       FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
       GROUP BY doc_id, b.band
     ),

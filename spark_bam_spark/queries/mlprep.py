@@ -32,7 +32,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spark_bam_spark.queries import register
-from spark_bam_spark.queries.dedup import LSH_DF_CAP, N_BANDS
+from spark_bam_spark.queries.dedup import (
+    _BAND_CASE_SQL,
+    _BAND_HASH_COLS_SQL,
+    _band_hash_col,
+    LSH_DF_CAP,
+    N_BANDS,
+)
 from spark_bam_spark.tables import fan_out, table
 
 _DEC = "decimal(28,12)"
@@ -546,11 +552,16 @@ _JACCARD_THRESH = 0.5
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
       )
     ),
-    hub AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
-    capped AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hub)),
+    hashed0 AS (
+      SELECT doc_id,
+             {_BAND_HASH_COLS_SQL}
+      FROM sh
+    ),
+    hub AS (SELECT h0 FROM hashed0 GROUP BY h0 HAVING COUNT(DISTINCT doc_id) > {LSH_DF_CAP}),
+    hashed AS (SELECT * FROM hashed0 WHERE h0 NOT IN (SELECT h0 FROM hub)),
     mh AS (
-      SELECT doc_id, b.band, MIN(md5(CAST(b.band AS VARCHAR) || '|' || s)) AS sig
-      FROM capped, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+      SELECT doc_id, b.band, MIN({_BAND_CASE_SQL}) AS sig
+      FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
       GROUP BY doc_id, b.band
     ),
     cand AS (
@@ -618,20 +629,28 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).distinct()
-    # production LSH config includes the hub-shingle df-cap (dedup.LSH_DF_CAP)
-    # — the eval must measure recall/precision of the config actually deployed
+    # production LSH config EXACTLY (dedup_minhash_lsh): independent
+    # per-band md5 hashes AND the h0-keyed hub df-cap — the eval must
+    # measure recall/precision of the config actually deployed.  (This
+    # realignment is what exposed the Kirsch-Mitzenmacher recall loss:
+    # the KM scheme scored 43/72 planted pairs here vs 62/72 for
+    # independent bands, and was retired from production as a result.)
+    hashed = sh.select(
+        "doc_id", *[_band_hash_col(b).alias(f"h{b}") for b in range(N_BANDS)]
+    )
     hubs = (
-        sh.groupBy("s")
+        hashed.groupBy("h0")
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") > LSH_DF_CAP)
-        .select("s")
+        .select("h0")
     )
-    capped = sh.join(F.broadcast(hubs), "s", "left_anti")
-    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    mh = (
-        capped.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("band").cast("string"), "s"))).alias("sig"))
+    capped = hashed.join(F.broadcast(hubs), "h0", "left_anti")
+    sigs = capped.groupBy("doc_id").agg(
+        *[F.min(F.col(f"h{b}")).alias(f"sig_{b}") for b in range(N_BANDS)]
+    )
+    stack_args = ", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))
+    mh = sigs.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)")
     )
     a, b = mh.alias("a"), mh.alias("b")
     cand = (

@@ -98,14 +98,14 @@ def test_cap_is_inert_on_fixtures(spark, sf_medium):
     assert n_hubs == 0
 
 
-def test_quality_eval_recall_unchanged(spark, sf_medium):
-    """Planted-near-dup recall under the capped production config — the
-    eval corpus' hub list is empty (max df ~2x the fixture's 7, far below
-    the cap), so recall must equal the pre-cap r3-verified value:
-    62/72 planted pairs found at sf0.01."""
+def test_quality_eval_recall_pinned(spark, sf_medium):
+    """Planted-near-dup recall under the deployed production config
+    (independent per-band hashes + df-cap; the cap's hub list is empty on
+    this corpus).  66/72 at sf0.01 — the value that exposed and retired
+    the Kirsch-Mitzenmacher scheme, which scored only 43/72 here."""
     row = REGISTRY["lsh_quality_eval"].fn(spark, sf_medium).collect()[0]
-    assert row["n_planted"] == 72 and row["n_planted_found"] == 62, row
-    assert abs(row["recall"] - 62 / 72) < 1e-12, row
+    assert row["n_planted"] == 72 and row["n_planted_found"] == 66, row
+    assert abs(row["recall"] - 66 / 72) < 1e-12, row
 
 
 if __name__ == "__main__":
