@@ -191,6 +191,17 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Queries whose CODE changed after their last driver-green row — force them
+# back into the verification window ahead of untouched greens so the driver
+# re-hashes the new behavior.  Maintained per round; clear entries once the
+# next CORRECTNESS file records their fresh pass.
+_FORCE_RECHECK: tuple[str, ...] = (
+    # r6: independent per-band LSH hashes replaced KM double hashing
+    "lsh_quality_eval",
+    "triangle_count_candidates",
+)
+
+
 def driver_green_names() -> set[str]:
     """Names with a passing driver row in any CORRECTNESS_r*.json shipped at
     the repo root.  A row passes when rows+schema matched, the value hash
@@ -273,7 +284,9 @@ def load_all() -> dict[str, QuerySpec]:
             if name in pinned:
                 return (0, pinned[name])
             return (1, reg_idx[name])
-        return (2, reg_idx[name])
+        if name in _FORCE_RECHECK:
+            return (2, reg_idx[name])
+        return (3, reg_idx[name])
 
     ordered = sorted(REGISTRY, key=sort_key)
     return {n: REGISTRY[n] for n in ordered}
