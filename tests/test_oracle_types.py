@@ -57,6 +57,29 @@ def test_registry_names_are_nonempty():
     assert all(isinstance(n, str) and n for n in registry)
 
 
+def test_window_ordering_invariants():
+    """Driver-window ordering contracts: every never-green or
+    force-recheck name must land inside the first 50 entries (the
+    driver's verification window), and the priority/recheck tuples must
+    only name real registered queries (typo guard)."""
+    from spark_bam_spark.queries import (
+        _DRIVER_CHECK_PRIORITY,
+        _FORCE_RECHECK,
+        REGISTRY,
+        driver_green_names,
+    )
+
+    registry = load_all()
+    assert set(_FORCE_RECHECK) <= set(REGISTRY), set(_FORCE_RECHECK) - set(REGISTRY)
+    assert set(_DRIVER_CHECK_PRIORITY) <= set(REGISTRY)
+    head = set(list(registry)[:50])
+    green = driver_green_names()
+    missing = {n for n in registry if n not in green} - head
+    assert not missing, f"never-green names outside the 50-slot window: {missing}"
+    forced_out = set(_FORCE_RECHECK) - head
+    assert not forced_out, f"force-recheck names outside the window: {forced_out}"
+
+
 # ---------------------------------------------------------------------------
 # Oracle-side type contract: the driver's value hash is type-sensitive, and
 # DuckDB promotes SUM() over integer columns to HUGEINT (int128), which
