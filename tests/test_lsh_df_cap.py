@@ -108,5 +108,37 @@ def test_quality_eval_recall_pinned(spark, sf_medium):
     assert abs(row["recall"] - 66 / 72) < 1e-12, row
 
 
+def test_band_hashes_are_independent_and_engine_identical(spark):
+    """Pins the independent-band scheme that replaced KM double hashing:
+    (a) the N_BANDS hashes of one shingle are pairwise distinct (they
+    come from different md5 preimages, so band minima decorrelate — the
+    property KM lacked), and (b) Spark's conv(substring(md5)) pipeline
+    produces bit-identical values to DuckDB's '0x'||substr(md5)::BIGINT
+    for the same shingle strings."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.queries.dedup import _band_hash_col, N_BANDS
+
+    shingles = ["alpha beta gamma", "the quick fox", "a b c", "x y z"]
+    df = spark.createDataFrame([(s,) for s in shingles], "s string").select(
+        "s", *[_band_hash_col(b).alias(f"h{b}") for b in range(N_BANDS)]
+    )
+    rows = {r["s"]: [r[f"h{b}"] for b in range(N_BANDS)] for r in df.collect()}
+    for s, hs in rows.items():
+        assert len(set(hs)) == N_BANDS, f"band hashes collide for {s!r}: {hs}"
+
+    con = duckdb.connect()
+    for s in shingles:
+        duck = [
+            con.sql(
+                f"SELECT ('0x' || substr(md5('{b}:' || '{s}'), 1, 15))::BIGINT"
+            ).fetchone()[0]
+            for b in range(N_BANDS)
+        ]
+        assert duck == rows[s], (s, duck, rows[s])
+    con.close()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
