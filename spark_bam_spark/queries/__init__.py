@@ -30,6 +30,16 @@ class QuerySpec:
     headline: bool = False  # included in bench.py timings (tier 1, r1 set)
     headline2: bool = False  # bench tier 2: the LLM-pipeline surface
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Evidentiary class of the oracle — graded differently by COVERAGE.md:
+    #   "derived":   the SQL recomputes the result independently from the
+    #                input tables (full derivation grade — the default);
+    #   "golden":    the SQL replays a committed dump (tools/gen_bam_golden
+    #                or an independent renderer); regression-pin grade
+    #                unless the dump itself came from an independent
+    #                implementation (see each query's docstring);
+    #   "invariant": the SQL checks invariants of the result (e.g. timing
+    #                distributions where values are non-deterministic).
+    oracle_kind: str = "derived"
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -71,7 +81,11 @@ def register(
     headline: bool = False,
     headline2: bool = False,
     tags: tuple[str, ...] = (),
+    oracle_kind: str = "derived",
 ) -> Callable[[QueryFn], QueryFn]:
+    if oracle_kind not in ("derived", "golden", "invariant"):
+        raise ValueError(f"unknown oracle_kind {oracle_kind!r}")
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
@@ -89,6 +103,7 @@ def register(
             headline=headline,
             headline2=headline2,
             tags=tags,
+            oracle_kind=oracle_kind,
         )
         return fn
     return deco
@@ -194,35 +209,45 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # Queries whose CODE changed after their last driver-green row — force them
 # back into the verification window ahead of untouched greens so the driver
 # re-hashes the new behavior.  Maintained per round; clear entries once the
-# next CORRECTNESS file records their fresh pass.
+# next CORRECTNESS file records their fresh pass.  (r6's two entries —
+# lsh_quality_eval, triangle_count_candidates — went green in r6 and are
+# cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r6: independent per-band LSH hashes replaced KM double hashing
-    "lsh_quality_eval",
-    "triangle_count_candidates",
+    # r7: shared shingle-hash stream localCheckpoint'ed (plan change)
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    # r7: order-independent DECIMAL accumulation replaced double AVG
+    "multimodal_decode_features",
+    # r7: per-session scratch dir + golden-range filter
+    "bam_rewrite_roundtrip",
 )
 
 
-def driver_green_names() -> set[str]:
-    """Names with a passing driver row in any CORRECTNESS_r*.json shipped at
-    the repo root.  A row passes when rows+schema matched, the value hash
-    matched (when an oracle existed), and no error was recorded.  A query
-    that currently ships NO oracle (genuinely non-SQL-expressible) can never
-    do better than the driver's rows-only check, so a recorded rows-only row
-    (``err == 'no_oracle'`` with >0 rows) also counts — otherwise those names
-    would occupy verification-window slots forever, crowding out queries that
-    still need a first hash check.  Missing or unreadable history files
+def driver_green_rounds() -> dict[str, int]:
+    """Map name -> LATEST round with a passing driver row, over every
+    CORRECTNESS_r*.json shipped at the repo root.  A row passes when
+    rows+schema matched, the value hash matched (when an oracle existed),
+    and no error was recorded.  A query that currently ships NO oracle
+    (genuinely non-SQL-expressible) can never do better than the driver's
+    rows-only check, so a recorded rows-only row (``err == 'no_oracle'``
+    with >0 rows) also counts — otherwise those names would occupy
+    verification-window slots forever, crowding out queries that still
+    need a first hash check.  Missing or unreadable history files
     contribute nothing (fresh checkouts order the whole registry as
     unverified, which is the conservative choice)."""
     import json
+    import re
     from pathlib import Path
 
     # the rows-only clause consults REGISTRY — populate it so the result
     # does not depend on whether the caller already ran load_all()
     _import_query_modules()
 
-    green: set[str] = set()
+    green: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             records = json.loads(path.read_text())
         except Exception:
@@ -237,17 +262,21 @@ def driver_green_names() -> set[str]:
                 and rec.get("schema_match")
                 and rec.get("hash_match", True)
                 and not rec.get("err")
-            ):
-                green.add(name)
-            elif (
+            ) or (
                 rec.get("err") == "no_oracle"
                 and (rec.get("spark_rows") or 0) > 0
                 and name in REGISTRY
                 and REGISTRY[name].oracle is None
-            ):
                 # rows-only is the strongest check this query can ever get
-                green.add(name)
+            ):
+                green[name] = max(green.get(name, 0), rnd)
     return green
+
+
+def driver_green_names() -> set[str]:
+    """Names with a passing driver row in any round (see
+    :func:`driver_green_rounds` for the pass criteria)."""
+    return set(driver_green_rounds())
 
 
 def _import_query_modules() -> None:
@@ -273,20 +302,27 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module so REGISTRY is fully populated; return it
     ordered for the driver's 50-slot verification window (see note above):
     never-driver-green names first (pinned debt order, then registration
-    order), already-verified names after."""
+    order), then code-changed greens (_FORCE_RECHECK), then every verified
+    name by EVIDENCE AGE — oldest last-green round first, headline/bench
+    queries ahead of same-age peers — so with zero debt the window rotates
+    stale evidence automatically: each round re-greens the ~44+ queries
+    whose hash row is oldest, and a fresh pass pushes a name to the back
+    of the rotation without any manual list maintenance."""
     _import_query_modules()
-    green = driver_green_names()
+    green = driver_green_rounds()
     pinned = {name: i for i, name in enumerate(_DRIVER_CHECK_PRIORITY)}
     reg_idx = {name: i for i, name in enumerate(REGISTRY)}
 
-    def sort_key(name: str) -> tuple[int, int]:
+    def sort_key(name: str) -> tuple[int, int, int, int]:
         if name not in green:
             if name in pinned:
-                return (0, pinned[name])
-            return (1, reg_idx[name])
+                return (0, 0, pinned[name], 0)
+            return (1, 0, reg_idx[name], 0)
         if name in _FORCE_RECHECK:
-            return (2, reg_idx[name])
-        return (3, reg_idx[name])
+            return (2, 0, reg_idx[name], 0)
+        spec = REGISTRY[name]
+        bench = 0 if (spec.headline or spec.headline2) else 1
+        return (3, green[name], bench, reg_idx[name])
 
     ordered = sorted(REGISTRY, key=sort_key)
     return {n: REGISTRY[n] for n in ordered}

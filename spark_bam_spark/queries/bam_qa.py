@@ -235,6 +235,7 @@ def sam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bam_full_check",
     doc="full-check: 19-flag diagnostic histogram keyed by #failing flags",
     oracle=f"SELECT num_flags, n_positions FROM read_parquet('{_G_FULL_CHECK_PQ}')",
+    oracle_kind="golden",
 )
 def bam_full_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle = committed golden dump (see tools/gen_bam_golden.py):
@@ -269,7 +270,30 @@ def bam_count_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REWRITE_DIR = "/tmp/spark_bam_spark_fixture/rewrite_roundtrip"
+# Per-call scratch dirs for the rewrite round-trip (NOT one fixed path:
+# two concurrent sessions — e.g. the driver plus a test run — sharing
+# /tmp would race on rmtree/write/rescan and corrupt each other's scan).
+# Each call gets a fresh mkdtemp; the previous call's dir is removed so
+# repeated sweeps (tests/test_oracle_types.py calls every registry fn)
+# don't accumulate, and whatever remains is deleted at interpreter exit.
+_REWRITE_DIRS: list[str] = []
+
+
+def _fresh_rewrite_dir() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _REWRITE_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _REWRITE_DIRS]
+        )
+    while _REWRITE_DIRS:
+        shutil.rmtree(_REWRITE_DIRS.pop(), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="spark_bam_spark_rewrite_")
+    _REWRITE_DIRS.append(path)
+    # Spark's DataSource writer wants to create the target dir itself
+    return os.path.join(path, "out")
 
 
 @register(
@@ -293,13 +317,11 @@ def bam_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     both counts equal the truth count, zero mismatches.  Any writer or
     reader regression shows up as a mismatch/missing row and breaks the
     hash.  (HTSJDKRewrite.scala:21-93 parity: rewrite-then-compare.)"""
-    import shutil
-
     from spark_bam_spark.bam.datasource import register as reg
     from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES
 
     src = _reads(spark, split_size=65536)
-    shutil.rmtree(_REWRITE_DIR, ignore_errors=True)
+    rewrite_dir = _fresh_rewrite_dir()
     contigs = ",".join(f"{n}:{ln}" for n, ln in zip(CONTIG_NAMES, CONTIG_LENGTHS))
     (
         src.repartition(4)
@@ -307,12 +329,15 @@ def bam_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("contigs", contigs)
         .option("block_payload", 4096)
         .mode("append")
-        .save(_REWRITE_DIR)
+        .save(rewrite_dir)
     )
     reg(spark)
-    # fresh plan on purpose (no _PLAN_CACHE): the rewrite dir is recreated
-    # on every call, so the reader must re-list and re-scan it
-    back = spark.read.format("bam").option("split_size", 16384).load(_REWRITE_DIR)
+    # fresh plan on purpose (no _PLAN_CACHE): each call writes to a fresh
+    # scratch dir, so the reader must re-list and re-scan it.  The write
+    # is necessarily eager (the rescan needs the part-BAMs on disk) —
+    # this is the one registry fn that runs a job at build time, which is
+    # safe now that the target is per-call unique.
+    back = spark.read.format("bam").option("split_size", 16384).load(rewrite_dir)
     fields = ["flag", "rname", "pos", "mapq", "cigar", "tlen", "seq", "qual"]
     a = src.select("qname", *fields).alias("a")
     b = back.select("qname", *fields).alias("b")
@@ -332,6 +357,7 @@ def bam_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bam_time_load",
     doc="time-load: first read per partition at two split sizes + name anti-joins",
     oracle="SELECT CAST(0 AS BIGINT) AS b_firsts_missing_from_a",
+    oracle_kind="invariant",
 )
 def bam_time_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle = the structural invariant itself: every 64k-partition
@@ -352,6 +378,7 @@ def bam_time_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bam_check_three_way",
     doc="check-bam -s -u: eager vs upstream-emulating vs ground truth confusion",
     oracle=f"SELECT eager_call, upstream_call, oracle_call, n FROM read_parquet('{_G_THREE_WAY_PQ}')",
+    oracle_kind="golden",
 )
 def bam_check_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle = committed golden dump (tools/gen_bam_golden.py): the
@@ -493,6 +520,7 @@ def bam_scan_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bam_full_check_cdf",
     doc="full-check CDF: per-flag counts cumulative over #failing-flags groups (critical flags at n=1)",
     oracle=f"SELECT num_flags, n_positions, flag, n_flag, n_flag_cum FROM read_parquet('{_G_FULL_CHECK_CDF_PQ}')",
+    oracle_kind="golden",
 )
 def bam_full_check_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FullCheck.scala:150-188 negativesByNumNonzeroFields + CDF.
@@ -507,6 +535,7 @@ def bam_full_check_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="full-check close calls: positions ruled out by <=2 flags, with next-record PosMetadata",
     oracle=f"""SELECT block_pos, "offset" AS offset, num_flags, delta, next_qname, next_rname, next_pos
     FROM read_parquet('{_G_CLOSE_CALLS_PQ}')""",
+    oracle_kind="golden",
 )
 def bam_close_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FullCheck.scala:199-218 closeCalls + PosMetadata annotation.
@@ -523,6 +552,7 @@ def bam_close_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="check-bam FP annotation: upstream-checker false positives with flags + next-record metadata",
     oracle=f"""SELECT block_pos, "offset" AS offset, num_flags, delta, next_qname, next_rname, next_pos
     FROM read_parquet('{_G_FP_METADATA_PQ}')""",
+    oracle_kind="golden",
 )
 def bam_fp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CheckerApp.scala:103-134 fpsWithMetadata (upstream FPs; eager has none).
@@ -580,6 +610,7 @@ def _multi_fixture_paths() -> list[str]:
            TRUE AS ratio_ordered
     FROM cnt
     """,
+    oracle_kind="invariant",
 )
 def compare_splits_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CompareSplits.scala:40-110: the file list is the parallelism axis;

@@ -116,8 +116,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Independent 60-bit hash per band: md5('<b>:' || s).  Kirsch-Mitzenmacher
 # double hashing (h1 + b*h2 from ONE md5) was used through round 6 — 4x
 # less hash CPU — until lsh_quality_eval, realigned to evaluate the
-# PRODUCTION config, measured its planted-near-dup recall at 0.597 vs
-# 0.861 for independent bands: KM band minima are correlated (bands tend
+# PRODUCTION config, measured its planted-near-dup recall at 43/72
+# (0.597) vs 66/72 (0.917) for independent bands (sf0.01 eval, pinned in
+# tests/test_lsh_df_cap.py): KM band minima are correlated (bands tend
 # to agree on which shingle attains the minimum), so one differing
 # minimum often kills all four band collisions at once.  Recall is the
 # product of a dedup pipeline; the 4x hash CPU is linear and cheap.
@@ -164,7 +165,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Band hashes are INDEPENDENT 60-bit md5-derived permutations (see the
     module note above _BAND_HASH_COLS_SQL for why the cheaper
     Kirsch-Mitzenmacher double hashing was retired: correlated band
-    minima cost 26 recall points on the planted-near-dup eval);
+    minima cost 32 recall points on the planted-near-dup eval);
     signatures stay 8-byte longs, so the shuffled width is unchanged.
 
     Scale path: the self-join key is (band, signature) — uniformly
@@ -187,10 +188,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all band signatures in ONE pass: N_BANDS min-aggregates over the raw
     # shingle stream (no distinct — min is duplicate-insensitive; no band
     # cross-join — the explode would multiply shuffle volume ×N_BANDS),
-    # then unpivot the per-doc signature row with stack()
+    # then unpivot the per-doc signature row with stack().
+    # localCheckpoint: `hashed` feeds BOTH the hub-df aggregation and the
+    # signature aggregation; without it the shingle-explode + 4×md5
+    # subtree (the most expensive part of the pipeline) executes once per
+    # consumer.  Materialized rows are (long, 4×long) — narrower than the
+    # shingle strings they replace — and land on executor-local disk, the
+    # same trade `minhash_jaccard_estimate` makes (curation.py).
     hashed = sh.select(
         "doc_id", *[_band_hash_col(b).alias(f"h{b}") for b in range(N_BANDS)]
-    )
+    ).localCheckpoint(eager=True)
     # hub detection on h0, not the string: both engines compute the same
     # md5-derived key, so even a (negligible, 60-bit) collision caps the
     # same shingles on both sides

@@ -633,8 +633,9 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-band md5 hashes AND the h0-keyed hub df-cap — the eval must
     # measure recall/precision of the config actually deployed.  (This
     # realignment is what exposed the Kirsch-Mitzenmacher recall loss:
-    # the KM scheme scored 43/72 planted pairs here vs 62/72 for
-    # independent bands, and was retired from production as a result.)
+    # the KM scheme scored 43/72 planted pairs here vs 66/72 for
+    # independent bands — sf0.01, pinned in tests/test_lsh_df_cap.py —
+    # and was retired from production as a result.)
     hashed = sh.select(
         "doc_id", *[_band_hash_col(b).alias(f"h{b}") for b in range(N_BANDS)]
     )
@@ -1132,9 +1133,9 @@ def semdedup_prune_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL decisions to the oracle twin (pinned in
     tests/test_semdedup_paths.py).  The 100 TB escape hatch is a
     two-level (coarse-then-fine, IVF-style) assignment — O(n*sqrt(K)) —
-    mirrored on both engine sides; it trades flat-k-means blocking for
-    nested blocking and would be introduced as its own registered query
-    so this decision-list contract stays intact."""
+    mirrored on both engine sides; it is registered as its own query
+    (``semdedup_prune_ivf``, below) so this decision-list contract stays
+    intact."""
     return _score_clusters_numpy(_semdedup_assign(spark, sf_dir))
 
 
@@ -1152,10 +1153,10 @@ def semdedup_prune_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # differs from semdedup_prune/semdedup_prune_fast; the quality contract is
 # planted-near-dup recall (tests/test_semdedup_paths.py pins it at 100%).
 #
-# NOT yet registered: the r5 verdict froze registrations outside its
-# sanctioned items; `SEMDEDUP_IVF_ORACLE_SQL` + `semdedup_prune_ivf` are
-# fully built and oracle-tested (tests/test_semdedup_paths.py) so round 7
-# can register them as one line inside its verification window.
+# Registered in round 7 (the r5 verdict froze registrations outside its
+# sanctioned items; the r6 verdict ordered this registration): the
+# `register(...)` call sits below SEMDEDUP_IVF_ORACLE_SQL, and the r7
+# driver window includes the name (see queries/__init__.py ordering).
 
 SEM_IVF_MIN_COARSE = 4  # K1 = max(this, ceil(sqrt(K)))
 SEM_IVF_CELL_SHIFT = 1_000_000  # composite label = coarse * shift + fine
@@ -1237,8 +1238,10 @@ def _semdedup_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semdedup_prune_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the O(n·√K) two-level blocking and numpy scoring —
-    the 100 TB production shape (registration deferred to round 7; see
-    the module note above)."""
+    the 100 TB production shape.  Assignment cost is n·(√K + n_g/√K)
+    distances instead of n·K: measured 24.9s vs 45.2s at the 30× local
+    probe, with planted-near-dup recall pinned at 100% and 63,454/63,455
+    decisions identical to the flat path (tests/test_semdedup_paths.py)."""
     return _score_clusters_numpy(_semdedup_assign_ivf(spark, sf_dir))
 
 
@@ -1317,6 +1320,14 @@ SEMDEDUP_IVF_ORACLE_SQL = f"""
     FROM scored WHERE cos >= {SEM_TAU}
     GROUP BY g, fid, vb
     """
+
+# register() applied as a call (not a decorator) so the oracle — which is
+# defined after the function for readability — can be referenced directly.
+register(
+    "semdedup_prune_ivf",
+    oracle=SEMDEDUP_IVF_ORACLE_SQL,
+    tags=("dedup", "similarity", "embedding", "pandas-udf", "ivf"),
+)(semdedup_prune_ivf)
 
 
 # --------------------------------------------------------------------------

@@ -32,6 +32,19 @@ _G_Y4M_PQ = f"{_FIXTURES_DIR}/multimodal_golden_y4m.parquet"
 # the fake codec's feature i = md5-digest byte (i mod 16) scaled to [0,1]
 # and narrowed to float32 (the features column is array<float>)
 _F0_SQL = "CAST(CAST(('0x' || substr(md5(text), 1, 2))::INT / 255.0 AS FLOAT) AS DOUBLE)"
+
+
+def _golden_filter(spark: SparkSession, media: DataFrame, golden_pq: str) -> DataFrame:
+    """Restrict synthesized media to the ids present in the committed
+    golden parquet.  The goldens were dumped at the superset sf0.1 id
+    range; the oracle JOINs the golden against the sf-dir's documents, so
+    its result is the intersection — without this semi-join, any driver
+    run at sf > 0.1 would emit Spark rows for doc_ids absent from the
+    golden and false-red the hash compare.  The golden id list is tiny
+    (thousands of bigints) and broadcast; the filter runs BEFORE decode
+    so out-of-range payloads are never decoded."""
+    ids = spark.read.parquet(golden_pq).select("media_id")
+    return media.join(F.broadcast(ids), "media_id", "semi")
 _KIND_SQL = (
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
 )
@@ -43,7 +56,7 @@ _KIND_SQL = (
     oracle=f"""
     SELECT {_KIND_SQL} AS kind,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG({_F0_SQL}), 6) AS avg_f0
+           ROUND(CAST(SUM(CAST({_F0_SQL} AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_f0
     FROM documents GROUP BY 1
     """,
 )
@@ -51,9 +64,15 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_bam_spark.operators import multimodal as mm
 
     feats = mm.decode_features(mm.synth_media(spark, sf_dir))
+    # DECIMAL accumulation, not AVG(double): a double mean is an
+    # order-dependent summation (Spark partial agg vs DuckDB single
+    # pass), so a value near a 0.5e-6 rounding boundary could flip the
+    # 6th decimal between engines.  Exact decimal sum / count is
+    # order-independent; the single double division is deterministic.
+    f0 = F.element_at("features", 1).cast("double").cast("decimal(28,12)")
     return feats.groupBy("kind").agg(
         F.count("*").alias("n"),
-        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+        F.round(F.sum(f0).cast("double") / F.count("*"), 6).alias("avg_f0"),
     )
 
 
@@ -131,6 +150,7 @@ def multimodal_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.media_id, g.feature_sum, g.f0
     FROM read_parquet('{_G_PPM_PQ}') g JOIN documents d ON d.doc_id = g.media_id
     """,
+    oracle_kind="golden",
 )
 def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real-codec path, executable in any environment: payloads are
@@ -140,7 +160,8 @@ def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-image feature checksums make row content deterministic."""
     from spark_bam_spark.operators import multimodal as mm
 
-    feats = mm.decode_features(mm.synth_ppm_media(spark, sf_dir), codec="ppm")
+    media = _golden_filter(spark, mm.synth_ppm_media(spark, sf_dir), _G_PPM_PQ)
+    feats = mm.decode_features(media, codec="ppm")
     return feats.select(
         "media_id",
         F.round(F.expr("aggregate(features, cast(0 as double), (a, v) -> a + cast(v as double))"), 6).alias(
@@ -157,6 +178,7 @@ def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.media_id, g.energy_sum, g.rms0
     FROM read_parquet('{_G_WAV_PQ}') g JOIN documents d ON d.doc_id = g.media_id
     """,
+    oracle_kind="golden",
 )
 def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio sibling of multimodal_ppm_real_decode: payloads are genuine
@@ -164,7 +186,8 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-window RMS energy features, no audio library required."""
     from spark_bam_spark.operators import multimodal as mm
 
-    feats = mm.decode_features(mm.synth_wav_media(spark, sf_dir), codec="wav")
+    media = _golden_filter(spark, mm.synth_wav_media(spark, sf_dir), _G_WAV_PQ)
+    feats = mm.decode_features(media, codec="wav")
     return feats.select(
         "media_id",
         F.round(
@@ -181,6 +204,7 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.media_id, g.n_frames_kept, g.max_idx, g.avg_luma
     FROM read_parquet('{_G_Y4M_PQ}') g JOIN documents d ON d.doc_id = g.media_id
     """,
+    oracle_kind="golden",
 )
 def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video sibling of the PPM/WAV real decodes: payloads are genuine
@@ -189,7 +213,8 @@ def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and luma statistics."""
     from spark_bam_spark.operators import multimodal as mm
 
-    frames = mm.frame_sample(mm.synth_y4m_media(spark, sf_dir), codec="y4m", every_n_frames=4)
+    media = _golden_filter(spark, mm.synth_y4m_media(spark, sf_dir), _G_Y4M_PQ)
+    frames = mm.frame_sample(media, codec="y4m", every_n_frames=4)
     return frames.groupBy("media_id").agg(
         F.count("*").alias("n_frames_kept"),
         F.max("frame_idx").alias("max_idx"),

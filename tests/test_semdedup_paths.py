@@ -32,9 +32,9 @@ def test_fast_and_decimal_paths_agree(spark, sf):
 
 
 def test_ivf_path_matches_its_oracle(spark, sf_medium):
-    """The (round-7 candidate, not yet registered) two-level blocking:
+    """The two-level blocking (registered in r7 as ``semdedup_prune_ivf``):
     Spark result must hash-match SEMDEDUP_IVF_ORACLE_SQL — same bar the
-    driver will apply when it is registered."""
+    driver applies."""
     from spark_bam_spark.queries import mlprep
     from tests.oracle import _keyed_rows, duck_con
 
