@@ -235,13 +235,16 @@ def sam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bam_full_check",
     doc="full-check: 19-flag diagnostic histogram keyed by #failing flags",
     oracle=f"SELECT num_flags, n_positions FROM read_parquet('{_G_FULL_CHECK_PQ}')",
-    oracle_kind="golden",
 )
 def bam_full_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle = committed golden dump (see tools/gen_bam_golden.py):
-    flag-count distributions are checker-internal, so the hash check
-    pins regressions; value-level correctness lives in the checker
-    truth-table/property tests."""
+    """Oracle = INDEPENDENT derivation (r7 upgrade from golden-pin):
+    tools/gen_checker_truth.py re-implements the 19-flag evaluation from
+    the reference's documented semantics — pure Python over the fixture
+    generator's block geometry, importing nothing from bam/checker.py or
+    bam/vectorcheck.py — sweeps every uncompressed position, and writes
+    the committed parquet the oracle reads.  The engine path (numpy
+    prescreen + checker.py confirm over bgzf windows) must agree on all
+    ~380k positions for the driver hash to match."""
     from spark_bam_spark.operators import qa
 
     # unbounded: the vectorized 19-flag sweep covers the whole fixture
@@ -378,12 +381,14 @@ def bam_time_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bam_check_three_way",
     doc="check-bam -s -u: eager vs upstream-emulating vs ground truth confusion",
     oracle=f"SELECT eager_call, upstream_call, oracle_call, n FROM read_parquet('{_G_THREE_WAY_PQ}')",
-    oracle_kind="golden",
 )
 def bam_check_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle = committed golden dump (tools/gen_bam_golden.py): the
-    upstream-emulating checker's false-positive count is
-    checker-internal, so the golden pins it (61 FPs on this fixture)."""
+    """Oracle = INDEPENDENT derivation (r7 upgrade from golden-pin):
+    tools/gen_checker_truth.py re-implements both the eager and the
+    upstream-emulating predicates from the reference's documented
+    semantics (no imports from checker.py/vectorcheck.py), sweeps every
+    position, and derives this confusion table (61 upstream FPs on this
+    fixture) against generator ground truth."""
     from spark_bam_spark.operators import qa
 
     return qa.three_way_confusion(qa.calls(spark, _fixture_path(), stride=1))
@@ -520,11 +525,12 @@ def bam_scan_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bam_full_check_cdf",
     doc="full-check CDF: per-flag counts cumulative over #failing-flags groups (critical flags at n=1)",
     oracle=f"SELECT num_flags, n_positions, flag, n_flag, n_flag_cum FROM read_parquet('{_G_FULL_CHECK_CDF_PQ}')",
-    oracle_kind="golden",
 )
 def bam_full_check_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FullCheck.scala:150-188 negativesByNumNonzeroFields + CDF.
-    Oracle = committed golden dump (tools/gen_bam_golden.py)."""
+    Oracle = INDEPENDENT derivation (tools/gen_checker_truth.py; see
+    bam_full_check — same independent sweep, long-format aggregation
+    re-implemented in plain Python)."""
     from spark_bam_spark.operators import qa
 
     return qa.flags_cdf(spark, _fixture_path())

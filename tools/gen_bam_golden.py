@@ -79,18 +79,25 @@ def write_cmp_truth() -> None:
     print(f"cmp truth: {len(rec_rows)} records, {len(blk_rows)} blocks")
 
 
+# NOTE (r7): bam_full_check, bam_full_check_cdf, and bam_check_three_way
+# are no longer dumped here — tools/gen_checker_truth.py now DERIVES them
+# from an independent checker implementation (derivation grade, not
+# regression-pin grade).  Only the remaining engine-output pins stay.
 GOLDEN_QUERIES = {
-    "bam_full_check": "qa2500_golden_full_check.parquet",
-    "bam_full_check_cdf": "qa2500_golden_full_check_cdf.parquet",
     "bam_close_calls": "qa2500_golden_close_calls.parquet",
     "bam_fp_metadata": "qa2500_golden_fp_metadata.parquet",
-    "bam_check_three_way": "qa2500_golden_three_way.parquet",
     "multimodal_ppm_real_decode": "multimodal_golden_ppm.parquet",
     "multimodal_wav_real_decode": "multimodal_golden_wav.parquet",
     "multimodal_y4m_frame_sample": "multimodal_golden_y4m.parquet",
 }
 
 GOLDEN_SF_DIR = "/root/testdata/sf0.1"  # superset doc_id range for the joins
+
+# Caveat: the registered multimodal queries now semi-join their media to
+# the committed golden's media_id set (so driver runs at sf > 0.1 cannot
+# false-red).  Regenerating VALUES for the same id range works through
+# the registry fns below; to EXPAND the id range, delete the golden files
+# first or call operators/multimodal.decode_features directly.
 
 
 def write_goldens() -> None:
