@@ -58,6 +58,9 @@ def main() -> None:
     from spark_bam_spark.queries import load_all
 
     reg = load_all()
+    n_golden = sum(1 for s in reg.values() if s.oracle and s.oracle_kind == "golden")
+    n_inv = sum(1 for s in reg.values() if s.oracle and s.oracle_kind == "invariant")
+    n_derived = sum(1 for s in reg.values() if s.oracle and s.oracle_kind == "derived")
     lines = [
         BEGIN,
         "",
@@ -67,7 +70,15 @@ def main() -> None:
         f"{sum(1 for s in reg.values() if s.oracle)} with DuckDB oracle SQL, "
         f"{sum(1 for s in reg.values() if s.headline)} headline (benched). "
         "Driver column: rounds in which the external driver verified the query "
-        "(`hash` = full row/schema/value-hash oracle match, `rows` = rows-only).",
+        "(`hash` = full row/schema/value-hash oracle match, `rows` = rows-only). "
+        "Oracle column grades the EVIDENTIARY CLASS, not just presence: "
+        "`derived` = the SQL recomputes the result independently from the "
+        "input tables / generator truth; `golden` = the SQL replays a "
+        "committed dump of one verified engine run (regression-pin grade — "
+        "detects changes, cannot detect wrongness present at dump time); "
+        "`invariant` = the SQL checks deterministic invariants of a "
+        "non-deterministic output (e.g. timing stats). "
+        f"Classes: {n_derived} derived, {n_golden} golden, {n_inv} invariant.",
         "",
         "| # | Query | Module | Oracle | Headline | Tags | Driver-checked |",
         "|---|---|---|---|---|---|---|",
@@ -75,7 +86,7 @@ def main() -> None:
     for i, (name, spec) in enumerate(reg.items(), 1):
         lines.append(
             f"| {i} | `{name}` | {module_of(name)} | "
-            f"{'SQL' if spec.oracle else 'rows-only'} | "
+            f"{spec.oracle_kind if spec.oracle else 'rows-only'} | "
             f"{'yes' if spec.headline else ''} | "
             f"{' '.join(spec.tags)} | {driver_rounds(name)} |"
         )

@@ -73,6 +73,13 @@ def main() -> int:
         # record a passing row, so a later regression (crash / empty result)
         # would go unseen by the driver — always re-check them locally
         names += [n for n in qs if n not in osql and n not in names]
+        # likewise always include the code-changed greens pinned for
+        # re-verification, even if the window ordering would already put
+        # them up front (belt and braces: the sim must never report green
+        # while a force-recheck name goes unexecuted)
+        from spark_bam_spark.queries import _FORCE_RECHECK
+
+        names += [n for n in _FORCE_RECHECK if n in qs and n not in names]
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
