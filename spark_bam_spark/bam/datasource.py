@@ -190,6 +190,11 @@ class BamReader(DataSourceReader):
         self.compression_ratio = float(options.get("compression_ratio", 3.0))
         self.reads_to_check = int(options.get("reads_to_check", DEFAULT_READS_TO_CHECK))
         self.max_read_size = int(options.get("max_read_size", DEFAULT_MAX_READ_SIZE))
+        # records per emitted Arrow batch: the worker-side knob the probe
+        # tools/run_ds_ceiling.py sweeps (spark.sql.execution.arrow.
+        # maxRecordsPerBatch does NOT apply to Data Source output — the
+        # reader yields its own RecordBatches)
+        self.batch_records = int(options.get("batch_records", 16384))
         ranges_opt = options.get("ranges")
         self.byte_ranges = parse_byte_ranges(ranges_opt) if ranges_opt else None
         self.mode = options.get("mode", "failfast")
@@ -436,7 +441,7 @@ class BamReader(DataSourceReader):
         owner = np.searchsorted(ua, sa, side="right") - 1
         bpos = ba[owner]
         boff = sa - ua[owner]
-        chunk = 16384
+        chunk = self.batch_records
         for lo in range(0, len(starts), chunk):
             sl = slice(lo, lo + chunk)
             yield decode_batch(

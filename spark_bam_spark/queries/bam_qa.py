@@ -541,11 +541,14 @@ def bam_full_check_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="full-check close calls: positions ruled out by <=2 flags, with next-record PosMetadata",
     oracle=f"""SELECT block_pos, "offset" AS offset, num_flags, delta, next_qname, next_rname, next_pos
     FROM read_parquet('{_G_CLOSE_CALLS_PQ}')""",
-    oracle_kind="golden",
 )
 def bam_close_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FullCheck.scala:199-218 closeCalls + PosMetadata annotation.
-    Oracle = committed golden dump (tools/gen_bam_golden.py)."""
+    Oracle = INDEPENDENT derivation (tools/gen_checker_truth.py): fresh
+    19-flag sweep selects the <=2-flag positions, and the next-record
+    metadata (delta/qname/rname/pos) is rendered from the GENERATOR's
+    record list with a bisect — never from the engine's decode or its
+    window-annotation join."""
     from spark_bam_spark.operators import qa
 
     return qa.close_calls(spark, _fixture_path()).select(
@@ -558,11 +561,13 @@ def bam_close_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="check-bam FP annotation: upstream-checker false positives with flags + next-record metadata",
     oracle=f"""SELECT block_pos, "offset" AS offset, num_flags, delta, next_qname, next_rname, next_pos
     FROM read_parquet('{_G_FP_METADATA_PQ}')""",
-    oracle_kind="golden",
 )
 def bam_fp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CheckerApp.scala:103-134 fpsWithMetadata (upstream FPs; eager has none).
-    Oracle = committed golden dump (tools/gen_bam_golden.py)."""
+    Oracle = INDEPENDENT derivation (tools/gen_checker_truth.py): the
+    fresh upstream predicate finds the FP positions against generator
+    ground truth; flags + next-record metadata rendered generator-side
+    (see bam_close_calls)."""
     from spark_bam_spark.operators import qa
 
     return qa.fp_metadata(spark, _fixture_path()).select(

@@ -51,6 +51,8 @@ def _engine_sweep(n: int, block_payload: int, seed: int):
     three_way: Counter = Counter()
     flags_hist: Counter = Counter()
     group_flags: dict[int, Counter] = {}
+    close_set: set[tuple] = set()
+    fp_set: set[tuple] = set()
     for i, b in enumerate(res.blocks):
         window = b"".join(payloads[i : i + gct.LOOKAHEAD_BLOCKS])
         count = b.uncompressed_size
@@ -63,7 +65,11 @@ def _engine_sweep(n: int, block_payload: int, seed: int):
             if fl:
                 flags_hist[len(fl)] += 1
                 group_flags.setdefault(len(fl), Counter()).update(fl)
-    return three_way, flags_hist, group_flags
+                if len(fl) <= 2:
+                    close_set.add((b.start, o, len(fl)))
+            if upstream[o] and not t:
+                fp_set.add((b.start, o))
+    return three_way, flags_hist, group_flags, close_set, fp_set
 
 
 @pytest.mark.parametrize(
@@ -75,12 +81,16 @@ def test_independent_derivation_matches_engine_sweep(n, bp, seed):
 
     ind = gct.derive(n=n, block_payload=bp, seed=seed)
     eng = _engine_sweep(n=n, block_payload=bp, seed=seed)
-    assert ind[0] == eng[0], "three-way confusion diverged"
-    assert ind[1] == eng[1], "flags histogram diverged"
-    assert ind[2] == eng[2], "per-group flag counts diverged"
+    assert ind["three_way"] == eng[0], "three-way confusion diverged"
+    assert ind["flags_hist"] == eng[1], "flags histogram diverged"
+    assert ind["group_flags"] == eng[2], "per-group flag counts diverged"
+    # close-call / FP position sets vs the vectorized engine sweep
+    assert {(r[0], r[1], r[2]) for r in ind["close_rows"]} == eng[3], "close-call set diverged"
+    assert {(r[0], r[1]) for r in ind["fp_rows"]} == eng[4], "upstream-FP set diverged"
     # non-vacuity: the fixture must exercise disagreements and real flags
-    assert any(k[1] and not k[2] for k in ind[0]), "no upstream FPs swept"
-    assert len(ind[1]) >= 3, "flags histogram degenerate"
+    assert ind["fp_rows"], "no upstream FPs swept"
+    assert len(ind["flags_hist"]) >= 3, "flags histogram degenerate"
+    assert ind["close_rows"], "no close calls swept"
 
 
 @pytest.mark.skipif(not _SWEEP, reason="full-fixture sweep env-gated (SPARK_GRAFT_CHECKER_TRUTH_SWEEP=1)")

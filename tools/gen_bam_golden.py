@@ -79,13 +79,12 @@ def write_cmp_truth() -> None:
     print(f"cmp truth: {len(rec_rows)} records, {len(blk_rows)} blocks")
 
 
-# NOTE (r7): bam_full_check, bam_full_check_cdf, and bam_check_three_way
-# are no longer dumped here — tools/gen_checker_truth.py now DERIVES them
-# from an independent checker implementation (derivation grade, not
-# regression-pin grade).  Only the remaining engine-output pins stay.
+# NOTE (r7): every qa2500 checker golden (full_check, full_check_cdf,
+# three_way, close_calls, fp_metadata) is no longer dumped here —
+# tools/gen_checker_truth.py DERIVES all five from an independent checker
+# implementation + generator-side metadata rendering (derivation grade,
+# not regression-pin grade).  Only the multimodal real-codec pins stay.
 GOLDEN_QUERIES = {
-    "bam_close_calls": "qa2500_golden_close_calls.parquet",
-    "bam_fp_metadata": "qa2500_golden_fp_metadata.parquet",
     "multimodal_ppm_real_decode": "multimodal_golden_ppm.parquet",
     "multimodal_wav_real_decode": "multimodal_golden_wav.parquet",
     "multimodal_y4m_frame_sample": "multimodal_golden_y4m.parquet",

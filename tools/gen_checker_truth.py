@@ -274,10 +274,15 @@ def flags_at(buf: bytes, o: int, clens: list[int]) -> list[str]:
 
 def derive(n: int = 2500, block_payload: int = 4096, seed: int = 42):
     """Sweep every uncompressed position of the qa fixture with the
-    independent checkers.  Returns (three_way Counter, flags_hist
-    Counter, per-group flag Counters) keyed exactly like the engine's
-    registered queries."""
-    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, make_fixture
+    independent checkers.  Returns a dict keyed exactly like the engine's
+    registered queries: three-way confusion, flags histogram + per-group
+    flag counts, close-call rows (num_flags <= 2) and upstream-FP rows —
+    the latter two annotated with next-record PosMetadata rendered
+    straight from the GENERATOR's record list (the gen_bam_truth.py
+    independent-rendering pattern), never from the engine's decode."""
+    import bisect
+
+    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES, make_fixture, synth_records
 
     clens = list(CONTIG_LENGTHS)
     with tempfile.TemporaryDirectory() as tmp:
@@ -286,33 +291,96 @@ def derive(n: int = 2500, block_payload: int = 4096, seed: int = 42):
         raw = open(path, "rb").read()
 
     payloads = []
+    ustarts = {}
+    u = 0
     for b in res.blocks:
         pl = gzip.decompress(raw[b.start : b.start + b.compressed_size])
         assert len(pl) == b.uncompressed_size, (b.start, len(pl), b.uncompressed_size)
         payloads.append(pl)
+        ustarts[b.start] = u
+        u += len(pl)
 
     truth = {(p.block_pos, p.offset) for p in res.record_positions}
+    # next-record annotation source: generator positions + generator-side
+    # field rendering (independent of the BAM decoder)
+    recs = synth_records(n)
+    rec_u = [ustarts[p.block_pos] + p.offset for p in res.record_positions]
+    assert rec_u == sorted(rec_u) and len(recs) == len(rec_u)
+
+    def annotate(pos_u: int):
+        j = bisect.bisect_left(rec_u, pos_u)
+        if j == len(rec_u):
+            return None, None, None, None
+        r = recs[j]
+        rname = CONTIG_NAMES[r.ref_idx] if r.ref_idx >= 0 else None
+        return rec_u[j] - pos_u, r.qname, rname, r.pos
 
     three_way: Counter = Counter()  # (eager, upstream, oracle) -> n
     flags_hist: Counter = Counter()  # num_flags -> n_positions
     group_flags: dict[int, Counter] = {}  # num_flags -> flag -> n
+    close_rows: list[tuple] = []  # (block_pos, offset, num_flags, delta, qname, rname, pos)
+    fp_rows: list[tuple] = []  # same shape, for upstream FPs
 
     for i, b in enumerate(res.blocks):
         window = b"".join(payloads[i : i + LOOKAHEAD_BLOCKS])
+        bu = ustarts[b.start]
         for o in range(b.uncompressed_size):
             e = eager_call(window, o, clens)
-            u = upstream_call(window, o, clens)
+            up = upstream_call(window, o, clens)
             t = (b.start, o) in truth
-            three_way[(e, u, t)] += 1
+            three_way[(e, up, t)] += 1
             fl = flags_at(window, o, clens)
+            k = len(fl)
             if fl:
-                k = len(fl)
                 flags_hist[k] += 1
                 group_flags.setdefault(k, Counter()).update(fl)
-    return three_way, flags_hist, group_flags
+            if (fl and k <= 2) or (up and not t):
+                delta, qn, rn, rp = annotate(bu + o)
+                row = (b.start, o, k, delta, qn, rn, rp)
+                if fl and k <= 2:
+                    close_rows.append(row)
+                if up and not t:
+                    fp_rows.append(row)
+    return {
+        "three_way": three_way,
+        "flags_hist": flags_hist,
+        "group_flags": group_flags,
+        "close_rows": close_rows,
+        "fp_rows": fp_rows,
+    }
 
 
-def to_tables(three_way, flags_hist, group_flags):
+_POS_META_SCHEMA = pa.schema(
+    [
+        ("block_pos", pa.int64()),
+        ("offset", pa.int32()),
+        ("num_flags", pa.int32()),
+        ("delta", pa.int64()),
+        ("next_qname", pa.string()),
+        ("next_rname", pa.string()),
+        ("next_pos", pa.int64()),
+    ]
+)
+
+
+def _pos_meta_table(rows: list[tuple]) -> pa.Table:
+    rows = sorted(rows)
+    return pa.table(
+        {
+            "block_pos": pa.array([r[0] for r in rows], pa.int64()),
+            "offset": pa.array([r[1] for r in rows], pa.int32()),
+            "num_flags": pa.array([r[2] for r in rows], pa.int32()),
+            "delta": pa.array([r[3] for r in rows], pa.int64()),
+            "next_qname": pa.array([r[4] for r in rows], pa.string()),
+            "next_rname": pa.array([r[5] for r in rows], pa.string()),
+            "next_pos": pa.array([r[6] for r in rows], pa.int64()),
+        },
+        schema=_POS_META_SCHEMA,
+    )
+
+
+def to_tables(d: dict):
+    three_way, flags_hist, group_flags = d["three_way"], d["flags_hist"], d["group_flags"]
     tw = pa.table(
         {
             "eager_call": [k[0] for k in sorted(three_way)],
@@ -352,12 +420,14 @@ def to_tables(three_way, flags_hist, group_flags):
         "qa2500_golden_three_way.parquet": tw,
         "qa2500_golden_full_check.parquet": fh,
         "qa2500_golden_full_check_cdf.parquet": cdf,
+        "qa2500_golden_close_calls.parquet": _pos_meta_table(d["close_rows"]),
+        "qa2500_golden_fp_metadata.parquet": _pos_meta_table(d["fp_rows"]),
     }
 
 
 def main() -> int:
     write = "--write" in sys.argv
-    tables = to_tables(*derive())
+    tables = to_tables(derive())
     rc = 0
     for fname, tbl in tables.items():
         dest = os.path.join(OUT, fname)
