@@ -186,7 +186,16 @@ class BamReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("bam source requires a path")
-        self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        # Explicit option wins; otherwise the split size ADAPTS to total
+        # input volume at planning time (see partitions()).  The measured
+        # optimum tracks ~a-few-tasks-per-core, not a constant: on the
+        # 20M-record probe (tools/run_ds_ceiling.py) a fixed 1 MiB split
+        # ran 3.8x slower than 16 MiB (2,676 tasks of window setup +
+        # scheduling), while on the 140 MB fixture 4 MiB beat 16 MiB
+        # (under-parallelization).  Clamped to [4 MiB, 64 MiB] — the
+        # large end matches columnar-scan practice at 100 TB.
+        split_opt = options.get("split_size")
+        self.split_size = int(split_opt) if split_opt is not None else None
         self.compression_ratio = float(options.get("compression_ratio", 3.0))
         self.reads_to_check = int(options.get("reads_to_check", DEFAULT_READS_TO_CHECK))
         self.max_read_size = int(options.get("max_read_size", DEFAULT_MAX_READ_SIZE))
@@ -300,10 +309,24 @@ class BamReader(DataSourceReader):
                 keep.append((c.start_pos.block_pos, c.end_pos.block_pos + 1))
         return keep
 
+    def _effective_split_size(self, paths: list[str]) -> int:
+        """The explicit option, or an adaptive default: total input split
+        into ~4 tasks per local core, clamped to [4 MiB, 64 MiB].  (On a
+        cluster the driver's cpu_count is a proxy; the clamps keep the
+        result sane either way, and deployments that care pass the
+        option.)"""
+        if self.split_size is not None:
+            return self.split_size
+        total = sum(os.path.getsize(p) for p in paths)
+        cores = os.cpu_count() or 8
+        return max(4 << 20, min(64 << 20, total // (4 * cores) or 1))
+
     # -- planning ----------------------------------------------------------
     def partitions(self) -> list[BamSplit]:
         splits: list[BamSplit] = []
-        for p in _bam_paths(self.path):
+        paths = _bam_paths(self.path)
+        split_size = self._effective_split_size(paths)
+        for p in paths:
             size = os.path.getsize(p)
             candidates = self._candidate_blocks(p)
             if candidates is not None:
@@ -319,13 +342,13 @@ class BamReader(DataSourceReader):
                         for blo, bhi in self.byte_ranges
                         if lo < bhi and hi > blo
                     ]
-                for group in pack_ranges(clipped, self.split_size, self.compression_ratio):
+                for group in pack_ranges(clipped, split_size, self.compression_ratio):
                     splits.append(
                         BamSplit(p, group[0][0], group[-1][1], ranges=list(group))
                     )
                 continue
-            for s in range(0, size, self.split_size):
-                e = min(s + self.split_size, size)
+            for s in range(0, size, split_size):
+                e = min(s + split_size, size)
                 if self.byte_ranges is not None and not any(
                     lo < e and hi > s for lo, hi in self.byte_ranges
                 ):

@@ -72,3 +72,41 @@ def test_verified_names_sorted_after_unverified():
     assert all(n in green for n in reg[first_green:]), (
         "an unverified query is ordered after a verified one"
     )
+
+
+def test_force_recheck_precedes_plain_greens_and_fits_window():
+    """Code-changed greens pinned in _FORCE_RECHECK must re-enter the
+    window ahead of untouched greens so the driver re-hashes the new
+    behavior the same round it ships."""
+    from spark_bam_spark.queries import _FORCE_RECHECK
+
+    reg = list(load_all())
+    green = driver_green_names()
+    forced = [n for n in _FORCE_RECHECK if n in green]
+    if not forced:
+        return
+    window = reg[:DRIVER_WINDOW]
+    assert all(n in window for n in forced), "a force-recheck name fell out of the window"
+    last_forced = max(reg.index(n) for n in forced)
+    plain = [n for n in reg if n in green and n not in _FORCE_RECHECK]
+    assert reg.index(plain[0]) > last_forced
+
+
+def test_greens_rotate_oldest_evidence_first():
+    """Already-verified names are ordered by the round of their latest
+    green row (stale evidence first) so the 50-slot window re-verifies
+    the oldest hashes each round; within one round, bench (headline)
+    queries come first."""
+    from spark_bam_spark.queries import _FORCE_RECHECK, driver_green_rounds
+
+    reg = load_all()
+    rounds = driver_green_rounds()
+    plain = [n for n in reg if n in rounds and n not in _FORCE_RECHECK]
+    ages = [rounds[n] for n in plain]
+    assert ages == sorted(ages), "green rotation is not oldest-evidence-first"
+    for rnd in set(ages):
+        block = [n for n in plain if rounds[n] == rnd]
+        bench_flags = [reg[n].headline or reg[n].headline2 for n in block]
+        assert bench_flags == sorted(bench_flags, reverse=True), (
+            f"non-bench query precedes a bench query inside the r{rnd} age block"
+        )
