@@ -213,7 +213,8 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r7: shared shingle-hash stream localCheckpoint'ed (plan change)
+    # r7: checkpoint built/A-B'd/reverted on evidence (plan churn;
+    # results identical — see VERIFICATION_r7.md §2)
     "dedup_minhash_lsh",
     "dedup_clusters",
     # r7: order-independent DECIMAL accumulation replaced double AVG

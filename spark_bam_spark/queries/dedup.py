@@ -189,15 +189,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle stream (no distinct — min is duplicate-insensitive; no band
     # cross-join — the explode would multiply shuffle volume ×N_BANDS),
     # then unpivot the per-doc signature row with stack().
-    # localCheckpoint: `hashed` feeds BOTH the hub-df aggregation and the
-    # signature aggregation; without it the shingle-explode + 4×md5
-    # subtree (the most expensive part of the pipeline) executes once per
-    # consumer.  Materialized rows are (long, 4×long) — narrower than the
-    # shingle strings they replace — and land on executor-local disk, the
-    # same trade `minhash_jaccard_estimate` makes (curation.py).
+    # DELIBERATELY NOT CHECKPOINTED (r7 decision, measured): `hashed`
+    # feeds both the hub-df aggregation and the signature aggregation, so
+    # the scan+explode+4×md5 subtree executes twice.  A
+    # localCheckpoint(eager=True) here (the r6-verdict order) was built
+    # and A/B'd — identical-session min-of-5 at sf0.1 AND sf1 showed it
+    # noise-neutral locally (the materialization write+read and lost
+    # stage overlap offset the saved recompute), and the 100 TB math is
+    # against it: the derived stream is ~40 B/word (doc_id + 4 longs) vs
+    # ~6 B/word of column-pruned source text, so checkpointing writes ~6×
+    # the input to executor disk while recompute pays one extra pruned
+    # parquet scan + linear md5 CPU.  `minhash_jaccard_estimate`
+    # (curation.py) checkpoints because its shared stream feeds an
+    # expensive candidate JOIN twice; here both consumers are cheap
+    # map-side-combined aggregations.  Evidence: VERIFICATION_r7.md §2.
     hashed = sh.select(
         "doc_id", *[_band_hash_col(b).alias(f"h{b}") for b in range(N_BANDS)]
-    ).localCheckpoint(eager=True)
+    )
     # hub detection on h0, not the string: both engines compute the same
     # md5-derived key, so even a (negligible, 60-bit) collision caps the
     # same shingles on both sides
