@@ -100,7 +100,21 @@ _ARROW_SCHEMA = pa.schema(
     ]
 )
 
-DEFAULT_SPLIT_SIZE = 1 << 20
+DEFAULT_SPLIT_SIZE = 1 << 20  # legacy fixed default; see _adaptive_split_size
+
+
+def _adaptive_split_size(paths: list[str]) -> int:
+    """Adaptive default split: total input / (4 tasks per local core),
+    clamped to [4 MiB, 64 MiB].  Measured (tools/run_ds_ceiling.py): a
+    fixed 1 MiB split ran 3.8x slower than 16 MiB on a 2.6 GB file
+    (2,676 tasks of window setup + scheduling), while 4 MiB beat 16 MiB
+    on a 133 MB file (under-parallelization) — the optimum tracks tasks
+    per core, not a constant.  On a cluster the driver's cpu_count is a
+    proxy; the clamps keep the result sane either way, and deployments
+    that care pass the split_size option explicitly."""
+    total = sum(os.path.getsize(p) for p in paths)
+    cores = os.cpu_count() or 8
+    return max(4 << 20, min(64 << 20, total // (4 * cores) or 1))
 
 
 def parse_byte_ranges(spec: str) -> list[tuple[int, int]]:
@@ -310,16 +324,9 @@ class BamReader(DataSourceReader):
         return keep
 
     def _effective_split_size(self, paths: list[str]) -> int:
-        """The explicit option, or an adaptive default: total input split
-        into ~4 tasks per local core, clamped to [4 MiB, 64 MiB].  (On a
-        cluster the driver's cpu_count is a proxy; the clamps keep the
-        result sane either way, and deployments that care pass the
-        option.)"""
         if self.split_size is not None:
             return self.split_size
-        total = sum(os.path.getsize(p) for p in paths)
-        cores = os.cpu_count() or 8
-        return max(4 << 20, min(64 << 20, total // (4 * cores) or 1))
+        return _adaptive_split_size(paths)
 
     # -- planning ----------------------------------------------------------
     def partitions(self) -> list[BamSplit]:
@@ -674,15 +681,21 @@ class BgzfBlocksDataSource(DataSource):
 class BgzfBlocksReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path = options.get("path")
-        self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        # same adaptive default as BamReader (header hopping is cheap per
+        # byte, but thousands of 1 MiB tasks on a multi-GB file still pay
+        # scheduling + open/seek per task)
+        split_opt = options.get("split_size")
+        self.split_size = int(split_opt) if split_opt is not None else None
         ranges_opt = options.get("ranges")
         self.byte_ranges = parse_byte_ranges(ranges_opt) if ranges_opt else None
 
     def partitions(self) -> list[BamSplit]:
+        paths = _bam_paths(self.path)
+        split_size = self.split_size if self.split_size is not None else _adaptive_split_size(paths)
         return [
-            BamSplit(p, s, min(s + self.split_size, os.path.getsize(p)))
-            for p in _bam_paths(self.path)
-            for s in range(0, os.path.getsize(p), self.split_size)
+            BamSplit(p, s, min(s + split_size, os.path.getsize(p)))
+            for p in paths
+            for s in range(0, os.path.getsize(p), split_size)
         ]
 
     def read(self, split: BamSplit) -> Iterator[tuple]:

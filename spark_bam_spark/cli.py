@@ -132,12 +132,19 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
         from spark_bam_spark.queries import load_all
 
         writer = csv.writer(sys.stdout, lineterminator="\n")
-        writer.writerow(["name", "tags", "oracle", "headline", "headline2"])
+        writer.writerow(["name", "tags", "oracle", "oracle_kind", "headline", "headline2"])
         for name, spec in load_all().items():
             if args.tag and args.tag not in spec.tags:
                 continue
             writer.writerow(
-                [name, " ".join(spec.tags), bool(spec.oracle), spec.headline, spec.headline2]
+                [
+                    name,
+                    " ".join(spec.tags),
+                    bool(spec.oracle),
+                    spec.oracle_kind if spec.oracle else "",
+                    spec.headline,
+                    spec.headline2,
+                ]
             )
         return
     if cmd == "query":

@@ -89,9 +89,13 @@ def test_stdout_csv_quotes_special_values(spark, capsys):
 
 def test_list_queries_prints_registry(spark, capsys):
     lines = _run(spark, ["list-queries"], capsys)
-    assert lines[0] == "name,tags,oracle,headline,headline2"
+    assert lines[0] == "name,tags,oracle,oracle_kind,headline,headline2"
     names = {ln.split(",")[0] for ln in lines[1:]}
     assert {"pricing_summary", "dedup_minhash_lsh", "curation_pipeline_funnel"} <= names
+    kinds = {ln.split(",")[0]: ln.split(",")[3] for ln in lines[1:]}
+    assert kinds["pricing_summary"] == "derived"
+    assert kinds["multimodal_ppm_real_decode"] == "golden"
+    assert kinds["bam_time_load"] == "invariant"
 
 
 def test_list_queries_tag_filter(spark, capsys):
