@@ -740,3 +740,71 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(20)
     )
+
+
+# RAG/embedding-prep chunking: window/stride in whitespace tokens. 64/48
+# (25% overlap) is a common embedding-model shape; the constants are
+# mirrored verbatim in the oracle.
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "doc_chunk_windows",
+    tags=("text", "rag", "chunking"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= {CHUNK_WINDOW} THEN 1
+                  ELSE 1 + (len(w) - {CHUNK_WINDOW} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+             END AS n_chunks
+      FROM t
+    ),
+    x AS (
+      SELECT doc_id, i.i AS chunk_idx,
+             list_slice(w, i.i*{CHUNK_STRIDE} + 1, i.i*{CHUNK_STRIDE} + {CHUNK_WINDOW}) AS toks
+      FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) i
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks) AS INT) AS n_tokens,
+           md5(array_to_string(toks, ' ')) AS chunk_hash
+    FROM x
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking into overlapping token windows — the
+    embedding/RAG preparation primitive (window {CHUNK_WINDOW}, stride
+    {CHUNK_STRIDE}): every document becomes ceil-spaced chunks whose ids
+    are stable (doc_id, chunk_idx) and whose content is fingerprinted
+    (md5 of the joined window) so downstream embedding jobs are
+    idempotent and chunk-level dedup can join on the hash.  Distinct
+    from ``pack_training_sequences`` (greedy concat-packing for training
+    shards): chunking preserves per-document provenance and overlap.
+
+    Scale shape: one narrow pass — split once per doc, chunk list built
+    in-row (transform over an ascending sequence; n_chunks >= 1 always,
+    so Spark's descending-sequence ANSI trap cannot fire), explode
+    multiplies rows by ~n_tokens/stride (linear in corpus tokens); all
+    JVM expressions inside whole-stage codegen, guards inline (the
+    split-derived-filter pushdown trap).  At 100 TB this is the
+    map-only stage feeding a Pandas-UDF embedder; the chunk_hash
+    equi-join is the chunk-dedup path."""
+    nc = (
+        f"if(size(w) <= {CHUNK_WINDOW}, 1,"
+        f" 1 + (size(w) - {CHUNK_WINDOW} + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE})"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, {nc} - 1), i -> struct("
+        f"cast(i as int) as chunk_idx,"
+        f" slice(w, i*{CHUNK_STRIDE} + 1, {CHUNK_WINDOW}) as toks))"
+    )
+    d = fan_out(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.toks").cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("chunk_hash"),
+    )
