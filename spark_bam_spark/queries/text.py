@@ -790,6 +790,11 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     split-derived-filter pushdown trap).  At 100 TB this is the
     map-only stage feeding a Pandas-UDF embedder; the chunk_hash
     equi-join is the chunk-dedup path."""
+    return _chunk_windows(spark, sf_dir)
+
+
+def _chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared chunk builder (doc_chunk_windows + chunk_dedup_stats)."""
     nc = (
         f"if(size(w) <= {CHUNK_WINDOW}, 1,"
         f" 1 + (size(w) - {CHUNK_WINDOW} + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE})"
@@ -807,4 +812,66 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.size("c.toks").cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("chunk_hash"),
+    )
+
+
+@register(
+    "chunk_dedup_stats",
+    tags=("text", "rag", "chunking", "dedup"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= {CHUNK_WINDOW} THEN 1
+                  ELSE 1 + (len(w) - {CHUNK_WINDOW} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+             END AS n_chunks
+      FROM t
+    ),
+    x AS (
+      SELECT md5(array_to_string(
+               list_slice(w, i.i*{CHUNK_STRIDE} + 1, i.i*{CHUNK_STRIDE} + {CHUNK_WINDOW}), ' '))
+               AS chunk_hash,
+             len(list_slice(w, i.i*{CHUNK_STRIDE} + 1, i.i*{CHUNK_STRIDE} + {CHUNK_WINDOW}))
+               AS n_tokens
+      FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) i
+    ),
+    per_hash AS (
+      SELECT chunk_hash, COUNT(*) AS cnt, MIN(n_tokens) AS n_tokens
+      FROM x GROUP BY chunk_hash
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+           CAST(COUNT(*) AS BIGINT) AS unique_chunks,
+           CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_chunks,
+           CAST(SUM(cnt * n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM((cnt - 1) * n_tokens) AS BIGINT) AS tokens_saved,
+           ROUND(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_rate
+    FROM per_hash
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity dedup report — what an embedding/RAG store
+    saves by keying vectors on content fingerprints instead of
+    (doc_id, chunk_idx): unique vs total chunks, duplicate rate, and
+    tokens whose embedding compute is avoided.  Composes
+    ``doc_chunk_windows``'s chunk_hash contract (same constants, same
+    fingerprints) so the two queries describe one pipeline.
+
+    Scale shape: the chunk stream never materializes — one
+    map-side-combined groupBy on the 16-byte hash (uniform key, no
+    skew), then a single-row total; at 100 TB this is one balanced
+    shuffle of (hash, count, n_tokens) partial aggregates."""
+    per_hash = (
+        _chunk_windows(spark, sf_dir)
+        .groupBy("chunk_hash")
+        .agg(F.count("*").alias("cnt"), F.min("n_tokens").alias("n_tokens"))
+    )
+    total = F.sum("cnt").cast("bigint")
+    uniq = F.count("*").cast("bigint")
+    return per_hash.agg(
+        total.alias("total_chunks"),
+        uniq.alias("unique_chunks"),
+        (total - uniq).alias("dup_chunks"),
+        F.sum(F.col("cnt") * F.col("n_tokens")).cast("bigint").alias("tokens_total"),
+        F.sum((F.col("cnt") - 1) * F.col("n_tokens")).cast("bigint").alias("tokens_saved"),
+        F.round((total - uniq).cast("double") / F.sum("cnt"), 6).alias("dup_rate"),
     )
