@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -13,6 +14,73 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_bam_spark.queries import load_all
 from spark_bam_spark.session import get_spark
+
+
+def _machine_load() -> dict:
+    """Snapshot of machine contention so cross-round bench deltas are
+    interpretable: numbers taken while another Spark session runs on the
+    same box are inflated up to 2x (VERIFICATION_r7.md §Bench), and without
+    this record a real regression and a contended run look identical
+    (r7 verdict, What's wrong #1)."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:
+        la1 = la5 = la15 = -1.0
+    # count OTHER live python processes that look like Spark/JVM workers;
+    # /proc is the only portable-enough source without psutil.  Our own
+    # session's JVM + pyspark.daemon worker pool are descendants of this
+    # process — walk ppid chains so they don't count as contention.
+    own_pid = os.getpid()
+
+    def _ppid(pid: int) -> int:
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                # field 4 is ppid; comm (field 2) may contain spaces, so
+                # split after the closing paren
+                return int(fh.read().rsplit(b")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            return 0
+
+    def _is_descendant(pid: int) -> bool:
+        for _ in range(32):  # bounded walk; init has ppid 0
+            if pid == own_pid:
+                return True
+            if pid <= 1:
+                return False
+            pid = _ppid(pid)
+        return False
+
+    spark_procs = 0
+    java_procs = 0
+    try:
+        for pid_s in os.listdir("/proc"):
+            if not pid_s.isdigit():
+                continue
+            pid = int(pid_s)
+            if pid == own_pid or _is_descendant(pid):
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmd = fh.read().replace(b"\0", b" ").decode("utf-8", "replace")
+            except OSError:
+                continue
+            # match only live Spark execution machinery (worker daemons /
+            # JVMs), not arbitrary processes whose argv mentions spark —
+            # the orchestration harness quotes this repo's name in its
+            # own command line
+            if "pyspark.daemon" in cmd or "pyspark.worker" in cmd:
+                spark_procs += 1
+            elif "java" in cmd and "org.apache.spark" in cmd:
+                java_procs += 1
+    except OSError:
+        spark_procs = java_procs = -1
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "other_pyspark_procs": spark_procs,
+        "other_spark_jvms": java_procs,
+    }
 
 
 def main() -> None:
@@ -48,19 +116,24 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_REPEAT
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "5")))
 
-    def run_tier(tier: dict) -> dict[str, float]:
-        timings: dict[str, float] = {}
+    load_before = _machine_load()
+
+    def run_tier(tier: dict) -> tuple[dict[str, float], dict[str, float]]:
+        best_t: dict[str, float] = {}
+        med_t: dict[str, float] = {}
         for name, spec in tier.items():
-            best = float("inf")
+            samples: list[float] = []
             for _ in range(repeat):
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
-        return timings
+                samples.append(time.perf_counter() - t0)
+            best_t[name] = round(min(samples), 4)
+            med_t[name] = round(statistics.median(samples), 4)
+        return best_t, med_t
 
-    timings = run_tier(headline)
-    timings2 = run_tier(headline2)
+    timings, med = run_tier(headline)
+    timings2, med2 = run_tier(headline2)
+    load_after = _machine_load()
 
     total = round(sum(timings.values()), 4)
     print(
@@ -75,6 +148,12 @@ def main() -> None:
                 "queries": {**timings, **timings2},
                 "headline2_total": round(sum(timings2.values()), 4),
                 "headline2_queries": sorted(timings2),
+                # median-of-repeats per query: with min-of-N, contention
+                # shows up as a median >> min gap; a real regression moves
+                # both together
+                "queries_median": {**med, **med2},
+                "machine_load_before": load_before,
+                "machine_load_after": load_after,
                 "repeat": repeat,
                 "sf": sf,
             }

@@ -114,7 +114,7 @@ def _adaptive_split_size(paths: list[str]) -> int:
     that care pass the split_size option explicitly."""
     total = sum(os.path.getsize(p) for p in paths)
     cores = os.cpu_count() or 8
-    return max(4 << 20, min(64 << 20, total // (4 * cores) or 1))
+    return max(4 << 20, min(64 << 20, total // (4 * cores)))
 
 
 def parse_byte_ranges(spec: str) -> list[tuple[int, int]]:

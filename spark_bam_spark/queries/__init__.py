@@ -213,14 +213,19 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r7: checkpoint built/A-B'd/reverted on evidence (plan churn;
-    # results identical — see VERIFICATION_r7.md §2)
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    # r7: order-independent DECIMAL accumulation replaced double AVG
-    "multimodal_decode_features",
-    # r7: per-session scratch dir + golden-range filter
-    "bam_rewrite_roundtrip",
+    # r8 (the r7 entries — dedup_minhash_lsh, dedup_clusters,
+    # multimodal_decode_features, bam_rewrite_roundtrip — all went green in
+    # CORRECTNESS_r07 and are cleared).  Convention extended per r7 advice:
+    # ORACLE-ARTIFACT changes count as code changes.  The five checker
+    # diagnostics had their golden truth parquets regenerated in r7 from
+    # the independent derivation (tools/gen_checker_truth.py) AFTER their
+    # last driver-green hash, so the driver must re-hash against the new
+    # golden bytes:
+    "bam_full_check",
+    "bam_full_check_cdf",
+    "bam_check_three_way",
+    "bam_fp_metadata",
+    "bam_close_calls",
 )
 
 

@@ -774,8 +774,8 @@ CHUNK_STRIDE = 48
 )
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking into overlapping token windows — the
-    embedding/RAG preparation primitive (window {CHUNK_WINDOW}, stride
-    {CHUNK_STRIDE}): every document becomes ceil-spaced chunks whose ids
+    embedding/RAG preparation primitive (window 64 = CHUNK_WINDOW, stride
+    48 = CHUNK_STRIDE): every document becomes ceil-spaced chunks whose ids
     are stable (doc_id, chunk_idx) and whose content is fingerprinted
     (md5 of the joined window) so downstream embedding jobs are
     idempotent and chunk-level dedup can join on the hash.  Distinct

@@ -97,7 +97,8 @@ def test_independent_derivation_matches_engine_sweep(n, bp, seed):
 def test_committed_goldens_match_independent_derivation():
     import gen_checker_truth as gct
 
-    assert gct.main() == 0  # --check mode compares all three parquets
+    assert gct.main() == 0  # --check mode compares all five parquets
+    # (three_way, full_check, cdf, close_calls, fp_metadata)
 
 
 if __name__ == "__main__":
