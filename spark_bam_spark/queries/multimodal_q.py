@@ -7,10 +7,14 @@ Oracle strategy (they were rows-only through r5):
   vector, and the payload is the document text's utf-8 bytes — so
   DuckDB recomputes features straight from ``documents.text``.
 - The real-codec decodes (PPM/WAV/Y4M) depend only on doc_id; their
-  expected outputs are committed golden parquet keyed by media_id
-  (tools/gen_bam_golden.py, dumped at the superset sf0.1 id range) and
-  the oracle JOINs them against the sf-dir's documents table.  Exact
-  value-level coverage stays in tests/test_multimodal.py.
+  expected outputs are committed parquet keyed by media_id at the
+  superset sf0.1 id range, and the oracle JOINs them against the
+  sf-dir's documents table.  Since r8 these sidecars are DERIVATION
+  grade, not golden pins: tools/gen_media_truth.py recomputes every
+  expected value from the synthesis formulas alone (no import of
+  operators/multimodal.py, no container bytes), so the committed
+  values independently validate the whole encode→decode round trip.
+  Exact value-level coverage stays in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -150,7 +154,7 @@ def multimodal_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.media_id, g.feature_sum, g.f0
     FROM read_parquet('{_G_PPM_PQ}') g JOIN documents d ON d.doc_id = g.media_id
     """,
-    oracle_kind="golden",
+    oracle_kind="derived",
 )
 def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real-codec path, executable in any environment: payloads are
@@ -178,7 +182,7 @@ def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.media_id, g.energy_sum, g.rms0
     FROM read_parquet('{_G_WAV_PQ}') g JOIN documents d ON d.doc_id = g.media_id
     """,
-    oracle_kind="golden",
+    oracle_kind="derived",
 )
 def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio sibling of multimodal_ppm_real_decode: payloads are genuine
@@ -204,7 +208,7 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.media_id, g.n_frames_kept, g.max_idx, g.avg_luma
     FROM read_parquet('{_G_Y4M_PQ}') g JOIN documents d ON d.doc_id = g.media_id
     """,
-    oracle_kind="golden",
+    oracle_kind="derived",
 )
 def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video sibling of the PPM/WAV real decodes: payloads are genuine

@@ -83,7 +83,13 @@ def write_cmp_truth() -> None:
 # three_way, close_calls, fp_metadata) is no longer dumped here —
 # tools/gen_checker_truth.py DERIVES all five from an independent checker
 # implementation + generator-side metadata rendering (derivation grade,
-# not regression-pin grade).  Only the multimodal real-codec pins stay.
+# not regression-pin grade).
+# NOTE (r8): the multimodal real-codec sidecars moved the same way —
+# tools/gen_media_truth.py derives all three from the synthesis formulas
+# without importing operators/multimodal.py, so nothing golden-grade is
+# dumped from the engine anymore.  The engine-side dump below is kept
+# ONLY as a cross-check path (it must agree with the derivation; the
+# derivation is what gets committed).
 GOLDEN_QUERIES = {
     "multimodal_ppm_real_decode": "multimodal_golden_ppm.parquet",
     "multimodal_wav_real_decode": "multimodal_golden_wav.parquet",
