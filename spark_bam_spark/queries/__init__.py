@@ -226,6 +226,9 @@ _FORCE_RECHECK: tuple[str, ...] = (
     "bam_check_three_way",
     "bam_fp_metadata",
     "bam_close_calls",
+    # r8: coarse-assignment checkpoint (memw) shipped after the clean
+    # A/B — plan changed, decision list pinned identical
+    "semdedup_prune_ivf",
 )
 
 

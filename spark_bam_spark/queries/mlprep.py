@@ -1162,6 +1162,28 @@ SEM_IVF_MIN_COARSE = 4  # K1 = max(this, ceil(sqrt(K)))
 SEM_IVF_CELL_SHIFT = 1_000_000  # composite label = coarse * shift + fine
 
 
+def _ivf_ckpt_mode() -> str:
+    """How _semdedup_assign_ivf truncates lineage at the coarse
+    assignment (A/B toggle): 'off' = none (the pre-r8 plan, coarse
+    subtree re-evaluates ~4x), 'pairs' = checkpoint (vec_id, g, rn)
+    only, 'mem' = checkpoint with the vector, 'memw' = mem behind an
+    explicit wide repartition (the default), 'cache' = diagnosis only.
+
+    Decision evidence (tools/run_ivf_ckpt_ab.py, fresh process per cell,
+    idle box, min-of-3; VERIFICATION_r8.md §4a): off/pairs/mem/memw =
+    4.46/4.05/4.16/4.64 s at sf0.1, 7.49/18.22/8.67/5.64 at 10x,
+    22.11/11.88/23.74/11.33 at 30x.  memw wins 1.33x at 10x and 1.95x
+    at 30x and ties at sf0.1; the naive variants LOST at 10x because
+    AQE coalesces the small assignment shuffle to one partition and the
+    checkpoint freezes that layout, serializing the fine phase — the
+    explicit repartition (exempt from AQE coalescing) is what makes the
+    checkpoint safe.  All modes produce identical decision lists."""
+    import os
+
+    v = os.environ.get("SPARK_GRAFT_SEMDEDUP_IVF_CKPT", "memw")
+    return {"0": "off", "1": "pairs", "2": "mem"}.get(v, v)
+
+
 def _assign_in_cell(members: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-fine-centroid assignment WITHIN each coarse cell: the per-
     cell centroid lists (K total rows) broadcast, argmin runs in-row —
@@ -1206,12 +1228,56 @@ def _semdedup_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     coarse = _assign(corpus, cent1).withColumnRenamed("cluster", "g")
+    mode = _ivf_ckpt_mode()
+    if mode == "pairs":
+        # variant A: checkpoint only the ~24 B/row (vec_id, g, rn)
+        # assignment; consumers re-derive v via a corpus join
+        asg = (
+            coarse.select("vec_id", "g")
+            .withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("vec_id")))
+            .localCheckpoint(eager=True)
+        )
+        mem = corpus.join(asg, "vec_id").select("vec_id", "v", "g", "rn")
+        kg_src = asg
+    elif mode == "mem":
+        # variant B: checkpoint the assignment WITH its vector (~540 B/row)
+        # so no consumer needs a rejoin
+        mem = (
+            coarse.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("vec_id")))
+            .localCheckpoint(eager=True)
+        )
+        kg_src = mem
+    elif mode == "cache":
+        # variant C (diagnosis only, NOT production-eligible: Spark's
+        # cache matches by logical-plan equality, so a later identical
+        # call would silently reuse the entry — per-call cost becomes
+        # unrepresentative and bench repeats dishonest)
+        mem = coarse.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g").orderBy("vec_id"))
+        ).cache()
+        kg_src = mem
+    elif mode == "memw":
+        # variant D: 'mem' + an explicit wide repartition BEFORE the
+        # checkpoint.  Root cause of mem/pairs underperforming at the
+        # 10x probe: AQE coalesces the small row_number shuffle to ONE
+        # partition, the checkpoint materializes that layout, and the
+        # expensive fine phase downstream runs single-task.  An explicit
+        # repartition is exempt from AQE coalescing, so the materialized
+        # assignment stays executor-wide at every scale.
+        mem = (
+            coarse.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("vec_id")))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        kg_src = mem
+    else:
+        mem = coarse.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("vec_id")))
+        kg_src = coarse
     # per-cell fine budget + deterministic init (lowest K_g vec_ids)
-    kg = coarse.groupBy("g").agg(F.count("*").alias("n_g")).select(
+    kg = kg_src.groupBy("g").agg(F.count("*").alias("n_g")).select(
         "g",
         F.greatest(F.lit(1), F.ceil(F.col("n_g") / float(SEM_TARGET)).cast("long")).alias("kg"),
     )
-    mem = coarse.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("vec_id")))
     finit = (
         mem.join(F.broadcast(kg), "g")
         .filter(F.col("rn") <= F.col("kg"))
@@ -1241,7 +1307,14 @@ def semdedup_prune_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB production shape.  Assignment cost is n·(√K + n_g/√K)
     distances instead of n·K: measured 24.9s vs 45.2s at the 30× local
     probe, with planted-near-dup recall pinned at 100% and 63,454/63,455
-    decisions identical to the flat path (tests/test_semdedup_paths.py)."""
+    decisions identical to the flat path (tests/test_semdedup_paths.py).
+
+    Since r8 the coarse assignment is localCheckpoint-ed behind an
+    explicit wide repartition (_ivf_ckpt_mode 'memw'): the r7 plan
+    re-evaluated the 2-distance-pass coarse subtree ~4x (52 exchanges);
+    truncating it wins 1.33x at 10x and 1.95x at 30x and ties at sf0.1
+    (clean per-process A/B in tools/run_ivf_ckpt_ab.py; decision math
+    and the AQE single-partition trap in _ivf_ckpt_mode's docstring)."""
     return _score_clusters_numpy(_semdedup_assign_ivf(spark, sf_dir))
 
 

@@ -66,6 +66,23 @@ def test_ivf_path_planted_recall(spark, sf_medium):
     assert flat and ivf == flat
 
 
+def test_ivf_ckpt_modes_agree(spark, sf_medium, monkeypatch):
+    """Every lineage-truncation mode of the coarse assignment (r8 A/B:
+    off/pairs/mem/memw — memw is the shipped default) must produce the
+    identical decision list; the checkpoint is a physical-plan choice,
+    never a semantic one."""
+    from spark_bam_spark.queries import mlprep
+
+    results = {}
+    for mode in ("off", "memw"):
+        monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP_IVF_CKPT", mode)
+        results[mode] = sorted(
+            map(tuple, mlprep.semdedup_prune_ivf(spark, sf_medium).collect())
+        )
+    assert results["off"], "empty decision list would make the test vacuous"
+    assert results["memw"] == results["off"]
+
+
 def test_fast_path_finds_exactly_the_planted_dups(spark):
     rows = REGISTRY["semdedup_prune_fast"].fn(spark, "/root/testdata/sf0.01").collect()
     # every planted copy (vec_id + 100000 of each vec_id % 11 == 0) must be
