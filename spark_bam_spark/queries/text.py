@@ -793,8 +793,11 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chunk_windows(spark, sf_dir)
 
 
-def _chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared chunk builder (doc_chunk_windows + chunk_dedup_stats)."""
+def chunk_windows_frame(docs: DataFrame) -> DataFrame:
+    """Chunk builder over any (doc_id, text, ...) frame — batch or
+    STREAMING (it is a pure narrow map, so Structured Streaming accepts
+    it unchanged; streaming/chunk_dedup_stream composes it with a
+    watermarked stateful dedup).  Extra input columns pass through."""
     nc = (
         f"if(size(w) <= {CHUNK_WINDOW}, 1,"
         f" 1 + (size(w) - {CHUNK_WINDOW} + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE})"
@@ -804,14 +807,22 @@ def _chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(i as int) as chunk_idx,"
         f" slice(w, i*{CHUNK_STRIDE} + 1, {CHUNK_WINDOW}) as toks))"
     )
-    d = fan_out(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
-    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+    passthrough = [c for c in docs.columns if c not in ("doc_id", "text")]
+    d = docs.select("doc_id", F.split("text", " ").alias("w"), *passthrough)
+    return d.select("doc_id", F.explode(chunks).alias("c"), *passthrough).select(
         "doc_id",
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.size("c.toks").cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("chunk_hash"),
+        *passthrough,
+    )
+
+
+def _chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared chunk builder (doc_chunk_windows + chunk_dedup_stats +
+    the IVF retrieval and first-occurrence queries below)."""
+    return chunk_windows_frame(
+        fan_out(table(spark, sf_dir, "documents")).select("doc_id", "text")
     )
 
 
@@ -874,4 +885,248 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("n_tokens")).cast("bigint").alias("tokens_total"),
         F.sum((F.col("cnt") - 1) * F.col("n_tokens")).cast("bigint").alias("tokens_saved"),
         F.round((total - uniq).cast("double") / F.sum("cnt"), 6).alias("dup_rate"),
+    )
+
+
+@register(
+    "chunk_dedup_first_occurrence",
+    tags=("text", "rag", "chunking", "dedup", "streaming"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= {CHUNK_WINDOW} THEN 1
+                  ELSE 1 + (len(w) - {CHUNK_WINDOW} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+             END AS n_chunks
+      FROM t
+    ),
+    x0 AS (
+      SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+             md5(array_to_string(
+               list_slice(w, i.i*{CHUNK_STRIDE} + 1, i.i*{CHUNK_STRIDE} + {CHUNK_WINDOW}), ' '))
+               AS chunk_hash
+      FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) i
+    ),
+    fo AS (SELECT chunk_hash, MIN(doc_id * 1000000 + chunk_idx) AS mk
+           FROM x0 GROUP BY chunk_hash)
+    SELECT x0.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN x0.doc_id * 1000000 + x0.chunk_idx = fo.mk
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN x0.doc_id * 1000000 + x0.chunk_idx = fo.mk
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM x0 JOIN fo USING (chunk_hash)
+    GROUP BY x0.doc_id
+    """,
+)
+def chunk_dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.chunk_dedup_stream`` (the
+    dropDuplicatesWithinWatermark-on-chunk_hash pipeline): per document,
+    how many of its chunks SURVIVE first-occurrence chunk dedup — the
+    attribution report an embedding ingest uses to bill/skip compute.
+    First occurrence is pinned to the lowest (doc_id, chunk_idx) — a
+    deterministic attribution the streaming operator cannot promise
+    (its keep is arrival-order-dependent); tests/test_streaming.py
+    asserts the order-free contract instead: identical survivor
+    fingerprint SET and count, one survivor per hash.
+
+    Scale shape: one shuffle on the 16-byte hash to mark minima (a
+    map-side-combined agg, same key as chunk_dedup_stats), a broadcast-
+    or-shuffle join back on that hash, then one map-side-combined agg on
+    doc_id — bounded state, no window over the raw chunk stream."""
+    chunks = _chunk_windows(spark, sf_dir).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_hash",
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).alias("pk"),
+    )
+    fo = chunks.groupBy("chunk_hash").agg(F.min("pk").alias("mk"))
+    first = (F.col("pk") == F.col("mk")).cast("long")
+    return (
+        chunks.join(fo, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(first).alias("n_kept"),
+            (F.count("*") - F.sum(first)).alias("n_dropped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Chunk retrieval: the RAG pipeline the chunking contract exists to feed —
+# unique chunk fingerprints → per-chunk embeddings → IVF cells → probe
+# --------------------------------------------------------------------------
+
+CHUNK_IVF_K = 16  # coarse cells (centroid init: the K smallest hashes)
+CHUNK_NPROBE = 2  # cells searched per query
+CHUNK_TOPK = 10
+
+# deterministic 16-dim chunk embedding: md5 digest bytes scaled to [0, 1]
+# (the same hash-to-vector device as the multimodal fake codec, so the
+# oracle re-derives vectors straight from the fingerprint)
+_CHUNK_EMB = (
+    "transform(sequence(1, 16), i -> "
+    "cast(conv(substr(chunk_hash, 2*i - 1, 2), 16, 10) as double) / 255.0d)"
+)
+
+
+def _chunk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One embedding per UNIQUE chunk fingerprint (the chunk_dedup_stats
+    contract made load-bearing: duplicate chunks are embedded once), with
+    occurrence count and min-(doc_id, chunk_idx) provenance carried
+    through the same single shuffle."""
+    uniq = (
+        _chunk_windows(spark, sf_dir)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).alias("mk"),
+        )
+    )
+    return uniq.select(
+        "chunk_hash",
+        "n_dups",
+        F.expr("mk div 1000000").alias("doc_id"),
+        (F.col("mk") % 1_000_000).cast("int").alias("chunk_idx"),
+        F.expr(_CHUNK_EMB).alias("v"),
+    )
+
+
+@register(
+    "chunk_embed_ivf_topk",
+    tags=("text", "rag", "chunking", "similarity", "ann"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= {CHUNK_WINDOW} THEN 1
+                  ELSE 1 + (len(w) - {CHUNK_WINDOW} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+             END AS n_chunks
+      FROM t
+    ),
+    x0 AS (
+      SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+             md5(array_to_string(
+               list_slice(w, i.i*{CHUNK_STRIDE} + 1, i.i*{CHUNK_STRIDE} + {CHUNK_WINDOW}), ' '))
+               AS chunk_hash
+      FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) i
+    ),
+    u0 AS (
+      SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_dups,
+             MIN(doc_id * 1000000 + chunk_idx) AS mk
+      FROM x0 GROUP BY chunk_hash
+    ),
+    u AS (
+      SELECT chunk_hash, n_dups, mk // 1000000 AS doc_id,
+             CAST(mk % 1000000 AS INT) AS chunk_idx,
+             list_transform(generate_series(1, 16),
+               i -> CAST(('0x' || substr(chunk_hash, 2*i - 1, 2))::INT AS DOUBLE) / 255.0) AS v
+      FROM u0
+    ),
+    ct AS (SELECT chunk_hash AS cluster, v AS c FROM u ORDER BY chunk_hash LIMIT {CHUNK_IVF_K}),
+    t1 AS (SELECT u.chunk_hash AS ch, ct.cluster,
+                  unnest(list_transform(u.v, (x, i) ->
+                         CAST((x - ct.c[i]) * (x - ct.c[i]) AS DECIMAL(28,12)))) AS d
+           FROM u, ct),
+    d1 AS (SELECT ch, cluster, SUM(d) AS d2 FROM t1 GROUP BY ch, cluster),
+    a1 AS (SELECT ch, cluster FROM d1
+           QUALIFY row_number() OVER (PARTITION BY ch ORDER BY d2, cluster) = 1),
+    qh AS (SELECT chunk_hash FROM x0 WHERE doc_id = 0 AND chunk_idx = 0),
+    qv AS (SELECT u.v FROM u JOIN qh ON u.chunk_hash = qh.chunk_hash),
+    qt AS (SELECT ct.cluster,
+                  unnest(list_transform(q.v, (y, i) ->
+                         CAST((y - ct.c[i]) * (y - ct.c[i]) AS DECIMAL(28,12)))) AS d
+           FROM ct, qv q),
+    qd AS (SELECT cluster, SUM(d) AS d2 FROM qt GROUP BY cluster),
+    qc AS (SELECT cluster FROM qd
+           QUALIFY row_number() OVER (ORDER BY d2, cluster) <= {CHUNK_NPROBE}),
+    cand AS (
+      SELECT u.* FROM u
+      JOIN a1 ON a1.ch = u.chunk_hash
+      JOIN qc ON qc.cluster = a1.cluster
+      WHERE u.chunk_hash NOT IN (SELECT chunk_hash FROM qh)
+    ),
+    prods AS (
+      SELECT cand.chunk_hash, cand.doc_id, cand.chunk_idx, cand.n_dups,
+             unnest(list_transform(cand.v, (x, i) -> CAST(x * q.v[i] AS DECIMAL(28,12)))) AS xy,
+             unnest(list_transform(cand.v, (x, i) -> CAST(x * x AS DECIMAL(28,12)))) AS xx,
+             unnest(list_transform(q.v, (y, i) -> CAST(y * y AS DECIMAL(28,12)))) AS yy
+      FROM cand, qv q
+    )
+    SELECT chunk_hash, doc_id, chunk_idx, n_dups,
+           CAST(SUM(xy) AS DOUBLE) /
+           (sqrt(CAST(SUM(xx) AS DOUBLE)) * sqrt(CAST(SUM(yy) AS DOUBLE))) AS cosine
+    FROM prods GROUP BY chunk_hash, doc_id, chunk_idx, n_dups
+    HAVING SUM(xx) > 0 AND SUM(yy) > 0
+    ORDER BY cosine DESC, chunk_hash
+    LIMIT {CHUNK_TOPK}
+    """,
+)
+def chunk_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-by-chunk: the end-to-end RAG read path over the r7
+    chunking contract.  Chunks from ``doc_chunk_windows`` are
+    deduplicated on their content fingerprint (each unique chunk embedded
+    ONCE — chunk_hash as a real join/agg key, the tokens_saved economics
+    of ``chunk_dedup_stats`` realized), embedded deterministically from
+    the digest, bucketed into {CHUNK_IVF_K} IVF cells (centroids = the K
+    lexicographically-smallest fingerprints, cell id = centroid hash),
+    and probed with the first chunk of doc 0: exact-DECIMAL cosine top-k
+    over the {CHUNK_NPROBE} nearest cells only.
+
+    Scale shape: chunk build is the audited single-exchange map pipeline;
+    the unique-chunk agg is ONE map-side-combined shuffle on the 16-byte
+    hash; centroids/query are tiny broadcasts (packed-array, the
+    mlprep._assign device); assignment + probe filter run in-row, so the
+    cosine scan touches ~{CHUNK_NPROBE}/{CHUNK_IVF_K} of unique chunks
+    and the top-k is TakeOrderedAndProject.  No flat scan of all cells,
+    no cartesian joins, zero Python."""
+    from spark_bam_spark.queries.mlprep import _DEC, _dec_sum
+
+    emb = _chunk_vectors(spark, sf_dir)
+    cents = (
+        emb.orderBy("chunk_hash")
+        .limit(CHUNK_IVF_K)
+        .select(F.col("chunk_hash").alias("cluster"), F.col("v").alias("c"))
+    )
+    packed = cents.agg(F.collect_list(F.struct("cluster", "c")).alias("cs"))
+    d2 = _dec_sum(f"zip_with(v, s.c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))")
+    argmin = F.expr(
+        f"array_min(transform(cs, s -> struct({d2} as d2, s.cluster as cluster))).cluster"
+    )
+    assigned = emb.crossJoin(F.broadcast(packed)).select(
+        "chunk_hash", "n_dups", "doc_id", "chunk_idx", "v", argmin.alias("cluster")
+    )
+    q = emb.filter((F.col("doc_id") == 0) & (F.col("chunk_idx") == 0)).select(
+        F.col("chunk_hash").alias("qh"), F.col("v").alias("qv")
+    )
+    d2q = _dec_sum(f"zip_with(qv, s.c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))")
+    qsel = q.crossJoin(F.broadcast(packed)).select(
+        "qh",
+        "qv",
+        F.expr(
+            f"transform(slice(array_sort(transform(cs, s -> struct({d2q} as d2,"
+            f" s.cluster as cluster))), 1, {CHUNK_NPROBE}), s -> s.cluster)"
+        ).alias("qcells"),
+    )
+    cand = assigned.crossJoin(F.broadcast(qsel)).filter(
+        F.expr("array_contains(qcells, cluster)") & (F.col("chunk_hash") != F.col("qh"))
+    )
+    xy = _dec_sum(f"zip_with(v, qv, (x, y) -> cast(x * y as {_DEC}))")
+    xx = _dec_sum(f"transform(v, x -> cast(x * x as {_DEC}))")
+    yy = _dec_sum(f"transform(qv, y -> cast(y * y as {_DEC}))")
+    return (
+        cand.select(
+            "chunk_hash",
+            "doc_id",
+            "chunk_idx",
+            "n_dups",
+            F.try_divide(
+                F.expr(xy).cast("double"),
+                F.sqrt(F.expr(xx).cast("double")) * F.sqrt(F.expr(yy).cast("double")),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+        .orderBy(F.desc("cosine"), "chunk_hash")
+        .limit(CHUNK_TOPK)
     )

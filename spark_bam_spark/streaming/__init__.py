@@ -80,6 +80,45 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (schema from a batch
+    read, same device as stream_events)."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def chunk_dedup_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming chunk-level dedup: each arriving document is chunked
+    into the token-window contract (queries/text.py chunk_windows_frame —
+    a pure narrow map, so it runs unchanged inside the stream), then
+    only FIRST-SEEN chunk fingerprints pass (dropDuplicatesWithinWatermark
+    keyed on chunk_hash, state bounded by the watermark) — the streaming
+    ingest shape of an embedding store that computes each unique chunk's
+    vector exactly once.  Batch twin with the DuckDB oracle:
+    queries/text.py::chunk_dedup_first_occurrence (which pins first
+    occurrence to the lowest (doc_id, chunk_idx); the stream's keep is
+    arrival-order-dependent, so the shared contract is the survivor
+    fingerprint set/count, not per-doc attribution).  Event time is
+    synthesized from
+    doc_id (documents carry no timestamp): one doc per second, offset a
+    day past the epoch — Spark's initial watermark IS the epoch and the
+    state store expires rows at-or-below it, so an exactly-epoch event
+    time would be silently dropped as late."""
+    from spark_bam_spark.queries.text import chunk_windows_frame
+
+    chunks = chunk_windows_frame(docs.select("doc_id", "text")).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") + F.lit(86_400))
+    )
+    return chunks.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["chunk_hash"]
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a bounded file-source stream to completion into an in-memory
     sink; returns the materialized result (local test harness)."""

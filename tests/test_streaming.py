@@ -39,6 +39,32 @@ def test_dedup_within_watermark(spark, sf_small, events_stream):
     assert out.select("event_id").distinct().count() == n_events
 
 
+def test_chunk_dedup_stream_matches_batch_twin(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    out = st.run_to_memory(
+        st.chunk_dedup_stream(st.stream_documents(spark, sf_small)),
+        "chunk_dedup_out",
+        "append",
+    )
+    batch = load_all()["chunk_dedup_first_occurrence"].fn(spark, sf_small)
+    # exactly one survivor per unique chunk fingerprint, and the
+    # survivor SET equals the batch twin's (WHICH occurrence survives is
+    # arrival-order-dependent in the stream — parallel file-source reads
+    # — so per-doc attribution is the batch twin's contract, not this
+    # operator's; the fingerprint set and count are order-free)
+    n_unique = out.select("chunk_hash").distinct().count()
+    assert out.count() == n_unique > 0
+    got_hashes = {r.chunk_hash for r in out.select("chunk_hash").collect()}
+    want_hashes = {
+        r.chunk_hash
+        for r in load_all()["doc_chunk_windows"].fn(spark, sf_small).select("chunk_hash").distinct().collect()
+    }
+    assert got_hashes == want_hashes
+    total_kept = sum(r.n_kept for r in batch.collect())
+    assert total_kept == n_unique
+
+
 def test_stateful_user_totals_match_batch(spark, sf_small, events_stream):
     from pyspark.sql import functions as F
 

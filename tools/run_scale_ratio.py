@@ -38,6 +38,15 @@ def main() -> int:
 
     registry = load_all()
     names = sorted(n for n, s in registry.items() if s.headline or s.headline2)
+    # non-headline queries whose scale behavior the verification record
+    # tracks: the r7 chunking contract (expected ~linear — the explode
+    # factor is a constant), its r8 IVF retrieval composition, and the
+    # two-level SemDeDup whose checkpoint decision rests on these ratios
+    names += [
+        n
+        for n in ("doc_chunk_windows", "chunk_dedup_stats", "chunk_embed_ivf_topk", "semdedup_prune_ivf")
+        if n in registry and n not in names
+    ]
     spark = get_spark("scale-ratio")
 
     def best_of(name: str, sf_dir: str) -> float:
