@@ -1083,7 +1083,18 @@ def chunk_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cartesian joins, zero Python."""
     from spark_bam_spark.queries.mlprep import _DEC, _dec_sum
 
-    emb = _chunk_vectors(spark, sf_dir)
+    # the unique-chunk embedding stream feeds three consumers (centroid
+    # init, assignment scan, query row) and would re-run the chunk
+    # explode + hash shuffle for each; materialize it once.  Explicit
+    # wide repartition BEFORE the checkpoint — AQE coalesces the small
+    # hash shuffle to one partition and localCheckpoint would freeze
+    # that single-task layout under the whole probe (the r8 semdedup
+    # 'memw' finding, VERIFICATION_r8.md §4a).
+    emb = (
+        _chunk_vectors(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     cents = (
         emb.orderBy("chunk_hash")
         .limit(CHUNK_IVF_K)
