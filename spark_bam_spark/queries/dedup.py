@@ -938,3 +938,103 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_hash"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: the eval-leakage scan every LLM training
+# pipeline runs before a data release
+# --------------------------------------------------------------------------
+
+DECONTAM_MOD = 31  # held-out "benchmark" slice: doc_id % MOD == 0
+# (31 keeps the scan non-vacuous at every fixture SF — mod 97 finds zero
+# colliding pairs at sf0.01, and a 0-row result would hash-match its
+# oracle trivially, exactly the vacuity the window check must avoid)
+DECONTAM_N = 8  # n-gram width (the dedup_substring_spans gram size)
+DECONTAM_MIN_SHARED = 2  # report pairs sharing >= this many distinct grams
+
+
+@register(
+    "decontamination_ngram_overlap",
+    tags=("dedup", "decontamination", "text"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, i.i + 1, i.i + {DECONTAM_N}), ' ')) AS g
+      FROM t, LATERAL (SELECT unnest(generate_series(0, len(w) - {DECONTAM_N})) AS i) i
+      WHERE len(w) >= {DECONTAM_N}
+    ),
+    g AS (SELECT DISTINCT doc_id, g FROM g0),
+    b AS (SELECT doc_id AS bench_doc, g FROM g WHERE doc_id % {DECONTAM_MOD} = 0),
+    tr AS (SELECT doc_id AS train_doc, g FROM g WHERE doc_id % {DECONTAM_MOD} != 0),
+    shared AS (
+      SELECT train_doc, bench_doc, COUNT(*) AS n_shared
+      FROM tr JOIN b USING (g)
+      GROUP BY train_doc, bench_doc
+      HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id)
+    SELECT s.train_doc, s.bench_doc,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(sz.n AS BIGINT) AS train_ngrams,
+           ROUND(CAST(s.n_shared AS DOUBLE) / sz.n, 6) AS contamination
+    FROM shared s JOIN sizes sz ON sz.doc_id = s.train_doc
+    """,
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: which TRAINING documents leak
+    held-out BENCHMARK content?  A deterministic slice of the corpus
+    (doc_id % 31 == 0, DECONTAM_MOD) stands in for the benchmark suite;
+    a train/bench pair is reported when the two share >= 2
+    (DECONTAM_MIN_SHARED) distinct 8-grams, with the shared
+    count and the contaminated fraction of the training doc's gram set
+    — the n-gram-collision decontamination used before LLM data
+    releases (the asymmetric, labeled counterpart of
+    ``ngram_containment``: here direction matters, and the output is an
+    actionable drop list keyed by train_doc).
+
+    Scale shape: grams are md5-hashed in-row (16-byte shuffle keys, the
+    dedup.py discipline) with the short-doc guard INLINE in the
+    expression — Spark's sequence(0, negative) runs DESCENDING, unlike
+    DuckDB's empty generate_series, and a row-level filter would push
+    below the fan_out exchange onto the serial scan (see _shingles).
+    One distinct shuffle on (doc_id, g); the benchmark side is 1/31
+    of the corpus here and a fixed small suite in production, so it
+    broadcasts and the train stream never reshuffles for the probe; the
+    pair agg keys on a uniform composite; per-doc sizes re-aggregate
+    the same distinct stream.  No self-join, no cartesian."""
+    grams_expr = F.expr(
+        f"if(size(w) >= {DECONTAM_N},"
+        f" transform(sequence(0, size(w) - {DECONTAM_N}),"
+        f" i -> md5(concat_ws(' ', slice(w, i + 1, {DECONTAM_N})))),"
+        " array())"
+    )
+    g = (
+        fan_out(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(grams_expr).alias("g"))
+        .distinct()
+    )
+    bench = g.filter(F.col("doc_id") % DECONTAM_MOD == 0).select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    train = g.filter(F.col("doc_id") % DECONTAM_MOD != 0).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    shared = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (
+        shared.join(F.broadcast(sizes), shared.train_doc == sizes.doc_id)
+        .select(
+            "train_doc",
+            "bench_doc",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n").cast("bigint").alias("train_ngrams"),
+            F.round(F.col("n_shared").cast("double") / F.col("n"), 6).alias("contamination"),
+        )
+    )

@@ -44,7 +44,13 @@ def main() -> int:
     # two-level SemDeDup whose checkpoint decision rests on these ratios
     names += [
         n
-        for n in ("doc_chunk_windows", "chunk_dedup_stats", "chunk_embed_ivf_topk", "semdedup_prune_ivf")
+        for n in (
+            "doc_chunk_windows",
+            "chunk_dedup_stats",
+            "chunk_embed_ivf_topk",
+            "semdedup_prune_ivf",
+            "decontamination_ngram_overlap",
+        )
         if n in registry and n not in names
     ]
     spark = get_spark("scale-ratio")
