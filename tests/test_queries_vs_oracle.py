@@ -52,6 +52,24 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_decontamination_direction_and_bounds(spark, sf_small):
+    """The decontamination report must be asymmetric and well-formed:
+    train docs are never benchmark docs, benchmark docs always are,
+    the contaminated fraction is a valid share of the train doc's gram
+    set, and the fixture yields a non-vacuous result (DECONTAM_MOD was
+    chosen so a 0-row trivial oracle match cannot hide wrongness)."""
+    from spark_bam_spark.queries.dedup import DECONTAM_MIN_SHARED, DECONTAM_MOD
+
+    rows = REGISTRY["decontamination_ngram_overlap"].fn(spark, sf_small).collect()
+    assert rows, "fixture must exercise at least one contaminated pair"
+    for r in rows:
+        assert r["train_doc"] % DECONTAM_MOD != 0
+        assert r["bench_doc"] % DECONTAM_MOD == 0
+        assert r["n_shared"] >= DECONTAM_MIN_SHARED
+        assert 0 < r["contamination"] <= 1.0
+        assert r["n_shared"] <= r["train_ngrams"]
+
+
 def test_dedup_exact_finds_reingested_groups(spark, sf_small):
     df = REGISTRY["dedup_exact"].fn(spark, sf_small)
     rows = df.collect()
