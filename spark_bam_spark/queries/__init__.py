@@ -229,6 +229,13 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # r8: coarse-assignment checkpoint (memw) shipped after the clean
     # A/B — plan changed, decision list pinned identical
     "semdedup_prune_ivf",
+    # r8: double pre-select inside the in-row DECIMAL argmin (labels
+    # pinned bit-identical; 3.15x at the 100x probe) — every _assign
+    # consumer's plan changed after its last driver-green hash
+    "kmeans_lloyd",
+    "ivf_kmeans_probe",
+    "semdedup_prune",
+    "semdedup_prune_fast",
 )
 
 

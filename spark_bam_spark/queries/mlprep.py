@@ -174,6 +174,56 @@ def _dec_sum(arr: str) -> str:
     return f"aggregate({arr}, cast(0 as {_DEC}), (a, v) -> cast(a + v as {_DEC}))"
 
 
+# Double-precision pre-select band for the DECIMAL argmin (see _assign):
+# a 64-term nonnegative double fold carries <= 64 ulp ~ 7.1e-15 relative
+# error, so a 1e-12 relative band is a >100x margin — a centroid outside
+# the band provably exceeds the true minimum and cannot be the DECIMAL
+# argmin; everything inside the band (including exact ties, e.g.
+# duplicate planted vectors) is re-scored in exact DECIMAL.  The 1e-30
+# absolute term covers an exactly-zero minimum (vector == centroid).
+_PRESELECT_BAND = "* 1.000000000001d + 1e-30d"
+
+
+def _preselect_enabled() -> bool:
+    """A/B toggle for the double pre-select inside the in-row argmin
+    (SPARK_GRAFT_ASSIGN_PRESELECT=0 restores the all-DECIMAL r7 path).
+    Labels are bit-identical either way — the band argument above — so
+    this is a physical choice, like the checkpoint modes."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ASSIGN_PRESELECT", "1") != "0"
+
+
+def _argmin_select(base: DataFrame, vec: str, out: list) -> DataFrame:
+    """Shared in-row argmin tail: given `base` carrying a packed
+    centroid-struct array `cs` (fields cluster, c), append the winning
+    cluster id for `vec` as `cluster`.  With pre-select on, the K
+    DECIMAL distance computations collapse to K double folds + exact
+    DECIMAL for the (almost always 1) in-band candidates; doubles are
+    hoisted into columns so nothing re-expands per element."""
+    d2 = _dec_sum(f"zip_with({vec}, s.c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))")
+    if not _preselect_enabled():
+        argmin = F.expr(
+            f"array_min(transform(cs, s -> struct({d2} as d2, s.cluster as cluster))).cluster"
+        )
+        return base.select(*out, argmin.alias("cluster"))
+    dbl = (
+        f"aggregate(zip_with({vec}, s.c, (x, y) -> (x - y) * (x - y)),"
+        f" cast(0 as double), (a, t) -> a + t)"
+    )
+    staged = (
+        base.withColumn("dds", F.expr(f"transform(cs, s -> {dbl})"))
+        # array_min hoisted to its own column: inlined in the filter
+        # lambda it would re-evaluate per element (K^2 doubles per row)
+        .withColumn("mind", F.expr("array_min(dds)"))
+        .withColumn("cands", F.expr(f"filter(cs, (s, i) -> dds[i] <= mind {_PRESELECT_BAND})"))
+    )
+    argmin = F.expr(
+        f"array_min(transform(cands, s -> struct({d2} as d2, s.cluster as cluster))).cluster"
+    )
+    return staged.select(*out, argmin.alias("cluster"))
+
+
 def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment with NO shuffle: the k-row centroid
     table is packed into a single broadcast row (collect_list of
@@ -181,11 +231,13 @@ def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     per-centroid struct(d2, cluster) — exact DECIMAL distance
     accumulation, ties broken by lowest cluster id (struct ordering
     matches the oracle's ORDER BY d2, cluster). The input row keeps its
-    vector, so the downstream centroid update needs no join back."""
+    vector, so the downstream centroid update needs no join back.
+
+    r8: a double pre-select (see _PRESELECT_BAND) skips the DECIMAL
+    math for every centroid provably outside the minimum's error band —
+    labels stay bit-identical to the all-DECIMAL oracle."""
     packed = cents.agg(F.collect_list(F.struct("cluster", "c")).alias("cs"))
-    d2 = _dec_sum(f"zip_with(v, s.c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))")
-    argmin = F.expr(f"array_min(transform(cs, s -> struct({d2} as d2, s.cluster as cluster))).cluster")
-    return emb.crossJoin(F.broadcast(packed)).select("vec_id", "v", argmin.alias("cluster"))
+    return _argmin_select(emb.crossJoin(F.broadcast(packed)), "v", ["vec_id", "v"])
 
 
 @register(
@@ -1188,15 +1240,16 @@ def _assign_in_cell(members: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-fine-centroid assignment WITHIN each coarse cell: the per-
     cell centroid lists (K total rows) broadcast, argmin runs in-row —
     exact DECIMAL distances, ties to the lowest fine id (struct ordering
-    mirrors the oracle's ORDER BY d2, fid)."""
+    mirrors the oracle's ORDER BY d2, fid).  Same double pre-select as
+    _assign (the fine phase is the larger half of the O(n·√K) work)."""
     packed = cents.groupBy("g").agg(
-        F.collect_list(F.struct(F.col("fid").alias("fid"), F.col("c").alias("c"))).alias("cs")
+        F.collect_list(
+            F.struct(F.col("fid").alias("cluster"), F.col("c").alias("c"))
+        ).alias("cs")
     )
-    d2 = _dec_sum(f"zip_with(v, s.c, (x, y) -> cast((x - y) * (x - y) as {_DEC}))")
-    argmin = F.expr(f"array_min(transform(cs, s -> struct({d2} as d2, s.fid as fid))).fid")
-    return members.join(F.broadcast(packed), "g").select(
-        "vec_id", "v", "g", argmin.alias("fid")
-    )
+    return _argmin_select(
+        members.join(F.broadcast(packed), "g"), "v", ["vec_id", "v", "g"]
+    ).withColumnRenamed("cluster", "fid")
 
 
 def _semdedup_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
