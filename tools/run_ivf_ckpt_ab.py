@@ -35,7 +35,7 @@ def main() -> int:
     )
     ap.add_argument(
         "--modes",
-        default="off,pairs,mem",
+        default="off,pairs,mem,memw",
         help="comma list; run one mode per process for session-drift-free cells",
     )
     args = ap.parse_args()
