@@ -250,7 +250,11 @@ class BamReader(DataSourceReader):
             if isinstance(f, EqualTo) and col == "rname" and f.value in name_to_idx:
                 self._ref_idxs = (self._ref_idxs or set()) | {name_to_idx[f.value]}
             elif isinstance(f, In) and col == "rname":
-                idxs = {name_to_idx[v] for v in f.values if v in name_to_idx}
+                # pyspark.sql.datasource.In carries its tuple in `.value`
+                # (not `.values`); the wrong attribute raised AttributeError
+                # on any isin() pushdown until the JVM-reader differential
+                # suite exercised the branch (r8)
+                idxs = {name_to_idx[v] for v in f.value if v in name_to_idx}
                 self._ref_idxs = (self._ref_idxs or set()) | idxs
             elif isinstance(f, EqualTo) and col == "ref_idx":
                 self._ref_idxs = (self._ref_idxs or set()) | {int(f.value)}

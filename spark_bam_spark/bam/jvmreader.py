@@ -113,6 +113,7 @@ def read_bam_jvm(
     reads_to_check: int | None = None,
     max_read_size: int | None = None,
     mode: str | None = None,
+    columnar: bool | None = None,
 ) -> DataFrame:
     """DataFrame over a BAM file/directory via the JVM reader — same
     schema and row semantics as ``spark.read.format('bam')``."""
@@ -126,6 +127,8 @@ def read_bam_jvm(
         reader = reader.option("max_read_size", str(max_read_size))
     if mode is not None:
         reader = reader.option("mode", mode)
+    if columnar is not None:
+        reader = reader.option("columnar", "true" if columnar else "false")
     return reader.load(path)
 
 

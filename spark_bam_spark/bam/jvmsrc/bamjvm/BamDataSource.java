@@ -26,7 +26,15 @@ import org.apache.spark.sql.connector.read.PartitionReader;
 import org.apache.spark.sql.connector.read.PartitionReaderFactory;
 import org.apache.spark.sql.connector.read.Scan;
 import org.apache.spark.sql.connector.read.ScanBuilder;
+import org.apache.spark.sql.connector.read.SupportsPushDownFilters;
 import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns;
+import org.apache.spark.sql.sources.EqualTo;
+import org.apache.spark.sql.sources.Filter;
+import org.apache.spark.sql.sources.GreaterThan;
+import org.apache.spark.sql.sources.GreaterThanOrEqual;
+import org.apache.spark.sql.sources.In;
+import org.apache.spark.sql.sources.LessThan;
+import org.apache.spark.sql.sources.LessThanOrEqual;
 import org.apache.spark.sql.catalyst.InternalRow;
 import org.apache.spark.sql.types.DataTypes;
 import org.apache.spark.sql.types.StructField;
@@ -112,9 +120,12 @@ public class BamDataSource implements TableProvider {
         }
     }
 
-    static final class BamScanBuilder implements ScanBuilder, SupportsPushDownRequiredColumns {
+    static final class BamScanBuilder
+            implements ScanBuilder, SupportsPushDownRequiredColumns, SupportsPushDownFilters {
         private final Map<String, String> options;
         private StructType required = fullSchema();
+        private final Pushdown pushdown = new Pushdown();
+        private Filter[] accepted = new Filter[0];
 
         BamScanBuilder(Map<String, String> options) {
             this.options = options;
@@ -126,8 +137,142 @@ public class BamDataSource implements TableProvider {
         }
 
         @Override
+        public Filter[] pushFilters(Filter[] filters) {
+            // Collect rname/ref_idx equality and pos bounds for zone-map
+            // block pruning, but keep EVERY filter residual (return all):
+            // pruning can only skip byte ranges, never substitute for the
+            // predicate — the same contract as the Python source.
+            String[] names;
+            try {
+                names = headerNames();
+            } catch (IOException e) {
+                return filters; // unreadable header: no pruning, all residual
+            }
+            List<Filter> used = new ArrayList<>();
+            for (Filter f : filters) {
+                if (pushdown.absorb(f, names)) {
+                    used.add(f);
+                }
+            }
+            accepted = used.toArray(new Filter[0]);
+            return filters;
+        }
+
+        @Override
+        public Filter[] pushedFilters() {
+            return accepted; // display-only: the ranges we prune with
+        }
+
+        private String[] headerNames() throws IOException {
+            String pathOpt = options.get("path");
+            if (pathOpt == null) {
+                return new String[0];
+            }
+            Path root = new Path(pathOpt);
+            FileSystem fs = root.getFileSystem(new Configuration());
+            FileStatus st = fs.getFileStatus(root);
+            Path first = root;
+            if (st.isDirectory()) {
+                FileStatus[] children = fs.listStatus(root);
+                Arrays.sort(children, (a, b) -> a.getPath().getName().compareTo(b.getPath().getName()));
+                first = null;
+                for (FileStatus c : children) {
+                    if (c.isFile() && c.getPath().getName().endsWith(".bam")) {
+                        first = c.getPath();
+                        break;
+                    }
+                }
+                if (first == null) {
+                    return new String[0];
+                }
+            }
+            try (FSDataInputStream in = fs.open(first)) {
+                BamWindow win = new BamWindow(in, 0);
+                return HeaderData.parse(win).names;
+            }
+        }
+
+        @Override
         public Scan build() {
-            return new BamScan(options, required);
+            return new BamScan(options, required, pushdown);
+        }
+    }
+
+    /**
+     * Pushed predicate state: rname/ref_idx equality set + pos bounds —
+     * drives .zones sidecar block pruning at planning time.  Mirrors the
+     * Python source's pushFilters (bam/datasource.py): absorbing a filter
+     * never relaxes anything, and unknown contig names are simply not
+     * added (no pruning info from them).
+     */
+    static final class Pushdown implements Serializable {
+        private static final long serialVersionUID = 1L;
+
+        Set<Integer> refIdxs = null;
+        Long posLo = null;
+        Long posHi = null;
+
+        boolean active() {
+            return refIdxs != null || posLo != null || posHi != null;
+        }
+
+        private void addRef(int idx) {
+            if (refIdxs == null) {
+                refIdxs = new HashSet<>();
+            }
+            refIdxs.add(idx);
+        }
+
+        boolean absorb(Filter f, String[] names) {
+            Map<String, Integer> nameToIdx = new HashMap<>();
+            for (int i = 0; i < names.length; i++) {
+                nameToIdx.put(names[i], i);
+            }
+            if (f instanceof EqualTo) {
+                EqualTo eq = (EqualTo) f;
+                if ("rname".equals(eq.attribute()) && nameToIdx.containsKey(String.valueOf(eq.value()))) {
+                    addRef(nameToIdx.get(String.valueOf(eq.value())));
+                    return true;
+                }
+                if ("ref_idx".equals(eq.attribute()) && eq.value() instanceof Number) {
+                    addRef(((Number) eq.value()).intValue());
+                    return true;
+                }
+                return false;
+            }
+            if (f instanceof In && "rname".equals(((In) f).attribute())) {
+                if (refIdxs == null) {
+                    refIdxs = new HashSet<>();
+                }
+                for (Object v : ((In) f).values()) {
+                    Integer idx = nameToIdx.get(String.valueOf(v));
+                    if (idx != null) {
+                        refIdxs.add(idx);
+                    }
+                }
+                return true;
+            }
+            if (f instanceof GreaterThan && "pos".equals(((GreaterThan) f).attribute())) {
+                long v = ((Number) ((GreaterThan) f).value()).longValue() + 1;
+                posLo = posLo == null ? v : Math.max(posLo, v);
+                return true;
+            }
+            if (f instanceof GreaterThanOrEqual && "pos".equals(((GreaterThanOrEqual) f).attribute())) {
+                long v = ((Number) ((GreaterThanOrEqual) f).value()).longValue();
+                posLo = posLo == null ? v : Math.max(posLo, v);
+                return true;
+            }
+            if (f instanceof LessThan && "pos".equals(((LessThan) f).attribute())) {
+                long v = ((Number) ((LessThan) f).value()).longValue() - 1;
+                posHi = posHi == null ? v : Math.min(posHi, v);
+                return true;
+            }
+            if (f instanceof LessThanOrEqual && "pos".equals(((LessThanOrEqual) f).attribute())) {
+                long v = ((Number) ((LessThanOrEqual) f).value()).longValue();
+                posHi = posHi == null ? v : Math.min(posHi, v);
+                return true;
+            }
+            return false;
         }
     }
 
@@ -136,10 +281,12 @@ public class BamDataSource implements TableProvider {
     static final class BamScan implements Scan, Batch {
         private final Map<String, String> options;
         private final StructType required;
+        private final Pushdown pushdown;
 
-        BamScan(Map<String, String> options, StructType required) {
+        BamScan(Map<String, String> options, StructType required, Pushdown pushdown) {
             this.options = options;
             this.required = required;
+            this.pushdown = pushdown;
         }
 
         @Override
@@ -194,6 +341,7 @@ public class BamDataSource implements TableProvider {
                     int cores = Runtime.getRuntime().availableProcessors();
                     splitSize = Math.max(4L << 20, Math.min(64L << 20, total / (4L * cores)));
                 }
+                double ratio = Double.parseDouble(options.getOrDefault("compression_ratio", "3.0"));
                 List<InputPartition> splits = new ArrayList<>();
                 for (FileStatus f : files) {
                     String p = f.getPath().toString();
@@ -206,9 +354,33 @@ public class BamDataSource implements TableProvider {
                         hdr = HeaderData.parse(win);
                     }
                     long size = f.getLen();
+                    List<long[]> cand = candidateRanges(fs, f.getPath());
+                    if (cand != null) {
+                        // indexed scan: pack surviving block ranges into
+                        // partitions by estimated uncompressed cost, so the
+                        // partition count tracks surviving data volume
+                        List<long[]> clipped = new ArrayList<>();
+                        for (long[] r : cand) {
+                            long lo = Math.max(r[0], 0);
+                            long hi = Math.min(r[1], size);
+                            clipped.add(new long[] {lo, hi});
+                        }
+                        for (List<long[]> group : packRanges(clipped, splitSize, ratio)) {
+                            long[] lows = new long[group.size()];
+                            long[] highs = new long[group.size()];
+                            for (int i = 0; i < group.size(); i++) {
+                                lows[i] = group.get(i)[0];
+                                highs[i] = group.get(i)[1];
+                            }
+                            splits.add(new BamSplit(p, lows[0], highs[highs.length - 1], hdr,
+                                    readsToCheck, maxReadSize, permissive, lows, highs));
+                        }
+                        continue;
+                    }
                     for (long s = 0; s < size; s += splitSize) {
                         long e = Math.min(s + splitSize, size);
-                        splits.add(new BamSplit(p, s, e, hdr, readsToCheck, maxReadSize, permissive));
+                        splits.add(new BamSplit(p, s, e, hdr, readsToCheck, maxReadSize,
+                                permissive, null, null));
                     }
                 }
                 return splits.toArray(new InputPartition[0]);
@@ -219,13 +391,133 @@ public class BamDataSource implements TableProvider {
 
         @Override
         public PartitionReaderFactory createReaderFactory() {
-            String[] fieldNames = new String[required.fields().length];
-            StructField[] fields = required.fields();
-            for (int i = 0; i < fields.length; i++) {
-                fieldNames[i] = fields[i].name();
-            }
-            return new BamReaderFactory(fieldNames);
+            boolean columnar = !"false".equals(options.getOrDefault("columnar", "true"));
+            return new BamReaderFactory(required, columnar);
         }
+
+        /**
+         * Compressed-byte ranges surviving the engine's .zones block zone
+         * map (per-block min/max of ref_idx and pos, written by the BAM
+         * writer), or null = no pruning info.  A split is planned iff it
+         * intersects a surviving range; pruning can only skip, never
+         * corrupt, because Spark re-applies every filter.
+         */
+        private List<long[]> candidateRanges(FileSystem fs, Path bam) throws IOException {
+            if (!pushdown.active()) {
+                return null;
+            }
+            Path zones = new Path(bam.toString() + ".zones");
+            if (!fs.exists(zones)) {
+                return null;
+            }
+            List<long[]> rows = new ArrayList<>();
+            try (java.io.BufferedReader rd = new java.io.BufferedReader(
+                    new java.io.InputStreamReader(fs.open(zones), java.nio.charset.StandardCharsets.US_ASCII))) {
+                String line;
+                while ((line = rd.readLine()) != null) {
+                    line = line.trim();
+                    if (line.isEmpty()) {
+                        continue;
+                    }
+                    String[] parts = line.split(",");
+                    rows.add(new long[] {
+                        Long.parseLong(parts[0]), Long.parseLong(parts[1]), Long.parseLong(parts[2]),
+                        Long.parseLong(parts[3]), Long.parseLong(parts[4]),
+                    });
+                }
+            }
+            List<long[]> keep = new ArrayList<>();
+            for (int i = 0; i < rows.size(); i++) {
+                long bstart = rows.get(i)[0];
+                long rmin = rows.get(i)[1];
+                long rmax = rows.get(i)[2];
+                long pmin = rows.get(i)[3];
+                long pmax = rows.get(i)[4];
+                if (pushdown.refIdxs != null) {
+                    boolean any = false;
+                    for (int r : pushdown.refIdxs) {
+                        if (rmin <= r && r <= rmax) {
+                            any = true;
+                            break;
+                        }
+                    }
+                    if (!any) {
+                        continue;
+                    }
+                }
+                if (pushdown.posLo != null && pmax < pushdown.posLo) {
+                    continue;
+                }
+                if (pushdown.posHi != null && pmin > pushdown.posHi) {
+                    continue;
+                }
+                // true block span: the next zone row's start bounds this
+                // block's compressed size, so adjacent kept blocks merge
+                long end = i + 1 < rows.size() ? rows.get(i + 1)[0] : bstart + Bgzf.MAX_BLOCK_SIZE;
+                keep.add(new long[] {bstart, Math.min(end, bstart + Bgzf.MAX_BLOCK_SIZE)});
+            }
+            return keep;
+        }
+    }
+
+    /**
+     * Greedy cost-capped grouping of candidate compressed-byte ranges —
+     * the reference's cappedCostGroups with an estimated compression
+     * ratio (Intervals.scala:110-117; default ratio 3.0), mirroring the
+     * Python source's pack_ranges: each group's estimated uncompressed
+     * cost <= splitSize; oversized ranges are cut at the cap, so skewed
+     * interval queries get partitions proportional to data volume.
+     */
+    static List<List<long[]>> packRanges(List<long[]> ranges, long splitSize, double ratio) {
+        long cap = Math.max(1, (long) (splitSize / ratio));
+        List<long[]> merged = new ArrayList<>();
+        List<long[]> sorted = new ArrayList<>(ranges);
+        sorted.sort((a, b) -> {
+            int c = Long.compare(a[0], b[0]);
+            return c != 0 ? c : Long.compare(a[1], b[1]);
+        });
+        for (long[] r : sorted) {
+            long lo = r[0];
+            long hi = r[1];
+            if (!merged.isEmpty() && lo <= merged.get(merged.size() - 1)[1]) {
+                long[] last = merged.get(merged.size() - 1);
+                last[1] = Math.max(last[1], hi);
+            } else if (hi > lo) {
+                merged.add(new long[] {lo, hi});
+            }
+        }
+        List<List<long[]>> groups = new ArrayList<>();
+        List<long[]> cur = new ArrayList<>();
+        long cost = 0;
+        for (long[] r : merged) {
+            long lo = r[0];
+            long hi = r[1];
+            while (hi - lo > cap) {
+                if (!cur.isEmpty()) {
+                    groups.add(cur);
+                    cur = new ArrayList<>();
+                    cost = 0;
+                }
+                List<long[]> solo = new ArrayList<>();
+                solo.add(new long[] {lo, lo + cap});
+                groups.add(solo);
+                lo += cap;
+            }
+            if (lo == hi) {
+                continue;
+            }
+            if (cost + (hi - lo) > cap && !cur.isEmpty()) {
+                groups.add(cur);
+                cur = new ArrayList<>();
+                cost = 0;
+            }
+            cur.add(new long[] {lo, hi});
+            cost += hi - lo;
+        }
+        if (!cur.isEmpty()) {
+            groups.add(cur);
+        }
+        return groups;
     }
 
     // --------------------------------------------------------------- splits
@@ -240,9 +532,14 @@ public class BamDataSource implements TableProvider {
         final int readsToCheck;
         final long maxReadSize;
         final boolean permissive;
+        // indexed scans: multiple candidate byte ranges packed into one
+        // partition by estimated uncompressed cost; null = the contiguous
+        // [start, end) split
+        final long[] rangeLo;
+        final long[] rangeHi;
 
         BamSplit(String path, long start, long end, HeaderData header, int readsToCheck,
-                long maxReadSize, boolean permissive) {
+                long maxReadSize, boolean permissive, long[] rangeLo, long[] rangeHi) {
             this.path = path;
             this.start = start;
             this.end = end;
@@ -250,21 +547,41 @@ public class BamDataSource implements TableProvider {
             this.readsToCheck = readsToCheck;
             this.maxReadSize = maxReadSize;
             this.permissive = permissive;
+            this.rangeLo = rangeLo;
+            this.rangeHi = rangeHi;
         }
     }
 
     static final class BamReaderFactory implements PartitionReaderFactory {
         private static final long serialVersionUID = 1L;
 
-        private final String[] fieldNames;
+        private final StructType required;
+        private final boolean columnar;
 
-        BamReaderFactory(String[] fieldNames) {
-            this.fieldNames = fieldNames;
+        BamReaderFactory(StructType required, boolean columnar) {
+            this.required = required;
+            this.columnar = columnar;
+        }
+
+        @Override
+        public boolean supportColumnarReads(InputPartition partition) {
+            return columnar;
         }
 
         @Override
         public PartitionReader<InternalRow> createReader(InputPartition partition) {
+            String[] fieldNames = new String[required.fields().length];
+            StructField[] fields = required.fields();
+            for (int i = 0; i < fields.length; i++) {
+                fieldNames[i] = fields[i].name();
+            }
             return new BamPartitionReader((BamSplit) partition, fieldNames);
+        }
+
+        @Override
+        public PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch> createColumnarReader(
+                InputPartition partition) {
+            return new BamColumnarReader((BamSplit) partition, required);
         }
     }
 }

@@ -4,10 +4,6 @@ import java.io.IOException;
 import java.nio.charset.StandardCharsets;
 import java.util.ArrayList;
 import java.util.List;
-import org.apache.hadoop.conf.Configuration;
-import org.apache.hadoop.fs.FSDataInputStream;
-import org.apache.hadoop.fs.FileSystem;
-import org.apache.hadoop.fs.Path;
 import org.apache.spark.sql.catalyst.InternalRow;
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow;
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData;
@@ -16,22 +12,19 @@ import org.apache.spark.sql.connector.read.PartitionReader;
 import org.apache.spark.unsafe.types.UTF8String;
 
 /**
- * Per-split BAM record reader: re-sync on the first owned record, then a
- * sequential record walk with per-record decode of only the requested
- * columns.  Value semantics are byte-identical to the engine's Python
- * vectorized decoder (spark_bam_spark/bam/vectordecode.py) — the
- * differential test suite compares the two row-for-row.
- *
- * Ownership rule (identical to the Python source and the reference's
- * split contract): a split owns exactly the records whose start lies in
- * a BGZF block whose compressed start is in [split.start, split.end).
+ * Row-based per-split BAM reader: RecordWalker supplies record
+ * positions; only the requested columns are decoded.  Value semantics
+ * are byte-identical to the engine's Python vectorized decoder
+ * (spark_bam_spark/bam/vectordecode.py) — the differential test suite
+ * compares the two row-for-row.  The columnar twin (BamColumnarReader)
+ * shares the walker and the static decode tables below.
  */
 final class BamPartitionReader implements PartitionReader<InternalRow> {
-    private static final int FIXED = 36;
-    private static final byte[] CIGAR_CHARS = "MIDNSHP=X???????".getBytes(StandardCharsets.US_ASCII);
-    private static final byte[] SEQ_CHARS = "=ACMGRSVTWYHKDBN".getBytes(StandardCharsets.US_ASCII);
-    private static final boolean[] REF_CONSUMING = new boolean[16];
-    private static final int[] TAG_SIZES = new int[256];
+    static final int FIXED = 36;
+    static final byte[] CIGAR_CHARS = "MIDNSHP=X???????".getBytes(StandardCharsets.US_ASCII);
+    static final byte[] SEQ_CHARS = "=ACMGRSVTWYHKDBN".getBytes(StandardCharsets.US_ASCII);
+    static final boolean[] REF_CONSUMING = new boolean[16];
+    static final int[] TAG_SIZES = new int[256];
 
     static {
         REF_CONSUMING[0] = true; // M
@@ -52,26 +45,14 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
     }
 
     // field ids in full-schema order; the pruned schema maps to these
-    private static final String[] ALL_FIELDS = {
+    static final String[] ALL_FIELDS = {
         "qname", "flag", "ref_idx", "rname", "pos", "end_pos", "mapq", "cigar",
         "n_cigar_ops", "mate_ref_idx", "mate_pos", "tlen", "seq", "seq_len",
         "qual", "tags", "block_pos", "offset",
     };
 
-    private final BamDataSource.BamSplit split;
-    private final int[] fieldIds;
-    private final UTF8String[] refNames;
-
-    private FSDataInputStream in;
-    private BamWindow win;
-    private boolean done = false;
-    private long u = -1;
-    private int bi = 0;
-    private InternalRow current;
-
-    BamPartitionReader(BamDataSource.BamSplit split, String[] fieldNames) {
-        this.split = split;
-        this.fieldIds = new int[fieldNames.length];
+    static int[] fieldIds(String[] fieldNames) {
+        int[] ids = new int[fieldNames.length];
         for (int i = 0; i < fieldNames.length; i++) {
             int id = -1;
             for (int j = 0; j < ALL_FIELDS.length; j++) {
@@ -83,115 +64,31 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
             if (id < 0) {
                 throw new IllegalArgumentException("unknown column " + fieldNames[i]);
             }
-            this.fieldIds[i] = id;
+            ids[i] = id;
         }
+        return ids;
+    }
+
+    private final RecordWalker walker;
+    private final int[] ids;
+    private final UTF8String[] refNames;
+    private InternalRow current;
+
+    BamPartitionReader(BamDataSource.BamSplit split, String[] fieldNames) {
+        this.walker = new RecordWalker(split);
+        this.ids = fieldIds(fieldNames);
         this.refNames = new UTF8String[split.header.names.length];
         for (int i = 0; i < refNames.length; i++) {
             refNames[i] = UTF8String.fromString(split.header.names[i]);
         }
     }
 
-    private void open() throws IOException {
-        Path p = new Path(split.path);
-        FileSystem fs = p.getFileSystem(new Configuration());
-        in = fs.open(p);
-        if (split.end <= split.start) {
-            done = true;
-            return;
-        }
-        win = new BamWindow(in, split.start);
-        if (win.empty) {
-            done = true;
-            return;
-        }
-        if (split.start == 0) {
-            u = win.offsetOf(split.header.endBlockPos, split.header.endOffset);
-        } else {
-            win.ensure(4L * Bgzf.MAX_BLOCK_SIZE); // lookahead for successor checks
-            u = Checker.findRecordStart(win, 0, split.header, split.readsToCheck, split.maxReadSize);
-            if (u < 0) {
-                done = true;
-                return;
-            }
-        }
-        bi = 0;
-        while (bi + 1 < win.nBlocks && u >= win.blockUstarts[bi + 1]) {
-            bi++;
-        }
-        if (win.blockStarts[bi] >= split.end) {
-            done = true; // window's first block already belongs to the next split
-        }
-    }
-
     @Override
     public boolean next() throws IOException {
-        if (u < 0 && !done) {
-            try {
-                open();
-            } catch (IOException e) {
-                if (!split.permissive) {
-                    throw e;
-                }
-                done = true;
-            }
-        }
-        if (done) {
+        if (!walker.advance()) {
             return false;
         }
-        try {
-            return advance();
-        } catch (IOException e) {
-            if (!split.permissive) {
-                throw e;
-            }
-            done = true; // permissive: salvage the records already emitted
-            return false;
-        }
-    }
-
-    // slide the window once >=4 MiB of it has been consumed: the copy
-    // cost is a few hundred KiB of tail per 4 MiB walked (<10% of bytes
-    // touched once more), and per-task memory stays O(lookahead)
-    private static final long COMPACT_AFTER = 4L << 20;
-
-    private boolean advance() throws IOException {
-        if (u > COMPACT_AFTER) {
-            u -= win.compactBefore((int) u);
-            bi = win.blockIndexOf((int) u);
-        }
-        byte[] b = win.buf;
-        if (u + 4 > win.len) {
-            win.ensure(u + (256L << 10));
-            b = win.buf;
-            if (u + 4 > win.len) {
-                done = true;
-                return false; // clean EOF or dangling partial length int
-            }
-        }
-        if (bi + 1 < win.nBlocks && u >= win.blockUstarts[bi + 1]) {
-            while (bi + 1 < win.nBlocks && u >= win.blockUstarts[bi + 1]) {
-                bi++;
-            }
-            if (win.blockStarts[bi] >= split.end) {
-                done = true;
-                return false; // first record of the next split — not ours
-            }
-        }
-        int o = (int) u;
-        int blockSize = Bgzf.i32(b, o);
-        if (blockSize < 32) {
-            throw new IOException("truncated/invalid record at " + u);
-        }
-        long nxt = u + 4 + blockSize;
-        if (nxt > win.len) {
-            win.ensure(nxt + (256L << 10));
-            b = win.buf;
-            if (nxt > win.len) {
-                throw new IOException("truncated/invalid record at " + u);
-            }
-        }
-        current = decode(b, o, blockSize);
-        u = nxt;
+        current = decode();
         return true;
     }
 
@@ -202,15 +99,16 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
 
     @Override
     public void close() throws IOException {
-        if (in != null) {
-            in.close();
-        }
+        walker.close();
     }
 
     // --------------------------------------------------------------- decode
 
-    private InternalRow decode(byte[] b, int o, int blockSize) {
-        Object[] vals = new Object[fieldIds.length];
+    private InternalRow decode() {
+        byte[] b = walker.win.buf;
+        int o = walker.recOff;
+        int blockSize = walker.recBlockSize;
+        Object[] vals = new Object[ids.length];
         // layout offsets shared by several columns; computed once per record
         int lName = b[o + 12] & 0xFF;
         int nCigar = Bgzf.u16(b, o + 16);
@@ -222,8 +120,8 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
         int qualStart = seqStart + packedLen;
         int tagStart = qualStart + lSeq;
         int recordEnd = o + 4 + blockSize;
-        for (int i = 0; i < fieldIds.length; i++) {
-            switch (fieldIds[i]) {
+        for (int i = 0; i < ids.length; i++) {
+            switch (ids[i]) {
                 case 0: // qname (trailing NUL stripped)
                     vals[i] = utf8(b, nameStart, Math.max(lName - 1, 0));
                     break;
@@ -241,22 +139,9 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
                 case 4: // pos
                     vals[i] = (long) Bgzf.i32(b, o + 8);
                     break;
-                case 5: { // end_pos = pos + reference-consumed cigar length
-                    long pos = Bgzf.i32(b, o + 8);
-                    if (pos < 0) {
-                        vals[i] = -1L;
-                    } else {
-                        long consumed = 0;
-                        for (int c = 0; c < nCigar; c++) {
-                            int v = Bgzf.i32(b, cigarStart + 4 * c);
-                            if (REF_CONSUMING[v & 0xF]) {
-                                consumed += (v >>> 4);
-                            }
-                        }
-                        vals[i] = pos + consumed;
-                    }
+                case 5: // end_pos = pos + reference-consumed cigar length
+                    vals[i] = endPos(b, o, cigarStart, nCigar);
                     break;
-                }
                 case 6: // mapq
                     vals[i] = b[o + 13] & 0xFF;
                     break;
@@ -287,10 +172,7 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
                     break;
                 case 12: { // seq (4-bit packed, high nibble first)
                     byte[] out = new byte[lSeq];
-                    for (int k = 0; k < lSeq; k++) {
-                        int packed = b[seqStart + (k >> 1)] & 0xFF;
-                        out[k] = SEQ_CHARS[(k & 1) == 0 ? (packed >> 4) : (packed & 0xF)];
-                    }
+                    unpackSeq(b, seqStart, out, lSeq);
                     vals[i] = UTF8String.fromBytes(out);
                     break;
                 }
@@ -309,16 +191,38 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
                     vals[i] = decodeTags(b, tagStart, recordEnd);
                     break;
                 case 16: // block_pos
-                    vals[i] = win.blockStarts[bi];
+                    vals[i] = walker.curBlockStart;
                     break;
                 case 17: // offset
-                    vals[i] = o - win.blockUstarts[bi];
+                    vals[i] = o - walker.curBlockUstart;
                     break;
                 default:
                     throw new IllegalStateException();
             }
         }
         return new GenericInternalRow(vals);
+    }
+
+    static long endPos(byte[] b, int o, int cigarStart, int nCigar) {
+        long pos = Bgzf.i32(b, o + 8);
+        if (pos < 0) {
+            return -1L;
+        }
+        long consumed = 0;
+        for (int c = 0; c < nCigar; c++) {
+            int v = Bgzf.i32(b, cigarStart + 4 * c);
+            if (REF_CONSUMING[v & 0xF]) {
+                consumed += (v >>> 4);
+            }
+        }
+        return pos + consumed;
+    }
+
+    static void unpackSeq(byte[] b, int seqStart, byte[] out, int lSeq) {
+        for (int k = 0; k < lSeq; k++) {
+            int packed = b[seqStart + (k >> 1)] & 0xFF;
+            out[k] = SEQ_CHARS[(k & 1) == 0 ? (packed >> 4) : (packed & 0xF)];
+        }
     }
 
     /**
@@ -367,19 +271,21 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
      * byte >= 0x80 falls back to latin-1 codepoints, matching the Python
      * decoder's errors-tolerant behavior on corrupt inputs.
      */
-    private static UTF8String utf8(byte[] b, int off, int len) {
-        boolean ascii = true;
-        for (int i = 0; i < len; i++) {
-            if ((b[off + i] & 0x80) != 0) {
-                ascii = false;
-                break;
-            }
-        }
-        if (ascii) {
+    static UTF8String utf8(byte[] b, int off, int len) {
+        if (isAscii(b, off, len)) {
             byte[] copy = new byte[len];
             System.arraycopy(b, off, copy, 0, len);
             return UTF8String.fromBytes(copy);
         }
         return UTF8String.fromString(new String(b, off, len, StandardCharsets.ISO_8859_1));
+    }
+
+    static boolean isAscii(byte[] b, int off, int len) {
+        for (int i = 0; i < len; i++) {
+            if ((b[off + i] & 0x80) != 0) {
+                return false;
+            }
+        }
+        return true;
     }
 }

@@ -236,6 +236,11 @@ _FORCE_RECHECK: tuple[str, ...] = (
     "ivf_kmeans_probe",
     "semdedup_prune",
     "semdedup_prune_fast",
+    # r8: pushFilters In-branch fix (f.values -> f.value, found by the
+    # JVM-reader differential suite).  No registered query takes that
+    # branch (it could only raise, never mis-prune), but the function is
+    # on this query's execution path — re-hash out of caution.
+    "bam_interval_pushdown",
 )
 
 

@@ -81,6 +81,23 @@ def test_count_only_scan(spark, fixture_path):
     assert jvmreader.read_bam_jvm(spark, fixture_path, split_size=4096).count() == 2500
 
 
+def test_columnar_equals_row_path(spark, fixture_path, py_rows):
+    """The columnar reader (default) and the row-based reader must agree
+    with each other and with the Python source — full width, incl. the
+    map column's vector encoding."""
+    col = _canon(jvmreader.read_bam_jvm(spark, fixture_path, split_size=16384, columnar=True)).collect()
+    row = _canon(jvmreader.read_bam_jvm(spark, fixture_path, split_size=16384, columnar=False)).collect()
+    assert col == row == py_rows
+
+
+def test_columnar_batch_boundary(spark, fixture_path):
+    """2500 records in one split crosses no 4096-row batch boundary; the
+    doubled directory input (5000 rows, single-file splits) does — both
+    batch shapes must count correctly under the columnar path."""
+    df = jvmreader.read_bam_jvm(spark, fixture_path, split_size=1 << 26, columnar=True)
+    assert df.count() == 2500
+
+
 def test_directory_input(spark, fixture_path, tmp_path_factory):
     """Directory loads scan every *.bam in name order, matching the
     Python source's multi-file contract."""
@@ -94,6 +111,44 @@ def test_directory_input(spark, fixture_path, tmp_path_factory):
     # block_pos/offset identical per copy: each file decodes independently
     per = df.groupBy("block_pos", "offset").count().select("count").distinct().collect()
     assert per == [pytest.approx(2)] or [r[0] for r in per] == [2]
+
+
+@pytest.mark.parametrize(
+    "predicate",
+    [
+        lambda df: (df.rname == "1") & (df.pos >= 13000) & (df.pos < 1_000_000),
+        lambda df: df.rname == "2",
+        lambda df: df.rname.isin("1", "3"),
+        lambda df: df.ref_idx == 0,
+        lambda df: (df.pos > 500_000) & (df.pos <= 900_000),
+        lambda df: df.rname == "no-such-contig",
+    ],
+    ids=["interval", "rname-eq", "rname-in", "ref-idx", "pos-only", "unknown-contig"],
+)
+def test_filter_pushdown_equality(spark, fixture_path, predicate):
+    """Indexed scans: the JVM reader's zone-map pruning (.zones sidecar)
+    must return exactly the Python source's rows for the same predicate —
+    pruning can only skip, never corrupt."""
+    from spark_bam_spark.bam.datasource import register as reg
+
+    reg(spark)
+    py = spark.read.format("bam").option("split_size", 16384).load(fixture_path)
+    jv = jvmreader.read_bam_jvm(spark, fixture_path, split_size=16384)
+    cols = ["qname", "rname", "pos", "end_pos"]
+    a = py.filter(predicate(py)).select(cols).orderBy("qname", "pos").collect()
+    b = jv.filter(predicate(jv)).select(cols).orderBy("qname", "pos").collect()
+    assert a == b
+
+
+def test_filter_pushdown_prunes_partitions(spark, fixture_path):
+    """A selective interval must plan fewer tasks than the full scan —
+    the zone map actually skips byte ranges, not just rows."""
+    full = jvmreader.read_bam_jvm(spark, fixture_path, split_size=16384)
+    pruned = full.filter((full.rname == "1") & (full.pos >= 13000) & (full.pos < 50_000))
+    n_full = full.rdd.getNumPartitions()
+    n_pruned = pruned.select("pos").rdd.getNumPartitions()
+    assert n_pruned < n_full
+    assert pruned.count() > 0  # non-vacuous
 
 
 def test_tags_semantics(spark, fixture_path, py_rows):
