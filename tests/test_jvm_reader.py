@@ -160,6 +160,38 @@ def test_tags_semantics(spark, fixture_path, py_rows):
     assert nonempty, "fixture carries no Z tags; tag parity test is vacuous"
 
 
+@pytest.mark.parametrize(
+    "seed,block_payload,n",
+    [(11, 512, 300), (12, 937, 500), (13, 65280, 800), (14, 4096, 64)],
+)
+def test_generated_fixture_parity(spark, tmp_path_factory, seed, block_payload, n):
+    """Seeded-random fixtures across block geometries — 512-byte blocks
+    make nearly every record span block boundaries, the worst case for
+    the virtual-position bookkeeping and re-sync."""
+    from spark_bam_spark.bam.datasource import register as reg
+    from spark_bam_spark.bam.writer import make_fixture
+
+    path = str(tmp_path_factory.mktemp("gen") / f"g{seed}.bam")
+    make_fixture(path, n=n, block_payload=block_payload, seed=seed)
+    reg(spark)
+    py = _canon(spark.read.format("bam").option("split_size", 2048).load(path)).collect()
+    jv = _canon(jvmreader.read_bam_jvm(spark, path, split_size=2048)).collect()
+    assert py == jv
+    assert len(jv) == n
+
+
+def test_empty_bam(spark, tmp_path_factory):
+    """Header-only BAM: zero rows from both readers, no errors."""
+    from spark_bam_spark.bam.datasource import register as reg
+    from spark_bam_spark.bam.writer import make_fixture
+
+    path = str(tmp_path_factory.mktemp("gen") / "empty.bam")
+    make_fixture(path, n=0)
+    reg(spark)
+    assert spark.read.format("bam").load(path).count() == 0
+    assert jvmreader.read_bam_jvm(spark, path).count() == 0
+
+
 def test_scan_1m_aggregates(spark):
     """Decode-bound-scale parity: the 1M-record fixture's full-width
     aggregates match the Python source (same numbers bam_scan_1m pins
