@@ -354,7 +354,7 @@ public class BamDataSource implements TableProvider {
                         hdr = HeaderData.parse(win);
                     }
                     long size = f.getLen();
-                    List<long[]> cand = candidateRanges(fs, f.getPath());
+                    List<long[]> cand = candidateRanges(fs, f.getPath(), hdr);
                     if (cand != null) {
                         // indexed scan: pack surviving block ranges into
                         // partitions by estimated uncompressed cost, so the
@@ -396,15 +396,21 @@ public class BamDataSource implements TableProvider {
         }
 
         /**
-         * Compressed-byte ranges surviving the engine's .zones block zone
-         * map (per-block min/max of ref_idx and pos, written by the BAM
-         * writer), or null = no pruning info.  A split is planned iff it
+         * Compressed-byte ranges surviving the index, or null = no
+         * pruning info.  Prefers the BAI (spec-standard bin/chunk lookup)
+         * and falls back to the engine's .zones block zone map — the same
+         * precedence as the Python source.  A split is planned iff it
          * intersects a surviving range; pruning can only skip, never
          * corrupt, because Spark re-applies every filter.
          */
-        private List<long[]> candidateRanges(FileSystem fs, Path bam) throws IOException {
+        private List<long[]> candidateRanges(FileSystem fs, Path bam, HeaderData hdr)
+                throws IOException {
             if (!pushdown.active()) {
                 return null;
+            }
+            List<long[]> bai = candidateRangesBai(fs, bam, hdr);
+            if (bai != null) {
+                return bai;
             }
             Path zones = new Path(bam.toString() + ".zones");
             if (!fs.exists(zones)) {
@@ -455,6 +461,44 @@ public class BamDataSource implements TableProvider {
                 // block's compressed size, so adjacent kept blocks merge
                 long end = i + 1 < rows.size() ? rows.get(i + 1)[0] : bstart + Bgzf.MAX_BLOCK_SIZE;
                 keep.add(new long[] {bstart, Math.min(end, bstart + Bgzf.MAX_BLOCK_SIZE)});
+            }
+            return keep;
+        }
+
+        /**
+         * BAI chunk lookup for the pushed interval — needs a concrete ref
+         * set (the BAI is organized per reference).  A pushed ref outside
+         * the index's range (unplaced -1, or out of dictionary) cannot be
+         * answered by chunk lookup, so BAI pruning is disabled for it and
+         * the zone-map / full-scan path preserves "pruning can only
+         * skip" (unplaced reads live in the tail, which the BAI has no
+         * chunks for) — same rule as the Python source.
+         */
+        private List<long[]> candidateRangesBai(FileSystem fs, Path bam, HeaderData hdr)
+                throws IOException {
+            if (pushdown.refIdxs == null) {
+                return null;
+            }
+            Path baiPath = new Path(bam.toString() + ".bai");
+            if (!fs.exists(baiPath)) {
+                return null;
+            }
+            Bai idx = Bai.parse(fs, baiPath);
+            for (int r : pushdown.refIdxs) {
+                if (r < 0 || r >= idx.nRefs()) {
+                    return null;
+                }
+            }
+            long beg = pushdown.posLo != null ? pushdown.posLo : 0;
+            long end = pushdown.posHi != null ? pushdown.posHi + 1 : 1L << 29;
+            List<Integer> refs = new ArrayList<>(pushdown.refIdxs);
+            refs.sort(Integer::compare);
+            List<long[]> keep = new ArrayList<>();
+            for (int r : refs) {
+                long contigLen = r < hdr.lengths.length ? hdr.lengths[r] : 1L << 29;
+                for (long[] c : idx.queryChunks(r, beg, Math.min(end, contigLen))) {
+                    keep.add(new long[] {c[0] >>> 16, (c[1] >>> 16) + 1});
+                }
             }
             return keep;
         }

@@ -140,6 +140,33 @@ def test_filter_pushdown_equality(spark, fixture_path, predicate):
     assert a == b
 
 
+@pytest.mark.parametrize("sidecar", ["bai", "zones"])
+def test_pruning_source_isolated(spark, fixture_path, tmp_path_factory, sidecar):
+    """Each pruning source must work alone: a fixture copy carrying ONLY
+    the .bai (or only the .zones) still prunes partitions and returns the
+    exact filtered row set."""
+    import shutil
+
+    from spark_bam_spark.bam.datasource import register as reg
+
+    d = tmp_path_factory.mktemp(f"only_{sidecar}")
+    path = str(d / "f.bam")
+    shutil.copy(fixture_path, path)
+    shutil.copy(f"{fixture_path}.{sidecar}", f"{path}.{sidecar}")
+
+    reg(spark)
+    expect = (
+        spark.read.format("bam").option("split_size", 16384).load(fixture_path)
+        .filter("rname = '1' AND pos >= 13000 AND pos < 1000000")
+        .select("qname", "pos").orderBy("qname", "pos").collect()
+    )
+    jv = jvmreader.read_bam_jvm(spark, path, split_size=16384)
+    pruned = jv.filter((jv.rname == "1") & (jv.pos >= 13000) & (jv.pos < 1_000_000))
+    got = pruned.select("qname", "pos").orderBy("qname", "pos").collect()
+    assert got == expect
+    assert pruned.select("pos").rdd.getNumPartitions() < jv.rdd.getNumPartitions()
+
+
 def test_filter_pushdown_prunes_partitions(spark, fixture_path):
     """A selective interval must plan fewer tasks than the full scan —
     the zone map actually skips byte ranges, not just rows."""
