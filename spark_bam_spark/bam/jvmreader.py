@@ -114,6 +114,7 @@ def read_bam_jvm(
     max_read_size: int | None = None,
     mode: str | None = None,
     columnar: bool | None = None,
+    ranges: str | None = None,
 ) -> DataFrame:
     """DataFrame over a BAM file/directory via the JVM reader — same
     schema and row semantics as ``spark.read.format('bam')``."""
@@ -129,6 +130,8 @@ def read_bam_jvm(
         reader = reader.option("mode", mode)
     if columnar is not None:
         reader = reader.option("columnar", "true" if columnar else "false")
+    if ranges is not None:
+        reader = reader.option("ranges", ranges)
     return reader.load(path)
 
 

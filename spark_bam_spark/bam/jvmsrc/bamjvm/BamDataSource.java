@@ -304,6 +304,37 @@ public class BamDataSource implements TableProvider {
             return v == null ? dflt : Long.parseLong(v);
         }
 
+        /**
+         * '0-10m,1g-' → {{0, 10 MiB}, {1 GiB, 2^62}} — the CLI's
+         * ByteRanges argument (P3), same grammar as the Python source's
+         * parse_byte_ranges (k/m/g suffixes, open ends).
+         */
+        static List<long[]> parseByteRanges(String spec) {
+            List<long[]> out = new ArrayList<>();
+            for (String part : spec.split(",")) {
+                int dash = part.indexOf('-');
+                String loS = dash < 0 ? part : part.substring(0, dash);
+                String hiS = dash < 0 ? "" : part.substring(dash + 1);
+                out.add(new long[] {
+                    parseByteNum(loS), hiS.trim().isEmpty() ? (1L << 62) : parseByteNum(hiS),
+                });
+            }
+            return out;
+        }
+
+        private static long parseByteNum(String tok) {
+            tok = tok.trim().toLowerCase();
+            long unit = 1;
+            if (!tok.isEmpty()) {
+                char c = tok.charAt(tok.length() - 1);
+                if (c == 'k' || c == 'm' || c == 'g') {
+                    unit = c == 'k' ? 1L << 10 : c == 'm' ? 1L << 20 : 1L << 30;
+                    tok = tok.substring(0, tok.length() - 1);
+                }
+            }
+            return tok.isEmpty() ? 0 : (long) (Double.parseDouble(tok) * unit);
+        }
+
         @Override
         public InputPartition[] planInputPartitions() {
             String pathOpt = options.get("path");
@@ -342,6 +373,8 @@ public class BamDataSource implements TableProvider {
                     splitSize = Math.max(4L << 20, Math.min(64L << 20, total / (4L * cores)));
                 }
                 double ratio = Double.parseDouble(options.getOrDefault("compression_ratio", "3.0"));
+                String rangesOpt = options.get("ranges");
+                List<long[]> byteRanges = rangesOpt == null ? null : parseByteRanges(rangesOpt);
                 List<InputPartition> splits = new ArrayList<>();
                 for (FileStatus f : files) {
                     String p = f.getPath().toString();
@@ -363,7 +396,15 @@ public class BamDataSource implements TableProvider {
                         for (long[] r : cand) {
                             long lo = Math.max(r[0], 0);
                             long hi = Math.min(r[1], size);
-                            clipped.add(new long[] {lo, hi});
+                            if (byteRanges == null) {
+                                clipped.add(new long[] {lo, hi});
+                                continue;
+                            }
+                            for (long[] br : byteRanges) {
+                                if (lo < br[1] && hi > br[0]) {
+                                    clipped.add(new long[] {Math.max(lo, br[0]), Math.min(hi, br[1])});
+                                }
+                            }
                         }
                         for (List<long[]> group : packRanges(clipped, splitSize, ratio)) {
                             long[] lows = new long[group.size()];
@@ -379,6 +420,18 @@ public class BamDataSource implements TableProvider {
                     }
                     for (long s = 0; s < size; s += splitSize) {
                         long e = Math.min(s + splitSize, size);
+                        if (byteRanges != null) {
+                            boolean hit = false;
+                            for (long[] br : byteRanges) {
+                                if (br[0] < e && br[1] > s) {
+                                    hit = true;
+                                    break;
+                                }
+                            }
+                            if (!hit) {
+                                continue;
+                            }
+                        }
                         splits.add(new BamSplit(p, s, e, hdr, readsToCheck, maxReadSize,
                                 permissive, null, null));
                     }

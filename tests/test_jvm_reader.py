@@ -178,6 +178,22 @@ def test_filter_pushdown_prunes_partitions(spark, fixture_path):
     assert pruned.count() > 0  # non-vacuous
 
 
+@pytest.mark.parametrize("spec", ["0-64k", "64k-", "0-50k,200k-", "100k-0.2m"])
+def test_byte_ranges_option(spark, fixture_path, spec):
+    """P3 byte-range selection: same record set from both readers for the
+    same ranges spec (ownership rule makes the row set well-defined)."""
+    from spark_bam_spark.bam.datasource import register as reg
+
+    reg(spark)
+    py = (spark.read.format("bam").option("split_size", 16384)
+          .option("ranges", spec).load(fixture_path))
+    jv = jvmreader.read_bam_jvm(spark, fixture_path, split_size=16384, ranges=spec)
+    a = _canon(py).collect()
+    b = _canon(jv).collect()
+    assert a == b
+    assert 0 < len(a) < 2500 or spec == "64k-"  # selective, not vacuous
+
+
 def test_tags_semantics(spark, fixture_path, py_rows):
     """Z-tags surface as map entries; fixed-size typed tags are skipped —
     exact parity with the Python decoder, already asserted row-for-row in
