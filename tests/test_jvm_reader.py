@@ -235,6 +235,39 @@ def test_empty_bam(spark, tmp_path_factory):
     assert jvmreader.read_bam_jvm(spark, path).count() == 0
 
 
+def test_permissive_salvage_parity(spark, tmp_path_factory):
+    """Corrupt one mid-file block payload: permissive mode must salvage
+    the SAME record set from both readers (walk semantics are identical,
+    so the salvage boundary is too), and failfast must raise on both."""
+    import shutil
+
+    from spark_bam_spark.bam.datasource import register as reg
+    from spark_bam_spark.bam.writer import make_fixture
+
+    d = tmp_path_factory.mktemp("corrupt")
+    clean = str(d / "clean.bam")
+    res = make_fixture(clean, n=1200, block_payload=2048, seed=7)
+    corrupt = str(d / "corrupt.bam")
+    shutil.copy(clean, corrupt)
+    blocks = sorted(b.start for b in res.blocks)
+    victim = blocks[len(blocks) // 2]
+    with open(corrupt, "r+b") as f:
+        f.seek(victim + 20)
+        f.write(b"\xde\xad\xbe\xef" * 8)
+
+    reg(spark)
+    py = (spark.read.format("bam").option("split_size", 4096)
+          .option("mode", "permissive").load(corrupt))
+    jv = jvmreader.read_bam_jvm(spark, corrupt, split_size=4096, mode="permissive")
+    a = _canon(py).collect()
+    b = _canon(jv).collect()
+    assert a == b
+    assert 0 < len(a) < 1200
+
+    with pytest.raises(Exception):
+        jvmreader.read_bam_jvm(spark, corrupt, split_size=4096).count()
+
+
 def test_scan_1m_aggregates(spark):
     """Decode-bound-scale parity: the 1M-record fixture's full-width
     aggregates match the Python source (same numbers bam_scan_1m pins
