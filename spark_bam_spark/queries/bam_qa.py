@@ -151,6 +151,32 @@ def bam_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bam_interval_pushdown_jvm",
+    doc="S7 loadBamIntervals on the JVM twin: BAI-pruned indexed scan",
+    oracle=f"""
+    SELECT qname, rname, pos, end_pos FROM read_parquet('{_TRUTH_PQ}')
+    WHERE rname = '1' AND pos >= 13000 AND pos < 1000000
+    """,
+)
+def bam_interval_pushdown_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same indexed-interval contract as bam_interval_pushdown,
+    planned by the JVM reader: SupportsPushDownFilters absorbs the
+    rname/pos predicate, the BAI chunk lookup (Bai.java, preferred over
+    the .zones fallback) prunes candidate blocks, and surviving ranges
+    are cost-packed into multi-range splits.  The driver hash pins the
+    whole JVM indexed path — pushdown, BAI parse, chunk query, range
+    walk — against the committed truth parquet; with this plus
+    bam_scan_reads_jvm, both read paths of the r9 default flip carry
+    driver-grade evidence."""
+    from spark_bam_spark.bam.jvmreader import read_bam_jvm
+
+    df = read_bam_jvm(spark, _fixture_path(), split_size=16384)
+    return df.filter(
+        (F.col("rname") == "1") & (F.col("pos") >= 13000) & (F.col("pos") < 1_000_000)
+    ).select("qname", "rname", "pos", "end_pos")
+
+
+@register(
     "bam_blocks_metadata",
     doc="S9 Blocks(): parallel BGZF block discovery",
     oracle=f"SELECT start, compressed_size, uncompressed_size FROM read_parquet('{_BLOCKS_PQ}')",
