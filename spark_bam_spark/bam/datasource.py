@@ -236,28 +236,32 @@ class BamReader(DataSourceReader):
         for p in _bam_paths(self.path):
             with open(p, "rb") as f:
                 self.headers[p] = parse_header(f)
-        # pushed-down predicate state: ref_idx equality set + pos bounds
-        self._ref_idxs: set[int] | None = None
+        # pushed-down predicate state: rname equality NAMES (resolved
+        # against EACH file's own dictionary at pruning time — a directory
+        # scan may mix files with divergent reference dictionaries, and
+        # resolving against the first file's header could prune blocks
+        # holding matching rows in later files) + raw ref_idx set + pos
+        # bounds
+        self._ref_names: set[str] | None = None
+        self._ref_idxs_raw: set[int] | None = None
         self._pos_lo: int | None = None
         self._pos_hi: int | None = None
 
     # -- pushdown ----------------------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        any_names = next(iter(self.headers.values())).names if self.headers else ()
-        name_to_idx = {n: i for i, n in enumerate(any_names)}
         for f in filters:
             col = f.attribute[-1] if getattr(f, "attribute", None) else None
-            if isinstance(f, EqualTo) and col == "rname" and f.value in name_to_idx:
-                self._ref_idxs = (self._ref_idxs or set()) | {name_to_idx[f.value]}
+            if isinstance(f, EqualTo) and col == "rname" and f.value is not None:
+                self._ref_names = (self._ref_names or set()) | {str(f.value)}
             elif isinstance(f, In) and col == "rname":
                 # pyspark.sql.datasource.In carries its tuple in `.value`
                 # (not `.values`); the wrong attribute raised AttributeError
                 # on any isin() pushdown until the JVM-reader differential
                 # suite exercised the branch (r8)
-                idxs = {name_to_idx[v] for v in f.value if v in name_to_idx}
-                self._ref_idxs = (self._ref_idxs or set()) | idxs
+                names = {str(v) for v in f.value if v is not None}
+                self._ref_names = (self._ref_names or set()) | names
             elif isinstance(f, EqualTo) and col == "ref_idx":
-                self._ref_idxs = (self._ref_idxs or set()) | {int(f.value)}
+                self._ref_idxs_raw = (self._ref_idxs_raw or set()) | {int(f.value)}
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and col == "pos":
                 v = int(f.value) + (1 if isinstance(f, GreaterThan) else 0)
                 self._pos_lo = v if self._pos_lo is None else max(self._pos_lo, v)
@@ -267,15 +271,36 @@ class BamReader(DataSourceReader):
         # Spark re-applies everything — pruning can only skip byte ranges
         return filters
 
+    def _effective_ref_idxs(self, path: str) -> set[int] | None:
+        """Candidate ref_idx set for ONE file's dictionary, or None when
+        no ref constraint was pushed (pos-only pruning).  May be EMPTY: a
+        pushed name absent from this file's dictionary can never match a
+        row here (rname is null or a dictionary name), so an empty set
+        correctly prunes the whole file."""
+        if self._ref_names is None and self._ref_idxs_raw is None:
+            return None
+        out: set[int] = set(self._ref_idxs_raw or ())
+        if self._ref_names is not None:
+            hdr = self.headers.get(path)
+            name_to_idx = {n: i for i, n in enumerate(hdr.names)} if hdr else {}
+            out |= {name_to_idx[n] for n in self._ref_names if n in name_to_idx}
+        return out
+
     def _candidate_blocks(self, path: str) -> list[tuple[int, int]] | None:
         """Compressed-byte ranges surviving the index, or None = no
         pruning info. Prefers the BAI (spec-standard bin/chunk lookup —
         S8/S11) and falls back to the engine's .zones block zone map.
         A split is planned iff it intersects a candidate range; pruning
         can only skip, never corrupt (the residual filter re-applies)."""
-        if self._ref_idxs is None and self._pos_lo is None and self._pos_hi is None:
+        if (
+            self._ref_names is None
+            and self._ref_idxs_raw is None
+            and self._pos_lo is None
+            and self._pos_hi is None
+        ):
             return None
-        bai = self._candidate_ranges_bai(path)
+        ref_idxs = self._effective_ref_idxs(path)
+        bai = self._candidate_ranges_bai(path, ref_idxs)
         if bai is not None:
             return bai
         zones_path = path + ".zones"
@@ -285,7 +310,7 @@ class BamReader(DataSourceReader):
             rows = [tuple(map(int, line.strip().split(","))) for line in f if line.strip()]
         keep: list[tuple[int, int]] = []
         for i, (bstart, rmin, rmax, pmin, pmax) in enumerate(rows):
-            if self._ref_idxs is not None and not any(rmin <= r <= rmax for r in self._ref_idxs):
+            if ref_idxs is not None and not any(rmin <= r <= rmax for r in ref_idxs):
                 continue
             if self._pos_lo is not None and pmax < self._pos_lo:
                 continue
@@ -299,12 +324,15 @@ class BamReader(DataSourceReader):
             keep.append((bstart, min(end, bstart + MAX_BLOCK_SIZE)))
         return keep
 
-    def _candidate_ranges_bai(self, path: str) -> list[tuple[int, int]] | None:
+    def _candidate_ranges_bai(
+        self, path: str, ref_idxs: set[int] | None
+    ) -> list[tuple[int, int]] | None:
         """BAI chunk lookup for the pushed interval — needs a concrete
-        ref set (the BAI is organized per reference). Chunk virtual
+        ref set (the BAI is organized per reference; ``ref_idxs`` is
+        already resolved against THIS file's dictionary). Chunk virtual
         offsets map to compressed-byte ranges [start block, end block]."""
         bai_path = path + ".bai"
-        if not os.path.exists(bai_path) or self._ref_idxs is None:
+        if not os.path.exists(bai_path) or ref_idxs is None:
             return None
         from spark_bam_spark.bam.bai import parse_bai, query_chunks
 
@@ -315,13 +343,13 @@ class BamReader(DataSourceReader):
         # the zone-map / full-scan path preserves "pruning can only
         # skip, never corrupt" (unplaced reads live in the tail, which
         # the BAI has no chunks for).
-        if any(r < 0 or r >= len(idx.bins) for r in self._ref_idxs):
+        if any(r < 0 or r >= len(idx.bins) for r in ref_idxs):
             return None
         hdr = self.headers.get(path)
         beg = self._pos_lo or 0
         end = self._pos_hi + 1 if self._pos_hi is not None else 1 << 29
         keep: list[tuple[int, int]] = []
-        for r in sorted(self._ref_idxs):
+        for r in sorted(ref_idxs):
             contig_len = hdr.lengths[r] if hdr and r < len(hdr.lengths) else 1 << 29
             for c in query_chunks(idx, r, beg, min(end, contig_len)):
                 keep.append((c.start_pos.block_pos, c.end_pos.block_pos + 1))
@@ -470,6 +498,32 @@ class BamReader(DataSourceReader):
         if not starts:
             return
         sa = np.asarray(starts, dtype=np.int64)
+        # Layout validation, vectorized (one (n,24) gather — decode_batch
+        # gathers (n,36) anyway): the decoder trusts the derived
+        # l_read_name/n_cigar/l_seq offsets, so a corrupt record whose
+        # block_size passed the >=32 walk check must be rejected HERE
+        # instead of yielding garbage columns.  Mirror of the JVM
+        # walker's per-record check (RecordWalker.step); permissive mode
+        # keeps the records BEFORE the first corrupt one and drops the
+        # rest of the range — the same salvage boundary as the JVM path,
+        # pinned by test_permissive_corrupt_record_parity.
+        fxd = np.ascontiguousarray(
+            np.frombuffer(buf, dtype=np.uint8, count=len(buf))[sa[:, None] + np.arange(24)]
+        )
+        v_bs = fxd[:, 0:4].copy().view("<i4").ravel().astype(np.int64)
+        v_lname = fxd[:, 12].astype(np.int64)
+        v_ncig = fxd[:, 16:18].copy().view("<u2").ravel().astype(np.int64)
+        v_lseq = fxd[:, 20:24].copy().view("<i4").ravel().astype(np.int64)
+        ok = (v_lseq >= 0) & (
+            32 + v_lname + 4 * v_ncig + (v_lseq + 1) // 2 + v_lseq <= v_bs
+        )
+        if not bool(ok.all()):
+            first_bad = int(np.argmax(~ok))
+            if self.mode != "permissive":
+                raise ValueError(f"corrupt record layout at {int(sa[first_bad])}")
+            sa = sa[:first_bad]
+            if first_bad == 0:
+                return
         ua = np.asarray(ustarts, dtype=np.int64)
         ba = np.asarray(bstarts, dtype=np.int64)
         owner = np.searchsorted(ua, sa, side="right") - 1

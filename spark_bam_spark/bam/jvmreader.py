@@ -33,8 +33,12 @@ FORMAT = "bamjvm.BamDataSource"
 
 _SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvmsrc")
 _CACHE_DIR = os.path.join(tempfile.gettempdir(), "spark_bam_jvm")
-# sessions (by id) that already ran ADD JAR
-_WIRED: set[int] = set()
+# SparkContexts (by applicationId) that already ran ADD JAR.  ADD JAR
+# attaches to the shared context, so the applicationId — unique per
+# context, never reused within a process — is the correct cache key;
+# keying by id(spark) risked a garbage-collected session's id being
+# reused by a NEW session on a NEW context, silently skipping the jar.
+_WIRED: set[str] = set()
 
 
 def _sources() -> list[str]:
@@ -100,10 +104,11 @@ def jar_path() -> str:
 
 def ensure_session(spark: SparkSession) -> None:
     """Attach the bamjvm jar to a live session (idempotent)."""
-    if id(spark) in _WIRED:
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WIRED:
         return
     spark.sql(f"ADD JAR '{jar_path()}'")
-    _WIRED.add(id(spark))
+    _WIRED.add(app_id)
 
 
 def read_bam_jvm(
@@ -115,6 +120,7 @@ def read_bam_jvm(
     mode: str | None = None,
     columnar: bool | None = None,
     ranges: str | None = None,
+    compression_ratio: float | None = None,
 ) -> DataFrame:
     """DataFrame over a BAM file/directory via the JVM reader — same
     schema and row semantics as ``spark.read.format('bam')``."""
@@ -132,6 +138,8 @@ def read_bam_jvm(
         reader = reader.option("columnar", "true" if columnar else "false")
     if ranges is not None:
         reader = reader.option("ranges", ranges)
+    if compression_ratio is not None:
+        reader = reader.option("compression_ratio", str(compression_ratio))
     return reader.load(path)
 
 

@@ -29,8 +29,9 @@ final class BamColumnarReader implements PartitionReader<ColumnarBatch> {
     private final ColumnarBatch batch;
     private byte[] scratch = new byte[256];
 
-    BamColumnarReader(BamDataSource.BamSplit split, StructType required) {
-        this.walker = new RecordWalker(split);
+    BamColumnarReader(BamDataSource.BamSplit split, StructType required,
+            org.apache.hadoop.conf.Configuration conf) {
+        this.walker = new RecordWalker(split, conf);
         String[] names = new String[required.fields().length];
         for (int i = 0; i < names.length; i++) {
             names[i] = required.fields()[i].name();

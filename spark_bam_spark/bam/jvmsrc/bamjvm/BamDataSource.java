@@ -11,6 +11,7 @@ import java.util.List;
 import java.util.Map;
 import java.util.Set;
 import org.apache.hadoop.conf.Configuration;
+import org.apache.hadoop.fs.BlockLocation;
 import org.apache.hadoop.fs.FSDataInputStream;
 import org.apache.hadoop.fs.FileStatus;
 import org.apache.hadoop.fs.FileSystem;
@@ -141,16 +142,15 @@ public class BamDataSource implements TableProvider {
             // Collect rname/ref_idx equality and pos bounds for zone-map
             // block pruning, but keep EVERY filter residual (return all):
             // pruning can only skip byte ranges, never substitute for the
-            // predicate — the same contract as the Python source.
-            String[] names;
-            try {
-                names = headerNames();
-            } catch (IOException e) {
-                return filters; // unreadable header: no pruning, all residual
-            }
+            // predicate — the same contract as the Python source.  Contig
+            // NAMES are absorbed as names and resolved against EACH file's
+            // own reference dictionary at planInputPartitions time (the
+            // per-file header is already parsed there), so a directory of
+            // .bam files with divergent dictionaries prunes each file by
+            // its own name->ref_idx mapping instead of the first file's.
             List<Filter> used = new ArrayList<>();
             for (Filter f : filters) {
-                if (pushdown.absorb(f, names)) {
+                if (pushdown.absorb(f)) {
                     used.add(f);
                 }
             }
@@ -163,91 +163,99 @@ public class BamDataSource implements TableProvider {
             return accepted; // display-only: the ranges we prune with
         }
 
-        private String[] headerNames() throws IOException {
-            String pathOpt = options.get("path");
-            if (pathOpt == null) {
-                return new String[0];
-            }
-            Path root = new Path(pathOpt);
-            FileSystem fs = root.getFileSystem(new Configuration());
-            FileStatus st = fs.getFileStatus(root);
-            Path first = root;
-            if (st.isDirectory()) {
-                FileStatus[] children = fs.listStatus(root);
-                Arrays.sort(children, (a, b) -> a.getPath().getName().compareTo(b.getPath().getName()));
-                first = null;
-                for (FileStatus c : children) {
-                    if (c.isFile() && c.getPath().getName().endsWith(".bam")) {
-                        first = c.getPath();
-                        break;
-                    }
-                }
-                if (first == null) {
-                    return new String[0];
-                }
-            }
-            try (FSDataInputStream in = fs.open(first)) {
-                BamWindow win = new BamWindow(in, 0);
-                return HeaderData.parse(win).names;
-            }
-        }
-
         @Override
         public Scan build() {
-            return new BamScan(options, required, pushdown);
+            // capture the session's Hadoop conf (spark.hadoop.*, object
+            // store credentials, defaultFS) at driver plan time; it ships
+            // to executors inside the reader factory
+            return new BamScan(options, required, pushdown,
+                    new SerializableConf(SerializableConf.sessionHadoopConf()));
         }
     }
 
     /**
-     * Pushed predicate state: rname/ref_idx equality set + pos bounds —
-     * drives .zones sidecar block pruning at planning time.  Mirrors the
-     * Python source's pushFilters (bam/datasource.py): absorbing a filter
-     * never relaxes anything, and unknown contig names are simply not
-     * added (no pruning info from them).
+     * Pushed predicate state: rname equality NAMES + raw ref_idx set +
+     * pos bounds — drives .zones sidecar block pruning at planning time.
+     * Mirrors the Python source's pushFilters (bam/datasource.py):
+     * absorbing a filter never relaxes anything.  Names are stored
+     * unresolved and mapped to ref indices per FILE ({@link #effectiveRefIdxs})
+     * against that file's own dictionary; a pushed name absent from a
+     * file's dictionary contributes no candidate refs for that file,
+     * which is exact (rname equality can never match there — rname is
+     * either null or a dictionary name).
      */
     static final class Pushdown implements Serializable {
-        private static final long serialVersionUID = 1L;
+        private static final long serialVersionUID = 2L;
 
-        Set<Integer> refIdxs = null;
+        Set<String> refNames = null;
+        Set<Integer> rawRefIdxs = null;
         Long posLo = null;
         Long posHi = null;
 
         boolean active() {
-            return refIdxs != null || posLo != null || posHi != null;
+            return refNames != null || rawRefIdxs != null || posLo != null || posHi != null;
         }
 
-        private void addRef(int idx) {
-            if (refIdxs == null) {
-                refIdxs = new HashSet<>();
+        private void addName(String name) {
+            if (refNames == null) {
+                refNames = new HashSet<>();
             }
-            refIdxs.add(idx);
+            refNames.add(name);
         }
 
-        boolean absorb(Filter f, String[] names) {
-            Map<String, Integer> nameToIdx = new HashMap<>();
-            for (int i = 0; i < names.length; i++) {
-                nameToIdx.put(names[i], i);
+        /**
+         * The candidate ref_idx set for ONE file's dictionary, or null
+         * when no ref constraint was pushed (pos-only pruning).  May be
+         * empty: every pushed name missing from this file's dictionary
+         * means no block of this file can satisfy the conjunction, so an
+         * empty set correctly prunes the whole file.
+         */
+        Set<Integer> effectiveRefIdxs(String[] names) {
+            if (refNames == null && rawRefIdxs == null) {
+                return null;
             }
+            Set<Integer> out = new HashSet<>();
+            if (rawRefIdxs != null) {
+                out.addAll(rawRefIdxs);
+            }
+            if (refNames != null) {
+                Map<String, Integer> nameToIdx = new HashMap<>();
+                for (int i = 0; i < names.length; i++) {
+                    nameToIdx.put(names[i], i);
+                }
+                for (String n : refNames) {
+                    Integer idx = nameToIdx.get(n);
+                    if (idx != null) {
+                        out.add(idx);
+                    }
+                }
+            }
+            return out;
+        }
+
+        boolean absorb(Filter f) {
             if (f instanceof EqualTo) {
                 EqualTo eq = (EqualTo) f;
-                if ("rname".equals(eq.attribute()) && nameToIdx.containsKey(String.valueOf(eq.value()))) {
-                    addRef(nameToIdx.get(String.valueOf(eq.value())));
+                if ("rname".equals(eq.attribute()) && eq.value() != null) {
+                    addName(String.valueOf(eq.value()));
                     return true;
                 }
                 if ("ref_idx".equals(eq.attribute()) && eq.value() instanceof Number) {
-                    addRef(((Number) eq.value()).intValue());
+                    if (rawRefIdxs == null) {
+                        rawRefIdxs = new HashSet<>();
+                    }
+                    rawRefIdxs.add(((Number) eq.value()).intValue());
                     return true;
                 }
                 return false;
             }
             if (f instanceof In && "rname".equals(((In) f).attribute())) {
-                if (refIdxs == null) {
-                    refIdxs = new HashSet<>();
+                if (refNames == null) {
+                    refNames = new HashSet<>();
                 }
                 for (Object v : ((In) f).values()) {
-                    Integer idx = nameToIdx.get(String.valueOf(v));
-                    if (idx != null) {
-                        refIdxs.add(idx);
+                    if (v != null) {
+                        refNames.add(String.valueOf(v));
                     }
                 }
                 return true;
@@ -282,11 +290,14 @@ public class BamDataSource implements TableProvider {
         private final Map<String, String> options;
         private final StructType required;
         private final Pushdown pushdown;
+        private final SerializableConf sconf;
 
-        BamScan(Map<String, String> options, StructType required, Pushdown pushdown) {
+        BamScan(Map<String, String> options, StructType required, Pushdown pushdown,
+                SerializableConf sconf) {
             this.options = options;
             this.required = required;
             this.pushdown = pushdown;
+            this.sconf = sconf;
         }
 
         @Override
@@ -345,7 +356,7 @@ public class BamDataSource implements TableProvider {
             long maxReadSize = optLong("max_read_size", Checker.DEFAULT_MAX_READ_SIZE);
             boolean permissive = "permissive".equals(options.getOrDefault("mode", "failfast"));
             try {
-                Configuration conf = new Configuration();
+                Configuration conf = sconf.conf;
                 Path root = new Path(pathOpt);
                 FileSystem fs = root.getFileSystem(conf);
                 List<FileStatus> files = new ArrayList<>();
@@ -381,12 +392,25 @@ public class BamDataSource implements TableProvider {
                     HeaderData hdr;
                     try (FSDataInputStream in = fs.open(f.getPath())) {
                         BamWindow win = new BamWindow(in, 0);
-                        if (win.empty) {
-                            continue;
+                        try {
+                            if (win.empty) {
+                                continue;
+                            }
+                            hdr = HeaderData.parse(win);
+                        } finally {
+                            win.release();
                         }
-                        hdr = HeaderData.parse(win);
                     }
                     long size = f.getLen();
+                    // one locality RPC per FILE (not per split); splits
+                    // intersect these locally below.  Object stores report
+                    // "localhost" or nothing — both degrade to no hint.
+                    BlockLocation[] blockLocs;
+                    try {
+                        blockLocs = fs.getFileBlockLocations(f, 0, size);
+                    } catch (IOException e) {
+                        blockLocs = new BlockLocation[0];
+                    }
                     List<long[]> cand = candidateRanges(fs, f.getPath(), hdr);
                     if (cand != null) {
                         // indexed scan: pack surviving block ranges into
@@ -414,7 +438,8 @@ public class BamDataSource implements TableProvider {
                                 highs[i] = group.get(i)[1];
                             }
                             splits.add(new BamSplit(p, lows[0], highs[highs.length - 1], hdr,
-                                    readsToCheck, maxReadSize, permissive, lows, highs));
+                                    readsToCheck, maxReadSize, permissive, lows, highs,
+                                    hostsFor(blockLocs, lows[0], highs[highs.length - 1])));
                         }
                         continue;
                     }
@@ -433,7 +458,7 @@ public class BamDataSource implements TableProvider {
                             }
                         }
                         splits.add(new BamSplit(p, s, e, hdr, readsToCheck, maxReadSize,
-                                permissive, null, null));
+                                permissive, null, null, hostsFor(blockLocs, s, e)));
                     }
                 }
                 return splits.toArray(new InputPartition[0]);
@@ -445,7 +470,42 @@ public class BamDataSource implements TableProvider {
         @Override
         public PartitionReaderFactory createReaderFactory() {
             boolean columnar = !"false".equals(options.getOrDefault("columnar", "true"));
-            return new BamReaderFactory(required, columnar);
+            return new BamReaderFactory(required, columnar, sconf);
+        }
+
+        /**
+         * Locality hint for one split: hosts holding its byte range,
+         * highest overlap first, capped at 3 (HDFS replication width) —
+         * the reference's SplitRDD.getPreferredLocations
+         * (check/.../spark/SplitRDD.scala:27-30, via
+         * fs.getFileBlockLocations; cited as behavior).  At 100 TB this
+         * is what turns the scan node-local instead of rack-remote.
+         */
+        static String[] hostsFor(BlockLocation[] locs, long start, long end) {
+            Map<String, Long> overlap = new HashMap<>();
+            for (BlockLocation bl : locs) {
+                long lo = Math.max(start, bl.getOffset());
+                long hi = Math.min(end, bl.getOffset() + bl.getLength());
+                if (hi <= lo) {
+                    continue;
+                }
+                String[] hosts;
+                try {
+                    hosts = bl.getHosts();
+                } catch (IOException e) {
+                    continue;
+                }
+                for (String h : hosts) {
+                    if (h != null && !h.isEmpty()) {
+                        overlap.merge(h, hi - lo, Long::sum);
+                    }
+                }
+            }
+            return overlap.entrySet().stream()
+                    .sorted((a, b) -> Long.compare(b.getValue(), a.getValue()))
+                    .limit(3)
+                    .map(Map.Entry::getKey)
+                    .toArray(String[]::new);
         }
 
         /**
@@ -461,7 +521,11 @@ public class BamDataSource implements TableProvider {
             if (!pushdown.active()) {
                 return null;
             }
-            List<long[]> bai = candidateRangesBai(fs, bam, hdr);
+            // resolve pushed contig names against THIS file's dictionary —
+            // a directory scan prunes each file by its own header, never
+            // another file's (dictionaries may diverge across files)
+            Set<Integer> refIdxs = pushdown.effectiveRefIdxs(hdr.names);
+            List<long[]> bai = candidateRangesBai(fs, bam, hdr, refIdxs);
             if (bai != null) {
                 return bai;
             }
@@ -492,9 +556,9 @@ public class BamDataSource implements TableProvider {
                 long rmax = rows.get(i)[2];
                 long pmin = rows.get(i)[3];
                 long pmax = rows.get(i)[4];
-                if (pushdown.refIdxs != null) {
+                if (refIdxs != null) {
                     boolean any = false;
-                    for (int r : pushdown.refIdxs) {
+                    for (int r : refIdxs) {
                         if (rmin <= r && r <= rmax) {
                             any = true;
                             break;
@@ -527,9 +591,9 @@ public class BamDataSource implements TableProvider {
          * skip" (unplaced reads live in the tail, which the BAI has no
          * chunks for) — same rule as the Python source.
          */
-        private List<long[]> candidateRangesBai(FileSystem fs, Path bam, HeaderData hdr)
-                throws IOException {
-            if (pushdown.refIdxs == null) {
+        private List<long[]> candidateRangesBai(FileSystem fs, Path bam, HeaderData hdr,
+                Set<Integer> refIdxs) throws IOException {
+            if (refIdxs == null) {
                 return null;
             }
             Path baiPath = new Path(bam.toString() + ".bai");
@@ -537,14 +601,14 @@ public class BamDataSource implements TableProvider {
                 return null;
             }
             Bai idx = Bai.parse(fs, baiPath);
-            for (int r : pushdown.refIdxs) {
+            for (int r : refIdxs) {
                 if (r < 0 || r >= idx.nRefs()) {
                     return null;
                 }
             }
             long beg = pushdown.posLo != null ? pushdown.posLo : 0;
             long end = pushdown.posHi != null ? pushdown.posHi + 1 : 1L << 29;
-            List<Integer> refs = new ArrayList<>(pushdown.refIdxs);
+            List<Integer> refs = new ArrayList<>(refIdxs);
             refs.sort(Integer::compare);
             List<long[]> keep = new ArrayList<>();
             for (int r : refs) {
@@ -634,9 +698,13 @@ public class BamDataSource implements TableProvider {
         // [start, end) split
         final long[] rangeLo;
         final long[] rangeHi;
+        // locality hint (hosts holding this byte range); empty on object
+        // stores / local fs without block metadata
+        final String[] hosts;
 
         BamSplit(String path, long start, long end, HeaderData header, int readsToCheck,
-                long maxReadSize, boolean permissive, long[] rangeLo, long[] rangeHi) {
+                long maxReadSize, boolean permissive, long[] rangeLo, long[] rangeHi,
+                String[] hosts) {
             this.path = path;
             this.start = start;
             this.end = end;
@@ -646,18 +714,28 @@ public class BamDataSource implements TableProvider {
             this.permissive = permissive;
             this.rangeLo = rangeLo;
             this.rangeHi = rangeHi;
+            this.hosts = hosts == null ? new String[0] : hosts;
+        }
+
+        @Override
+        public String[] preferredLocations() {
+            return hosts;
         }
     }
 
     static final class BamReaderFactory implements PartitionReaderFactory {
-        private static final long serialVersionUID = 1L;
+        private static final long serialVersionUID = 2L;
 
         private final StructType required;
         private final boolean columnar;
+        // session Hadoop conf, serialized once per stage (the factory
+        // rides the broadcast task binary, not each split)
+        private final SerializableConf sconf;
 
-        BamReaderFactory(StructType required, boolean columnar) {
+        BamReaderFactory(StructType required, boolean columnar, SerializableConf sconf) {
             this.required = required;
             this.columnar = columnar;
+            this.sconf = sconf;
         }
 
         @Override
@@ -672,13 +750,13 @@ public class BamDataSource implements TableProvider {
             for (int i = 0; i < fields.length; i++) {
                 fieldNames[i] = fields[i].name();
             }
-            return new BamPartitionReader((BamSplit) partition, fieldNames);
+            return new BamPartitionReader((BamSplit) partition, fieldNames, sconf.conf);
         }
 
         @Override
         public PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch> createColumnarReader(
                 InputPartition partition) {
-            return new BamColumnarReader((BamSplit) partition, required);
+            return new BamColumnarReader((BamSplit) partition, required, sconf.conf);
         }
     }
 }

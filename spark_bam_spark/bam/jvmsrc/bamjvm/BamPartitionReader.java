@@ -74,8 +74,9 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
     private final UTF8String[] refNames;
     private InternalRow current;
 
-    BamPartitionReader(BamDataSource.BamSplit split, String[] fieldNames) {
-        this.walker = new RecordWalker(split);
+    BamPartitionReader(BamDataSource.BamSplit split, String[] fieldNames,
+            org.apache.hadoop.conf.Configuration conf) {
+        this.walker = new RecordWalker(split, conf);
         this.ids = fieldIds(fieldNames);
         this.refNames = new UTF8String[split.header.names.length];
         for (int i = 0; i < refNames.length; i++) {

@@ -164,6 +164,18 @@ final class BamWindow {
     }
 
     /**
+     * Release the inflater's native zlib buffers eagerly.  RecordWalker
+     * builds a fresh window per byte range (an indexed scan walks many
+     * ranges per split), so waiting for GC to run the inflater's cleaner
+     * would accumulate native memory proportional to ranges walked.
+     * Idempotent; the window must not be used afterwards.
+     */
+    void release() {
+        exhausted = true;
+        inflater.end();
+    }
+
+    /**
      * Uncompressed window offset of a virtual position; loads blocks
      * until the target block is present.
      */

@@ -18,6 +18,7 @@ import org.apache.hadoop.fs.Path;
  */
 final class RecordWalker {
     private final BamDataSource.BamSplit split;
+    private final Configuration conf;
     private final long[] los;
     private final long[] his;
 
@@ -41,8 +42,9 @@ final class RecordWalker {
     // touched once more), and per-task memory stays O(lookahead)
     private static final long COMPACT_AFTER = 4L << 20;
 
-    RecordWalker(BamDataSource.BamSplit split) {
+    RecordWalker(BamDataSource.BamSplit split, Configuration conf) {
         this.split = split;
+        this.conf = conf != null ? conf : new Configuration();
         if (split.rangeLo != null) {
             this.los = split.rangeLo;
             this.his = split.rangeHi;
@@ -63,8 +65,11 @@ final class RecordWalker {
         }
         if (in == null) {
             Path p = new Path(split.path);
-            FileSystem fs = p.getFileSystem(new Configuration());
+            FileSystem fs = p.getFileSystem(conf);
             in = fs.open(p);
+        }
+        if (win != null) {
+            win.release(); // free the previous range's native zlib state
         }
         win = new BamWindow(in, lo);
         if (win.empty) {
@@ -112,6 +117,14 @@ final class RecordWalker {
                 if (!split.permissive) {
                     throw e;
                 }
+            } catch (RuntimeException e) {
+                // belt-and-braces: step() validates record layout before
+                // decode, so decode itself stays in-bounds — but permissive
+                // mode must salvage even an unanticipated decode-side
+                // runtime failure rather than kill the task
+                if (!split.permissive) {
+                    throw e;
+                }
             }
             rangeIdx++;
             opened = false;
@@ -152,9 +165,22 @@ final class RecordWalker {
         long nxt = u + 4 + blockSize;
         if (nxt > win.len) {
             win.ensure(nxt + (256L << 10));
+            b = win.buf;
             if (nxt > win.len) {
                 throw new IOException("truncated/invalid record at " + u);
             }
+        }
+        // The decoders trust the derived layout offsets, so a corrupt
+        // record that passed blockSize>=32 must be rejected HERE as an
+        // IOException (which permissive mode salvages) rather than
+        // surfacing as an out-of-bounds decode failing the task: the
+        // fixed fields + qname + cigar + packed seq + qual must fit
+        // inside the record.
+        int lName = b[o + 12] & 0xFF;
+        int nCigar = Bgzf.u16(b, o + 16);
+        int lSeq = Bgzf.i32(b, o + 20);
+        if (lSeq < 0 || 32L + lName + 4L * nCigar + (lSeq + 1L) / 2L + lSeq > blockSize) {
+            throw new IOException("corrupt record layout at " + u);
         }
         recOff = o;
         recBlockSize = blockSize;
@@ -165,6 +191,10 @@ final class RecordWalker {
     }
 
     void close() throws IOException {
+        if (win != null) {
+            win.release();
+            win = null;
+        }
         if (in != null) {
             in.close();
         }

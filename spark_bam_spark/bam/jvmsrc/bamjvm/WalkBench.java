@@ -54,8 +54,8 @@ public final class WalkBench {
                 BamDataSource.BamSplit split = new BamDataSource.BamSplit(
                         path, s, Math.min(s + splitSize, size), hdr,
                         Checker.DEFAULT_READS_TO_CHECK, Checker.DEFAULT_MAX_READ_SIZE, false,
-                        null, null);
-                RecordWalker w = new RecordWalker(split);
+                        null, null, null);
+                RecordWalker w = new RecordWalker(split, null);
                 while (w.advance()) {
                     n++;
                 }

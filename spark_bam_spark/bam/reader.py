@@ -1,0 +1,100 @@
+"""Default BAM read-path dispatch: JVM DataSourceV2 first, Python fallback.
+
+The engine ships two implementations of the splittable BAM scan with
+identical schema, split-ownership rule, and record-boundary checker:
+
+- the JVM-native DataSourceV2 (``bam/jvmsrc/bamjvm/``) decodes inside the
+  executor JVM — measured 2.8x the Python source at 20M records on
+  local[32], with the gap widening with scale (tools/run_jvm_ab.py) —
+  the same execution shape the reference uses (load/.../CanLoadBam.scala
+  runs its codec JVM-side; cited as behavior);
+- the Python Data Source (``bam/datasource.py``) needs no JDK compiler
+  and remains the differential oracle for the JVM twin.
+
+``read_bam`` is the engine's single entry point (queries, CLI, loadReads
+dispatch): it routes to the JVM reader whenever one can be built, with
+
+- ``SPARK_GRAFT_BAM_READER=py``  forcing the Python source (A/B runs,
+  fallback drills), and
+- ``SPARK_GRAFT_BAM_READER=jvm`` forcing the JVM reader (build errors
+  surface instead of being masked by fallback).
+
+Both read paths carry driver-grade oracle evidence (CORRECTNESS_r08:
+``bam_scan_reads_jvm`` + ``bam_interval_pushdown_jvm`` hash-green next to
+the Python-path twins), which was the precondition for making the JVM
+reader the default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def reader_choice() -> str:
+    """'jvm' | 'py' — the env override wins; otherwise jvm when buildable."""
+    env = os.environ.get("SPARK_GRAFT_BAM_READER", "").strip().lower()
+    if env in ("py", "python"):
+        return "py"
+    if env in ("jvm", "java"):
+        return "jvm"
+    from spark_bam_spark.bam import jvmreader
+
+    return "jvm" if jvmreader.available() else "py"
+
+
+def read_bam(
+    spark: SparkSession,
+    path: str,
+    split_size: int | None = None,
+    columns: str | None = None,
+    mode: str | None = None,
+    ranges: str | None = None,
+    reads_to_check: int | None = None,
+    max_read_size: int | None = None,
+    compression_ratio: float | None = None,
+    reader: str | None = None,
+    **py_only_options,
+) -> DataFrame:
+    """DataFrame of reads over a BAM file/directory via the default
+    (JVM-first) read path.  ``columns`` is a comma-separated projection:
+    the JVM reader prunes via Catalyst (SupportsPushDownRequiredColumns),
+    the Python source via its explicit ``columns`` option.  Options only
+    the Python source understands (e.g. ``batch_records``) force the
+    Python path."""
+    choice = reader or ("py" if py_only_options else reader_choice())
+    if choice == "jvm":
+        from spark_bam_spark.bam.jvmreader import read_bam_jvm
+
+        df = read_bam_jvm(
+            spark,
+            path,
+            split_size=split_size,
+            reads_to_check=reads_to_check,
+            max_read_size=max_read_size,
+            mode=mode,
+            ranges=ranges,
+            compression_ratio=compression_ratio,
+        )
+        if columns:
+            df = df.select(*[c.strip() for c in columns.split(",")])
+        return df
+    from spark_bam_spark.bam.datasource import register
+
+    register(spark)
+    rdr = spark.read.format("bam")
+    opts = {
+        "split_size": split_size,
+        "columns": columns,
+        "mode": mode,
+        "ranges": ranges,
+        "reads_to_check": reads_to_check,
+        "max_read_size": max_read_size,
+        "compression_ratio": compression_ratio,
+        **py_only_options,
+    }
+    for k, v in opts.items():
+        if v is not None:
+            rdr = rdr.option(k, str(v))
+    return rdr.load(path)

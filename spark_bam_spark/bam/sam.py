@@ -160,13 +160,11 @@ def load_reads(spark: SparkSession, path: str, **options) -> DataFrame:
     if path.endswith(".sam"):
         return load_sam(spark, path)
     if path.endswith(".bam"):
-        from spark_bam_spark.bam.datasource import register
+        # default read path (bam/reader.py): JVM DSv2 when buildable,
+        # Python source otherwise or on SPARK_GRAFT_BAM_READER=py
+        from spark_bam_spark.bam.reader import read_bam
 
-        register(spark)
-        reader = spark.read.format("bam")
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        return reader.load(path)
+        return read_bam(spark, path, **options)
     if path.endswith(".cram"):
         # S5: delegate to the optional pysam codec (CanLoadBam.scala:268-277
         # delegates to htsjdk the same way); raises NotImplementedError

@@ -113,13 +113,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _reads(spark: SparkSession, path: str, split_size: int, columns: str | None = None) -> DataFrame:
-    from spark_bam_spark.bam.datasource import register
+    from spark_bam_spark.bam.reader import read_bam
 
-    register(spark)
-    reader = spark.read.format("bam").option("split_size", split_size)
-    if columns:
-        reader = reader.option("columns", columns)
-    return reader.load(path)
+    return read_bam(spark, path, split_size=split_size, columns=columns)
 
 
 def run(args: argparse.Namespace, spark: SparkSession) -> None:

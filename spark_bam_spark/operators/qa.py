@@ -242,11 +242,10 @@ def block_first_reads(spark: SparkSession, bam_path: str) -> DataFrame:
     """check-blocks: offset of the first record in each block + previous
     block's size for bad-split attribution (CheckBlocks.scala:37-194,
     sliding2Prev W2, histogram A8)."""
-    from spark_bam_spark.bam.datasource import register
+    from spark_bam_spark.bam.reader import read_bam
 
-    register(spark)
     reads_firsts = (
-        spark.read.format("bam").load(bam_path)
+        read_bam(spark, bam_path, columns="block_pos,offset")
         .groupBy("block_pos")
         .agg(F.min("offset").alias("first_read_offset"))
     )
@@ -453,10 +452,10 @@ def annotate_positions(
             "next_rec_offset",
         )
     )
+    from spark_bam_spark.bam.reader import read_bam
+
     reads = (
-        spark.read.format("bam")
-        .option("columns", "qname,rname,pos,flag,block_pos,offset")
-        .load(bam_path)
+        read_bam(spark, bam_path, columns="qname,rname,pos,flag,block_pos,offset")
         .select(
             F.col("block_pos").alias("next_rec_block_pos"),
             F.col("offset").alias("next_rec_offset"),

@@ -213,34 +213,35 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r8 (the r7 entries — dedup_minhash_lsh, dedup_clusters,
-    # multimodal_decode_features, bam_rewrite_roundtrip — all went green in
-    # CORRECTNESS_r07 and are cleared).  Convention extended per r7 advice:
-    # ORACLE-ARTIFACT changes count as code changes.  The five checker
-    # diagnostics had their golden truth parquets regenerated in r7 from
-    # the independent derivation (tools/gen_checker_truth.py) AFTER their
-    # last driver-green hash, so the driver must re-hash against the new
-    # golden bytes:
-    "bam_full_check",
-    "bam_full_check_cdf",
-    "bam_check_three_way",
-    "bam_fp_metadata",
-    "bam_close_calls",
-    # r8: coarse-assignment checkpoint (memw) shipped after the clean
-    # A/B — plan changed, decision list pinned identical
-    "semdedup_prune_ivf",
-    # r8: double pre-select inside the in-row DECIMAL argmin (labels
-    # pinned bit-identical; 3.15x at the 100x probe) — every _assign
-    # consumer's plan changed after its last driver-green hash
-    "kmeans_lloyd",
-    "ivf_kmeans_probe",
-    "semdedup_prune",
-    "semdedup_prune_fast",
-    # r8: pushFilters In-branch fix (f.values -> f.value, found by the
-    # JVM-reader differential suite).  No registered query takes that
-    # branch (it could only raise, never mis-prune), but the function is
-    # on this query's execution path — re-hash out of caution.
+    # r9 (the eleven r8 entries — the five regenerated checker
+    # diagnostics, the five _assign-consumer IVF/kmeans queries, and
+    # bam_interval_pushdown — all went green in CORRECTNESS_r08 and are
+    # cleared per convention).
+    #
+    # r9's entries are the DEFAULT-FLIP cohort: the engine's BAM read
+    # path now routes through the JVM DSv2 reader when a JDK is present
+    # (bam/reader.py), so every registered query that reads the fixture
+    # through _reads()/read_bam() executes a different physical plan
+    # than the one its last driver-green hash pinned:
+    "bam_scan_reads",
     "bam_interval_pushdown",
+    "bam_compute_splits",
+    "bam_check_blocks",
+    "bam_count_reads",
+    "bam_rewrite_roundtrip",
+    "bam_time_load",
+    "bam_scan_50k",
+    "bam_scan_1m",
+    "bam_idxstats",
+    # annotate_positions' next-record join now reads via the default
+    # path too (operators/qa.py):
+    "bam_close_calls",
+    "bam_fp_metadata",
+    # and the JVM reader itself changed (per-file contig resolution for
+    # pushdown, session Hadoop conf propagation, record-layout
+    # validation, locality hints), so its two direct queries re-enter:
+    "bam_scan_reads_jvm",
+    "bam_interval_pushdown_jvm",
 )
 
 

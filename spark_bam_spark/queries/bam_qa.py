@@ -74,22 +74,25 @@ def _sam_fixture_path() -> str:
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _reads(spark: SparkSession, split_size: int = 65536, columns: str | None = None) -> DataFrame:
-    from spark_bam_spark.bam.datasource import register as reg
+def _reads(
+    spark: SparkSession,
+    split_size: int = 65536,
+    columns: str | None = None,
+    reader: str | None = None,
+) -> DataFrame:
+    """Fixture reads through the engine's DEFAULT read path (JVM DSv2
+    when buildable, Python source otherwise — bam/reader.py dispatch;
+    SPARK_GRAFT_BAM_READER overrides).  ``reader`` pins a path for the
+    queries that keep per-path driver evidence alive."""
+    from spark_bam_spark.bam.reader import read_bam, reader_choice
 
     path = _fixture_path()
-    key = (id(spark), path, split_size, columns)
+    choice = reader or reader_choice()
+    key = (id(spark), path, split_size, columns, choice)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
-    reg(spark)
-    reader = spark.read.format("bam").option("split_size", split_size)
-    if columns:
-        # manual pruning: the Python DS API has no required-columns hook,
-        # so the narrow schema is requested explicitly and the reader
-        # skips decoding seq/qual/tags entirely
-        reader = reader.option("columns", columns)
-    df = reader.load(path)
+    df = read_bam(spark, path, split_size=split_size, columns=columns, reader=choice)
     _PLAN_CACHE[key] = df
     return df
 
@@ -136,6 +139,26 @@ def bam_scan_reads_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bam_scan_reads_py",
+    doc="S3 loadBam via the Python Data Source (pinned): the fallback/differential-oracle path",
+    oracle=f"""
+    SELECT qname, flag, rname, pos, mapq, cigar, block_pos, "offset" AS offset
+    FROM read_parquet('{_TRUTH_PQ}')
+    """,
+)
+def bam_scan_reads_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as bam_scan_reads, with the reader PINNED to the
+    Python Data Source.  Since r9 the default read path is the JVM DSv2
+    reader (bam/reader.py), so bam_scan_reads now exercises the JVM path
+    on machines with a JDK; this twin keeps the Python source — the
+    no-JDK fallback and the differential oracle for the JVM decoder —
+    under driver-grade hash evidence every round."""
+    return _reads(
+        spark, columns="qname,flag,rname,pos,mapq,cigar,block_pos,offset", reader="py"
+    )
+
+
+@register(
     "bam_interval_pushdown",
     doc="S7 loadBamIntervals: indexed interval scan via zone-map pushdown",
     oracle=f"""
@@ -174,6 +197,25 @@ def bam_interval_pushdown_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(
         (F.col("rname") == "1") & (F.col("pos") >= 13000) & (F.col("pos") < 1_000_000)
     ).select("qname", "rname", "pos", "end_pos")
+
+
+@register(
+    "bam_interval_pushdown_py",
+    doc="S7 loadBamIntervals on the pinned Python source: zone-map/BAI pushdown fallback path",
+    oracle=f"""
+    SELECT qname, rname, pos, end_pos FROM read_parquet('{_TRUTH_PQ}')
+    WHERE rname = '1' AND pos >= 13000 AND pos < 1000000
+    """,
+)
+def bam_interval_pushdown_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bam_interval_pushdown with the reader PINNED to the Python Data
+    Source (see bam_scan_reads_py): keeps the Python pushdown → BAI/zone
+    pruning → packed-range walk under driver hash evidence now that the
+    default path is the JVM reader."""
+    return (
+        _reads(spark, split_size=16384, columns="qname,rname,pos,end_pos", reader="py")
+        .filter((F.col("rname") == "1") & (F.col("pos") >= 13000) & (F.col("pos") < 1_000_000))
+    )
 
 
 @register(
@@ -394,7 +436,9 @@ def bam_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is necessarily eager (the rescan needs the part-BAMs on disk) —
     # this is the one registry fn that runs a job at build time, which is
     # safe now that the target is per-call unique.
-    back = spark.read.format("bam").option("split_size", 16384).load(rewrite_dir)
+    from spark_bam_spark.bam.reader import read_bam
+
+    back = read_bam(spark, rewrite_dir, split_size=16384)
     fields = ["flag", "rname", "pos", "mapq", "cigar", "tlen", "seq", "qual"]
     a = src.select("qname", *fields).alias("a")
     b = back.select("qname", *fields).alias("b")
@@ -487,13 +531,12 @@ def bam_scan_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
         from spark_bam_spark.bam.writer import make_fixture
 
         make_fixture(_BIG_FIXTURE, n=50000, block_payload=0xFF00)
-    from spark_bam_spark.bam.datasource import register as reg
+    from spark_bam_spark.bam.reader import read_bam, reader_choice
 
-    key = (id(spark), _BIG_FIXTURE, 262144, None)
+    key = (id(spark), _BIG_FIXTURE, 262144, None, reader_choice())
     reads = _PLAN_CACHE.get(key)
     if reads is None:
-        reg(spark)
-        reads = spark.read.format("bam").option("split_size", 262144).load(_BIG_FIXTURE)
+        reads = read_bam(spark, _BIG_FIXTURE, split_size=262144)
         _PLAN_CACHE[key] = reads
     return reads.agg(
         F.count("*").alias("n_reads"),
@@ -559,13 +602,12 @@ def bam_scan_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             make_fixture(_BIG_FIXTURE, n=50000, block_payload=0xFF00)
         _tile_bam(_BIG_FIXTURE, _HUGE_FIXTURE, tiles=20)
-    from spark_bam_spark.bam.datasource import register as reg
+    from spark_bam_spark.bam.reader import read_bam, reader_choice
 
-    key = (id(spark), _HUGE_FIXTURE, 1 << 22, None)
+    key = (id(spark), _HUGE_FIXTURE, 1 << 22, None, reader_choice())
     reads = _PLAN_CACHE.get(key)
     if reads is None:
-        reg(spark)
-        reads = spark.read.format("bam").option("split_size", 1 << 22).load(_HUGE_FIXTURE)
+        reads = read_bam(spark, _HUGE_FIXTURE, split_size=1 << 22)
         _PLAN_CACHE[key] = reads
     return reads.agg(
         F.count("*").alias("n_reads"),

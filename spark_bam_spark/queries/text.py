@@ -1069,16 +1069,16 @@ def chunk_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated on their content fingerprint (each unique chunk embedded
     ONCE — chunk_hash as a real join/agg key, the tokens_saved economics
     of ``chunk_dedup_stats`` realized), embedded deterministically from
-    the digest, bucketed into {CHUNK_IVF_K} IVF cells (centroids = the K
-    lexicographically-smallest fingerprints, cell id = centroid hash),
+    the digest, bucketed into 16 IVF cells (CHUNK_IVF_K; centroids = the
+    K lexicographically-smallest fingerprints, cell id = centroid hash),
     and probed with the first chunk of doc 0: exact-DECIMAL cosine top-k
-    over the {CHUNK_NPROBE} nearest cells only.
+    over the 2 nearest cells only (CHUNK_NPROBE).
 
     Scale shape: chunk build is the audited single-exchange map pipeline;
     the unique-chunk agg is ONE map-side-combined shuffle on the 16-byte
     hash; centroids/query are tiny broadcasts (packed-array, the
     mlprep._assign device); assignment + probe filter run in-row, so the
-    cosine scan touches ~{CHUNK_NPROBE}/{CHUNK_IVF_K} of unique chunks
+    cosine scan touches ~2/16 of unique chunks (CHUNK_NPROBE/CHUNK_IVF_K)
     and the top-k is TakeOrderedAndProject.  No flat scan of all cells,
     no cartesian joins, zero Python."""
     from spark_bam_spark.queries.mlprep import _DEC, _dec_sum

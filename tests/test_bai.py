@@ -91,6 +91,6 @@ def test_bai_pushdown_prunes_partitions(spark, bam):
     from spark_bam_spark.bam.datasource import BamReader
 
     r = BamReader({"path": bam.path, "split_size": "4096"})
-    r._ref_idxs = {0}
+    r._ref_idxs_raw = {0}
     r._pos_lo, r._pos_hi = 100_000, 120_000
     assert len(r.partitions()) < n_all
