@@ -30,6 +30,7 @@ import zipfile
 from pyspark.sql import DataFrame, SparkSession
 
 FORMAT = "bamjvm.BamDataSource"
+FORMAT_BLOCKS = "bamjvm.BlocksSource"
 
 _SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvmsrc")
 _CACHE_DIR = os.path.join(tempfile.gettempdir(), "spark_bam_jvm")
@@ -140,6 +141,24 @@ def read_bam_jvm(
         reader = reader.option("ranges", ranges)
     if compression_ratio is not None:
         reader = reader.option("compression_ratio", str(compression_ratio))
+    return reader.load(path)
+
+
+def read_blocks_jvm(
+    spark: SparkSession,
+    path: str,
+    split_size: int | None = None,
+    ranges: str | None = None,
+) -> DataFrame:
+    """BGZF blocks-metadata DataFrame via the JVM source (S9 twin of the
+    Python ``bgzf_blocks`` format): header-only parallel block discovery,
+    no inflater, no Python worker boundary."""
+    ensure_session(spark)
+    reader = spark.read.format(FORMAT_BLOCKS)
+    if split_size is not None:
+        reader = reader.option("split_size", str(split_size))
+    if ranges is not None:
+        reader = reader.option("ranges", ranges)
     return reader.load(path)
 
 

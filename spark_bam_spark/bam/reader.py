@@ -98,3 +98,28 @@ def read_bam(
         if v is not None:
             rdr = rdr.option(k, str(v))
     return rdr.load(path)
+
+
+def read_blocks(
+    spark: SparkSession,
+    path: str,
+    split_size: int | None = None,
+    ranges: str | None = None,
+    reader: str | None = None,
+) -> DataFrame:
+    """BGZF blocks-metadata DataFrame (S9) via the default (JVM-first)
+    path — same dispatch rules as :func:`read_bam`."""
+    choice = reader or reader_choice()
+    if choice == "jvm":
+        from spark_bam_spark.bam.jvmreader import read_blocks_jvm
+
+        return read_blocks_jvm(spark, path, split_size=split_size, ranges=ranges)
+    from spark_bam_spark.bam.datasource import register
+
+    register(spark)
+    rdr = spark.read.format("bgzf_blocks")
+    if split_size is not None:
+        rdr = rdr.option("split_size", str(split_size))
+    if ranges is not None:
+        rdr = rdr.option("ranges", ranges)
+    return rdr.load(path)

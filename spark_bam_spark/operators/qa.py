@@ -33,14 +33,14 @@ _LOOKAHEAD_BLOCKS = 4
 _BLOCKS_PLAN_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _blocks_df(spark: SparkSession, bam_path: str) -> DataFrame:
-    from spark_bam_spark.bam.datasource import register
+def _blocks_df(spark: SparkSession, bam_path: str, reader: str | None = None) -> DataFrame:
+    from spark_bam_spark.bam.reader import read_blocks, reader_choice
 
-    key = (id(spark), bam_path)
+    choice = reader or reader_choice()
+    key = (id(spark), bam_path, choice)
     df = _BLOCKS_PLAN_CACHE.get(key)
     if df is None:
-        register(spark)
-        df = spark.read.format("bgzf_blocks").load(bam_path)
+        df = read_blocks(spark, bam_path, reader=choice)
         _BLOCKS_PLAN_CACHE[key] = df
     return df
 

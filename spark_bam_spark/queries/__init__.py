@@ -242,6 +242,14 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # validation, locality hints), so its two direct queries re-enter:
     "bam_scan_reads_jvm",
     "bam_interval_pushdown_jvm",
+    # block discovery also flipped to the JVM BlocksSource by default
+    # (operators/qa._blocks_df), changing every calls()/blocks-consumer
+    # plan:
+    "bam_check_confusion",
+    "bam_check_three_way",
+    "bam_full_check",
+    "bam_full_check_cdf",
+    "bam_compression_ratio",
 )
 
 

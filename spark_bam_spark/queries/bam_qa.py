@@ -224,9 +224,33 @@ def bam_interval_pushdown_py(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"SELECT start, compressed_size, uncompressed_size FROM read_parquet('{_BLOCKS_PQ}')",
 )
 def bam_blocks_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned to the PYTHON blocks source: since r9 the QA pipelines'
+    default block discovery is the JVM BlocksSource (bam_blocks_metadata_jvm
+    pins that path), so this query keeps the fallback implementation
+    under driver hash evidence — same pattern as bam_scan_reads_py."""
     from spark_bam_spark.operators.qa import _blocks_df
 
-    return _blocks_df(spark, _fixture_path()).select(
+    return _blocks_df(spark, _fixture_path(), reader="py").select(
+        "start", "compressed_size", "uncompressed_size"
+    )
+
+
+@register(
+    "bam_blocks_metadata_jvm",
+    doc="S9 Blocks() on the JVM BlocksSource: header-only parallel block discovery",
+    oracle=f"SELECT start, compressed_size, uncompressed_size FROM read_parquet('{_BLOCKS_PQ}')",
+)
+def bam_blocks_metadata_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 via bamjvm.BlocksSource (Blocks.scala:47-208 as behavior):
+    positioned header reads only — 18-byte BGZF header + 4-byte ISIZE
+    footer per block, no inflater, no Python worker boundary — with the
+    record reader's planning conventions (adaptive splits, byte-ranges,
+    locality hints, session Hadoop conf).  Since r9 this is the DEFAULT
+    block-discovery path for every QA pipeline via operators/qa._blocks_df;
+    the sidecar oracle hash pins it block-for-block."""
+    from spark_bam_spark.operators.qa import _blocks_df
+
+    return _blocks_df(spark, _fixture_path(), reader="jvm").select(
         "start", "compressed_size", "uncompressed_size"
     )
 

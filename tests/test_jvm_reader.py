@@ -294,6 +294,54 @@ def test_scan_1m_aggregates(spark):
     assert py["n"] == 1_000_000
 
 
+# ------------------------------------------------------ blocks source
+
+
+@pytest.mark.parametrize("split_size", [4096, 65536, 1 << 22])
+def test_blocks_source_parity(spark, fixture_path, split_size):
+    """bamjvm.BlocksSource vs the Python bgzf_blocks format: identical
+    block metadata rows (incl. the path column downstream QA pipelines
+    open directly) for every split geometry."""
+    from spark_bam_spark.bam.datasource import register as reg
+
+    reg(spark)
+    py = (spark.read.format("bgzf_blocks").option("split_size", split_size)
+          .load(fixture_path))
+    jv = jvmreader.read_blocks_jvm(spark, fixture_path, split_size=split_size)
+    assert jv.schema == py.schema
+    a = sorted(map(tuple, py.collect()))
+    b = sorted(map(tuple, jv.collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_blocks_source_directory_and_ranges(spark, fixture_path, tmp_path_factory):
+    import shutil
+
+    from spark_bam_spark.bam.datasource import register as reg
+
+    d = tmp_path_factory.mktemp("blocks_dir")
+    shutil.copy(fixture_path, d / "a.bam")
+    shutil.copy(fixture_path, d / "b.bam")
+    reg(spark)
+    py = (spark.read.format("bgzf_blocks").option("split_size", 65536)
+          .option("ranges", "0-100k").load(str(d)))
+    jv = jvmreader.read_blocks_jvm(spark, str(d), split_size=65536, ranges="0-100k")
+    a = sorted(map(tuple, py.collect()))
+    b = sorted(map(tuple, jv.collect()))
+    assert a == b
+    n_one_file = spark.read.format("bgzf_blocks").load(fixture_path).count()
+    assert 0 < len(a) < 2 * n_one_file  # ranges actually selective
+
+
+def test_blocks_source_column_pruning(spark, fixture_path):
+    df = jvmreader.read_blocks_jvm(spark, fixture_path).select("start", "compressed_size")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(line for line in plan.splitlines() if "BatchScan" in line)
+    assert "uncompressed_size" not in scan_line
+    assert df.count() > 0
+
+
 def test_registered_query_matches_oracle(spark, sf_medium):
     """bam_scan_reads_jvm vs its DuckDB oracle — the driver's check,
     run locally at the driver's scale factor."""
