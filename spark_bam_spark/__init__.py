@@ -13,7 +13,9 @@ Layout:
                   exposed as (spark, sf_dir) -> DataFrame with a DuckDB
                   oracle SQL string for differential testing
     bam/        — the format layer: BGZF blocks, record-boundary checkers,
-                  a Python DataSource (spark.read.format("bam")), writer
+                  a JVM DataSourceV2 reader (default; jvmsrc/bamjvm/) with
+                  a Python DataSource twin as fallback/differential oracle
+                  (bam/reader.py dispatches), writer
     operators/  — analytic operator implementations (relational, dedup,
                   similarity, text, QA pipelines)
     streaming/  — Structured Streaming pipelines over the events table

@@ -50,6 +50,25 @@ def test_hot_paths_have_no_python_eval(spark, sf_small, name):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["bam_scan_reads", "bam_interval_pushdown", "bam_count_reads", "bam_blocks_metadata_jvm"]
+)
+def test_default_bam_path_is_pure_jvm(spark, sf_small, name):
+    """Since the r9 flip, the default BAM scan must execute entirely
+    JVM-side when a JDK is present: a DSv2 BatchScan over the bamjvm
+    source, with no Python Data Source node and no Python eval in the
+    plan.  A regression here silently reintroduces the ~3x Arrow
+    worker-boundary tax the flip removed."""
+    from spark_bam_spark.bam import jvmreader
+
+    if jvmreader.javac_path() is None:
+        pytest.skip("no JDK compiler on this machine")
+    plan = plan_of(REGISTRY[name].fn(spark, sf_small))
+    assert "bamjvm" in plan, plan[:500]
+    assert "PythonScan" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_whole_stage_codegen_active(spark, sf_small):
     df = REGISTRY["pricing_summary"].fn(spark, sf_small)
     df.collect()  # AQE finalizes the plan on execution
