@@ -495,18 +495,22 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard ln(1 + (N - df + 0.5)/(df + 0.5)) form, tf saturates via
     k1, and dl/avgdl length-normalizes via b.
 
-    Scale shape: tf table from one map-side-combined groupBy; the query
-    term list (3 rows) and the corpus stats (1 row) BROADCAST, so scoring
-    is a narrow probe of the tf table — no corpus-wide shuffle beyond the
-    tf build — then per-doc agg over <= 3 rows and a global top-k
+    Scale shape: the exploded token stream — the largest intermediate by
+    far at corpus scale — is consumed by exactly ONE map-side-combined
+    groupBy (the tf build); dl, corpus stats, and document frequency are
+    all DERIVED from the tf table (dl = sum of a doc's tfs), which is
+    orders of magnitude smaller, so its exchange is planned once and
+    reused across the three consumers.  The query term list (3 rows) and
+    the corpus stats (1 row) BROADCAST, so scoring is a narrow probe of
+    the tf table — then per-doc agg over <= 3 rows and a global top-k
     (TakeOrderedAndProject, never a full sort).  Scores are rounded to
     6dp on both engines and the ordering key is the ROUNDED score with a
     doc_id tiebreak, so the top-20 boundary is engine-identical."""
     d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     docfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     qterms = docfreq.orderBy(F.desc("df"), "w").limit(3)
     idf = F.log(
