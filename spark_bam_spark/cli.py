@@ -61,6 +61,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="spark_bam_spark", description=__doc__)
+    ap.add_argument(
+        "--reader",
+        choices=("jvm", "py"),
+        default=None,
+        help="force the BAM read path (default: JVM DataSourceV2 when a "
+        "JDK is available, Python Data Source otherwise); equivalent to "
+        "SPARK_GRAFT_BAM_READER",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in (
         "check-bam",
@@ -223,6 +231,12 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
                 .drop("_rn")
             )
         contigs = ",".join(f"{n}:{ln}" for n, ln in zip(hdr.names, hdr.lengths))
+        # the write side is always the Python DataSource: register it
+        # explicitly (the READ above may have planned via the JVM source,
+        # which does not register the 'bam' format name)
+        from spark_bam_spark.bam.datasource import register as _reg
+
+        _reg(spark)
         reads.write.format("bam").option("contigs", contigs).mode("append").save(args.out)
         print(f"wrote {args.out}")
         return
@@ -233,6 +247,11 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
+    if getattr(args, "reader", None):
+        # the dispatch env is read at plan time by bam/reader.py
+        import os
+
+        os.environ["SPARK_GRAFT_BAM_READER"] = args.reader
     from spark_bam_spark.session import get_spark
 
     spark = get_spark("spark_bam_spark-cli")

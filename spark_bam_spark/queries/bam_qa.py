@@ -446,6 +446,10 @@ def bam_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _reads(spark, split_size=65536)
     rewrite_dir = _fresh_rewrite_dir()
     contigs = ",".join(f"{n}:{ln}" for n, ln in zip(CONTIG_NAMES, CONTIG_LENGTHS))
+    # register BEFORE the write: the writer is always the Python
+    # DataSource, and the read above may have planned via the JVM source
+    # (which never registers the 'bam' format name in this session)
+    reg(spark)
     (
         src.repartition(4)
         .write.format("bam")

@@ -133,3 +133,20 @@ def test_explain_prints_physical_plan(spark, capsys):
     text = "\n".join(lines)
     assert "Physical Plan" in text
     assert "HashAggregate" in text and "Scan parquet" in text
+
+
+def test_reader_flag_forces_python_path(spark, bam_path, capsys, monkeypatch):
+    """--reader py must route the command through the Python source even
+    when the JVM reader is the default (the CLI analogue of
+    SPARK_GRAFT_BAM_READER; main() sets the env before run())."""
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_BAM_READER", raising=False)
+    args = cli.build_parser().parse_args(["--reader", "py", "count-reads", bam_path])
+    assert args.reader == "py"
+    monkeypatch.setenv("SPARK_GRAFT_BAM_READER", args.reader)  # what main() does
+    from spark_bam_spark.bam.reader import reader_choice
+
+    assert reader_choice() == "py"
+    cli.run(args, spark)
+    assert capsys.readouterr().out.strip().splitlines() == ["n_reads", "2500"]
