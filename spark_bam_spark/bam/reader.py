@@ -63,7 +63,14 @@ def read_bam(
     the Python source via its explicit ``columns`` option.  Options only
     the Python source understands (e.g. ``batch_records``) force the
     Python path."""
+    if mode is not None and mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
     choice = reader or ("py" if py_only_options else reader_choice())
+    if choice == "jvm" and py_only_options:
+        raise ValueError(
+            f"options {sorted(py_only_options)} are Python-source-only and cannot "
+            "be combined with reader='jvm'"
+        )
     if choice == "jvm":
         from spark_bam_spark.bam.jvmreader import read_bam_jvm
 

@@ -280,3 +280,10 @@ def test_permissive_corrupt_layout_cross_reader_parity(spark, corrupt_layout_bam
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
     assert 0 < len(ra) < 1000
+
+
+def test_read_bam_rejects_bad_mode_and_jvm_py_option_mix(spark, fixture_path):
+    with pytest.raises(ValueError, match="failfast|permissive"):
+        read_bam(spark, fixture_path, mode="bogus")
+    with pytest.raises(ValueError, match="Python-source-only"):
+        read_bam(spark, fixture_path, reader="jvm", batch_records=1024)
