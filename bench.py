@@ -16,6 +16,15 @@ from spark_bam_spark.queries import load_all
 from spark_bam_spark.session import get_spark
 
 
+def _bam_reader() -> str:
+    try:
+        from spark_bam_spark.bam.reader import reader_choice
+
+        return reader_choice()
+    except Exception:
+        return "unknown"
+
+
 def _machine_load() -> dict:
     """Snapshot of machine contention so cross-round bench deltas are
     interpretable: numbers taken while another Spark session runs on the
@@ -154,6 +163,10 @@ def main() -> None:
                 "queries_median": {**med, **med2},
                 "machine_load_before": load_before,
                 "machine_load_after": load_after,
+                # which BAM implementation the bam_* rows executed (r9
+                # flipped the default to the JVM DSv2 reader; 'py' here
+                # means no JDK or SPARK_GRAFT_BAM_READER=py)
+                "bam_reader": _bam_reader(),
                 "repeat": repeat,
                 "sf": sf,
             }
