@@ -350,3 +350,46 @@ def test_registered_query_matches_oracle(spark, sf_medium):
 
     registry = load_all()
     compare(spark, "bam_scan_reads_jvm", registry["bam_scan_reads_jvm"], sf_medium)
+
+
+# ------------------------------------------- gated differential fuzz
+
+_FUZZ = os.environ.get("SPARK_GRAFT_JVM_FUZZ") == "1"
+
+
+@pytest.mark.skipif(not _FUZZ, reason="set SPARK_GRAFT_JVM_FUZZ=1 to run")
+def test_fuzz_geometry_parity(spark, tmp_path_factory):
+    """Hypothesis sweep over the fixture parameter space (record count,
+    block geometry, split size, RNG seed): the JVM and Python readers
+    must return identical full-width row sets for EVERY combination —
+    the generalization of test_generated_fixture_parity's 4 fixed
+    corners.  Env-gated: each example writes a BAM and runs two scans."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from spark_bam_spark.bam.datasource import register as reg
+    from spark_bam_spark.bam.writer import make_fixture
+
+    reg(spark)
+    base = tmp_path_factory.mktemp("jvm_fuzz")
+    counter = {"i": 0}
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        n=st.integers(0, 600),
+        block_payload=st.sampled_from([512, 937, 2048, 4096, 17001, 65280]),
+        split_size=st.sampled_from([1024, 4096, 7777, 65536, 1 << 22]),
+    )
+    def check(seed, n, block_payload, split_size):
+        counter["i"] += 1
+        path = str(base / f"f{counter['i']}.bam")
+        make_fixture(path, n=n, block_payload=block_payload, seed=seed)
+        py = _canon(
+            spark.read.format("bam").option("split_size", split_size).load(path)
+        ).collect()
+        jv = _canon(jvmreader.read_bam_jvm(spark, path, split_size=split_size)).collect()
+        assert py == jv
+        assert len(jv) == n
+
+    check()
