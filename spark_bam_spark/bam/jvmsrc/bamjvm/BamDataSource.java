@@ -386,84 +386,156 @@ public class BamDataSource implements TableProvider {
                 double ratio = Double.parseDouble(options.getOrDefault("compression_ratio", "3.0"));
                 String rangesOpt = options.get("ranges");
                 List<long[]> byteRanges = rangesOpt == null ? null : parseByteRanges(rangesOpt);
+                // Per-file planning (header parse + locality RPC + index
+                // lookup + split construction) runs on a bounded pool:
+                // each file costs 2-4 round trips, which is invisible on a
+                // local FS but minutes of SERIAL driver time for thousands
+                // of files on an object store.  Results are flattened in
+                // file order, so the split list is byte-identical to the
+                // sequential plan.
+                final long splitSizeF = splitSize;
+                List<List<InputPartition>> perFile =
+                        mapFiles(files, f -> planFile(fs, f, splitSizeF, ratio, byteRanges,
+                                readsToCheck, maxReadSize, permissive));
                 List<InputPartition> splits = new ArrayList<>();
-                for (FileStatus f : files) {
-                    String p = f.getPath().toString();
-                    HeaderData hdr;
-                    try (FSDataInputStream in = fs.open(f.getPath())) {
-                        BamWindow win = new BamWindow(in, 0);
-                        try {
-                            if (win.empty) {
-                                continue;
-                            }
-                            hdr = HeaderData.parse(win);
-                        } finally {
-                            win.release();
-                        }
-                    }
-                    long size = f.getLen();
-                    // one locality RPC per FILE (not per split); splits
-                    // intersect these locally below.  Object stores report
-                    // "localhost" or nothing — both degrade to no hint.
-                    BlockLocation[] blockLocs;
-                    try {
-                        blockLocs = fs.getFileBlockLocations(f, 0, size);
-                    } catch (IOException e) {
-                        blockLocs = new BlockLocation[0];
-                    }
-                    List<long[]> cand = candidateRanges(fs, f.getPath(), hdr);
-                    if (cand != null) {
-                        // indexed scan: pack surviving block ranges into
-                        // partitions by estimated uncompressed cost, so the
-                        // partition count tracks surviving data volume
-                        List<long[]> clipped = new ArrayList<>();
-                        for (long[] r : cand) {
-                            long lo = Math.max(r[0], 0);
-                            long hi = Math.min(r[1], size);
-                            if (byteRanges == null) {
-                                clipped.add(new long[] {lo, hi});
-                                continue;
-                            }
-                            for (long[] br : byteRanges) {
-                                if (lo < br[1] && hi > br[0]) {
-                                    clipped.add(new long[] {Math.max(lo, br[0]), Math.min(hi, br[1])});
-                                }
-                            }
-                        }
-                        for (List<long[]> group : packRanges(clipped, splitSize, ratio)) {
-                            long[] lows = new long[group.size()];
-                            long[] highs = new long[group.size()];
-                            for (int i = 0; i < group.size(); i++) {
-                                lows[i] = group.get(i)[0];
-                                highs[i] = group.get(i)[1];
-                            }
-                            splits.add(new BamSplit(p, lows[0], highs[highs.length - 1], hdr,
-                                    readsToCheck, maxReadSize, permissive, lows, highs,
-                                    hostsFor(blockLocs, lows[0], highs[highs.length - 1])));
-                        }
-                        continue;
-                    }
-                    for (long s = 0; s < size; s += splitSize) {
-                        long e = Math.min(s + splitSize, size);
-                        if (byteRanges != null) {
-                            boolean hit = false;
-                            for (long[] br : byteRanges) {
-                                if (br[0] < e && br[1] > s) {
-                                    hit = true;
-                                    break;
-                                }
-                            }
-                            if (!hit) {
-                                continue;
-                            }
-                        }
-                        splits.add(new BamSplit(p, s, e, hdr, readsToCheck, maxReadSize,
-                                permissive, null, null, hostsFor(blockLocs, s, e)));
-                    }
+                for (List<InputPartition> fileSplits : perFile) {
+                    splits.addAll(fileSplits);
                 }
                 return splits.toArray(new InputPartition[0]);
             } catch (IOException e) {
                 throw new UncheckedIOException(e);
+            }
+        }
+
+        private List<InputPartition> planFile(FileSystem fs, FileStatus f, long splitSize,
+                double ratio, List<long[]> byteRanges, int readsToCheck, long maxReadSize,
+                boolean permissive) throws IOException {
+            List<InputPartition> splits = new ArrayList<>();
+            String p = f.getPath().toString();
+            HeaderData hdr;
+            try (FSDataInputStream in = fs.open(f.getPath())) {
+                BamWindow win = new BamWindow(in, 0);
+                try {
+                    if (win.empty) {
+                        return splits;
+                    }
+                    hdr = HeaderData.parse(win);
+                } finally {
+                    win.release();
+                }
+            }
+            long size = f.getLen();
+            // one locality RPC per FILE (not per split); splits intersect
+            // these locally below.  Object stores report "localhost" or
+            // nothing — both degrade to no hint.
+            BlockLocation[] blockLocs;
+            try {
+                blockLocs = fs.getFileBlockLocations(f, 0, size);
+            } catch (IOException e) {
+                blockLocs = new BlockLocation[0];
+            }
+            List<long[]> cand = candidateRanges(fs, f.getPath(), hdr);
+            if (cand != null) {
+                // indexed scan: pack surviving block ranges into
+                // partitions by estimated uncompressed cost, so the
+                // partition count tracks surviving data volume
+                List<long[]> clipped = new ArrayList<>();
+                for (long[] r : cand) {
+                    long lo = Math.max(r[0], 0);
+                    long hi = Math.min(r[1], size);
+                    if (byteRanges == null) {
+                        clipped.add(new long[] {lo, hi});
+                        continue;
+                    }
+                    for (long[] br : byteRanges) {
+                        if (lo < br[1] && hi > br[0]) {
+                            clipped.add(new long[] {Math.max(lo, br[0]), Math.min(hi, br[1])});
+                        }
+                    }
+                }
+                for (List<long[]> group : packRanges(clipped, splitSize, ratio)) {
+                    long[] lows = new long[group.size()];
+                    long[] highs = new long[group.size()];
+                    for (int i = 0; i < group.size(); i++) {
+                        lows[i] = group.get(i)[0];
+                        highs[i] = group.get(i)[1];
+                    }
+                    splits.add(new BamSplit(p, lows[0], highs[highs.length - 1], hdr,
+                            readsToCheck, maxReadSize, permissive, lows, highs,
+                            hostsFor(blockLocs, lows[0], highs[highs.length - 1])));
+                }
+                return splits;
+            }
+            for (long s = 0; s < size; s += splitSize) {
+                long e = Math.min(s + splitSize, size);
+                if (byteRanges != null) {
+                    boolean hit = false;
+                    for (long[] br : byteRanges) {
+                        if (br[0] < e && br[1] > s) {
+                            hit = true;
+                            break;
+                        }
+                    }
+                    if (!hit) {
+                        continue;
+                    }
+                }
+                splits.add(new BamSplit(p, s, e, hdr, readsToCheck, maxReadSize,
+                        permissive, null, null, hostsFor(blockLocs, s, e)));
+            }
+            return splits;
+        }
+
+        interface FilePlanner<T> {
+            T plan(FileStatus f) throws IOException;
+        }
+
+        /**
+         * Run {@code planner} over every file on a bounded thread pool
+         * and return the results in FILE ORDER (the parallelism is an
+         * I/O-latency optimization only — the plan must be byte-identical
+         * to the sequential one).  Single-file inputs skip the pool.
+         */
+        static <T> List<T> mapFiles(List<FileStatus> files, FilePlanner<T> planner)
+                throws IOException {
+            if (files.size() <= 1) {
+                List<T> out = new ArrayList<>();
+                for (FileStatus f : files) {
+                    out.add(planner.plan(f));
+                }
+                return out;
+            }
+            int threads = Math.min(16, files.size());
+            java.util.concurrent.ExecutorService pool =
+                    java.util.concurrent.Executors.newFixedThreadPool(threads, r -> {
+                        Thread t = new Thread(r, "bamjvm-plan");
+                        t.setDaemon(true);
+                        return t;
+                    });
+            try {
+                List<java.util.concurrent.Future<T>> futures = new ArrayList<>();
+                for (FileStatus f : files) {
+                    futures.add(pool.submit(() -> planner.plan(f)));
+                }
+                List<T> out = new ArrayList<>();
+                for (java.util.concurrent.Future<T> fut : futures) {
+                    out.add(fut.get());
+                }
+                return out;
+            } catch (InterruptedException e) {
+                Thread.currentThread().interrupt();
+                throw new IOException("interrupted while planning", e);
+            } catch (java.util.concurrent.ExecutionException e) {
+                Throwable cause = e.getCause();
+                if (cause instanceof IOException) {
+                    throw (IOException) cause;
+                }
+                if (cause instanceof RuntimeException) {
+                    throw (RuntimeException) cause;
+                }
+                throw new IOException("file planning failed", cause);
+            } finally {
+                pool.shutdownNow();
             }
         }
 

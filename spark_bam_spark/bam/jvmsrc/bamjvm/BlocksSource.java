@@ -175,8 +175,11 @@ public class BlocksSource implements TableProvider {
                 String rangesOpt = options.get("ranges");
                 List<long[]> byteRanges =
                         rangesOpt == null ? null : BamDataSource.BamScan.parseByteRanges(rangesOpt);
-                List<InputPartition> splits = new ArrayList<>();
-                for (FileStatus f : files) {
+                // per-file locality RPC on a bounded pool (see
+                // BamScan.mapFiles): file-order output keeps the plan
+                // byte-identical to the sequential one
+                final long splitSizeF = splitSize;
+                List<List<InputPartition>> perFile = BamDataSource.BamScan.mapFiles(files, f -> {
                     BlockLocation[] blockLocs;
                     try {
                         blockLocs = fs.getFileBlockLocations(f, 0, f.getLen());
@@ -191,11 +194,17 @@ public class BlocksSource implements TableProvider {
                     String emitted = "file".equals(f.getPath().toUri().getScheme())
                             ? f.getPath().toUri().getPath()
                             : f.getPath().toString();
-                    for (long s = 0; s < size; s += splitSize) {
-                        long e = Math.min(s + splitSize, size);
-                        splits.add(new BlockSplit(emitted, s, e, byteRanges,
+                    List<InputPartition> out = new ArrayList<>();
+                    for (long s = 0; s < size; s += splitSizeF) {
+                        long e = Math.min(s + splitSizeF, size);
+                        out.add(new BlockSplit(emitted, s, e, byteRanges,
                                 BamDataSource.BamScan.hostsFor(blockLocs, s, e)));
                     }
+                    return out;
+                });
+                List<InputPartition> splits = new ArrayList<>();
+                for (List<InputPartition> fileSplits : perFile) {
+                    splits.addAll(fileSplits);
                 }
                 return splits.toArray(new InputPartition[0]);
             } catch (IOException e) {

@@ -393,3 +393,30 @@ def test_fuzz_geometry_parity(spark, tmp_path_factory):
         assert len(jv) == n
 
     check()
+
+
+def test_many_file_directory_parallel_planning(spark, tmp_path_factory):
+    """Per-file planning runs on a thread pool for multi-file inputs
+    (object-store latency hiding); the split list must stay in FILE
+    ORDER and the row set byte-identical to the Python source.  12
+    distinct files (different sizes/seeds) make ordering mistakes
+    visible."""
+    from spark_bam_spark.bam.datasource import register as reg
+    from spark_bam_spark.bam.writer import make_fixture
+
+    d = tmp_path_factory.mktemp("many_bams")
+    total = 0
+    for i in range(12):
+        n = 50 + 40 * i
+        make_fixture(str(d / f"f{i:02d}.bam"), n=n, block_payload=2048, seed=100 + i)
+        total += n
+    reg(spark)
+    py = _canon(spark.read.format("bam").option("split_size", 4096).load(str(d))).collect()
+    jv = _canon(jvmreader.read_bam_jvm(spark, str(d), split_size=4096)).collect()
+    assert len(jv) == total
+    assert py == jv
+    # blocks source over the same directory: same parallel-planning path
+    pyb = sorted(map(tuple, spark.read.format("bgzf_blocks")
+                     .option("split_size", 4096).load(str(d)).collect()))
+    jvb = sorted(map(tuple, jvmreader.read_blocks_jvm(spark, str(d), split_size=4096).collect()))
+    assert pyb == jvb and len(jvb) > 12
