@@ -232,10 +232,22 @@ class BamReader(DataSourceReader):
         self.want_seq = "seq" in self.columns or "seq_len" in self.columns
         self.want_qual = "qual" in self.columns
         self.want_tags = "tags" in self.columns
-        self.headers: dict[str, BamHeader] = {}
-        for p in _bam_paths(self.path):
+        # per-file header parse on a bounded pool for multi-file inputs —
+        # same planning-latency rationale as the JVM source's mapFiles
+        # (serial 2-4 round trips per file add up on remote stores); dict
+        # insertion order preserves _bam_paths order either way
+        def _hdr(p: str) -> BamHeader:
             with open(p, "rb") as f:
-                self.headers[p] = parse_header(f)
+                return parse_header(f)
+
+        paths_all = _bam_paths(self.path)
+        if len(paths_all) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(paths_all))) as ex:
+                self.headers = dict(zip(paths_all, ex.map(_hdr, paths_all)))
+        else:
+            self.headers = {p: _hdr(p) for p in paths_all}
         # pushed-down predicate state: rname equality NAMES (resolved
         # against EACH file's own dictionary at pruning time — a directory
         # scan may mix files with divergent reference dictionaries, and
