@@ -1,9 +1,11 @@
 """On-demand build + session wiring for the JVM-native BAM DataSourceV2.
 
-The engine's default BAM scan is the Python Data Source
-(bam/datasource.py); its measured end-to-end ceiling is ~100k reads/s
-per core (VERIFICATION_r7 §DS-ceiling) because every decoded batch
-crosses the Python-worker/Arrow boundary.  The Java twin under
+This is the engine's DEFAULT BAM scan since r9 (bam/reader.py routes
+here whenever a JDK is present).  The Python Data Source
+(bam/datasource.py) remains the no-JDK fallback and the differential
+oracle; its measured end-to-end ceiling is ~100k reads/s per core
+(VERIFICATION_r7 §DS-ceiling) because every decoded batch crosses the
+Python-worker/Arrow boundary.  The Java implementation under
 ``jvmsrc/bamjvm/`` keeps the identical schema, split-ownership rule, and
 record-boundary checker, but decodes inside the executor JVM — the same
 execution shape the reference uses (load/.../CanLoadBam.scala runs its
