@@ -17,9 +17,12 @@ import org.apache.hadoop.fs.FileStatus;
 import org.apache.hadoop.fs.FileSystem;
 import org.apache.hadoop.fs.Path;
 import org.apache.spark.sql.connector.catalog.SupportsRead;
+import org.apache.spark.sql.connector.catalog.SupportsWrite;
 import org.apache.spark.sql.connector.catalog.Table;
 import org.apache.spark.sql.connector.catalog.TableCapability;
 import org.apache.spark.sql.connector.catalog.TableProvider;
+import org.apache.spark.sql.connector.write.LogicalWriteInfo;
+import org.apache.spark.sql.connector.write.WriteBuilder;
 import org.apache.spark.sql.connector.expressions.Transform;
 import org.apache.spark.sql.connector.read.Batch;
 import org.apache.spark.sql.connector.read.InputPartition;
@@ -86,15 +89,31 @@ public class BamDataSource implements TableProvider {
 
     @Override
     public Table getTable(StructType schema, Transform[] partitioning, Map<String, String> properties) {
-        return new BamTable(new HashMap<>(properties));
+        return new BamTable(schema, new HashMap<>(properties));
+    }
+
+    /**
+     * Lets Spark hand the WRITE query's schema to {@link #getTable} instead
+     * of calling {@link #inferSchema} (DataFrameWriter passes
+     * {@code df.schema} when this is true), so {@code df.write} with any
+     * SUBSET of the logical columns passes AppendData's by-position
+     * validation — the same any-subset contract as the Python writer.
+     * Reads are unaffected: without a user-specified schema the inferred
+     * schema is {@link #fullSchema()} either way.
+     */
+    @Override
+    public boolean supportsExternalMetadata() {
+        return true;
     }
 
     // ---------------------------------------------------------------- table
 
-    static final class BamTable implements Table, SupportsRead {
+    static final class BamTable implements Table, SupportsRead, SupportsWrite {
+        private final StructType schema;
         private final Map<String, String> properties;
 
-        BamTable(Map<String, String> properties) {
+        BamTable(StructType schema, Map<String, String> properties) {
+            this.schema = schema == null ? fullSchema() : schema;
             this.properties = properties;
         }
 
@@ -105,19 +124,25 @@ public class BamDataSource implements TableProvider {
 
         @Override
         public StructType schema() {
-            return fullSchema();
+            return schema;
         }
 
         @Override
         public Set<TableCapability> capabilities() {
             Set<TableCapability> caps = new HashSet<>();
             caps.add(TableCapability.BATCH_READ);
+            caps.add(TableCapability.BATCH_WRITE);
             return caps;
         }
 
         @Override
         public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
             return new BamScanBuilder(options.asCaseSensitiveMap());
+        }
+
+        @Override
+        public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+            return new BamWriteSupport.BamWriteBuilder(info);
         }
     }
 

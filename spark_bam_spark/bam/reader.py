@@ -107,6 +107,62 @@ def read_bam(
     return rdr.load(path)
 
 
+def writer_choice() -> str:
+    """'jvm' | 'py' — the env override wins; otherwise jvm when buildable.
+
+    Mirrors :func:`reader_choice` for the WRITE side
+    (``SPARK_GRAFT_BAM_WRITER=py|jvm``): the JVM DSv2 sink
+    (bamjvm/BamWriteSupport.java) encodes rows in the executor JVM with
+    O(block) memory and task-retry-safe rename-on-commit; the Python Data
+    Source writer (bam/datasource.py BamWriter) remains the no-JDK
+    fallback and the differential oracle (both emit byte-identical
+    uncompressed streams for the same options)."""
+    env = os.environ.get("SPARK_GRAFT_BAM_WRITER", "").strip().lower()
+    if env in ("py", "python"):
+        return "py"
+    if env in ("jvm", "java"):
+        return "jvm"
+    from spark_bam_spark.bam import jvmreader
+
+    return "jvm" if jvmreader.available() else "py"
+
+
+def write_bam_df(
+    df: DataFrame,
+    path: str,
+    contigs: str = "",
+    block_payload: int | None = None,
+    writer: str | None = None,
+) -> str:
+    """Write a reads DataFrame as a directory of part-BAMs via the default
+    (JVM-first) write path; returns the implementation used ('jvm'|'py').
+
+    Accepts any subset of the logical read-schema columns; missing columns
+    and NULLs take the spec defaults in both implementations.  ``contigs``
+    is ``name:length,...`` for the header's @SQ lines (and rname→ref_idx
+    resolution when the frame has no ref_idx column)."""
+    choice = writer or writer_choice()
+    if choice not in ("jvm", "py"):
+        raise ValueError(f"writer must be jvm|py, got {choice!r}")
+    spark = df.sparkSession
+    if choice == "jvm":
+        from spark_bam_spark.bam import jvmreader
+
+        jvmreader.ensure_session(spark)
+        w = df.write.format(jvmreader.FORMAT)
+    else:
+        from spark_bam_spark.bam.datasource import register
+
+        register(spark)
+        w = df.write.format("bam")
+    if contigs:
+        w = w.option("contigs", contigs)
+    if block_payload is not None:
+        w = w.option("block_payload", str(block_payload))
+    w.mode("append").save(path)
+    return choice
+
+
 def read_blocks(
     spark: SparkSession,
     path: str,

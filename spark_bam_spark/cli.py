@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
         "JDK is available, Python Data Source otherwise); equivalent to "
         "SPARK_GRAFT_BAM_READER",
     )
+    ap.add_argument(
+        "--writer",
+        choices=("jvm", "py"),
+        default=None,
+        help="force the BAM write path for htsjdk-rewrite (default: JVM "
+        "DSv2 sink when a JDK is available); equivalent to "
+        "SPARK_GRAFT_BAM_WRITER",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in (
         "check-bam",
@@ -231,14 +239,12 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
                 .drop("_rn")
             )
         contigs = ",".join(f"{n}:{ln}" for n, ln in zip(hdr.names, hdr.lengths))
-        # the write side is always the Python DataSource: register it
-        # explicitly (the READ above may have planned via the JVM source,
-        # which does not register the 'bam' format name)
-        from spark_bam_spark.bam.datasource import register as _reg
+        from spark_bam_spark.bam.reader import write_bam_df
 
-        _reg(spark)
-        reads.write.format("bam").option("contigs", contigs).mode("append").save(args.out)
-        print(f"wrote {args.out}")
+        impl = write_bam_df(
+            reads, args.out, contigs=contigs, writer=getattr(args, "writer", None)
+        )
+        print(f"wrote {args.out} (writer={impl})")
         return
     else:  # pragma: no cover
         raise SystemExit(f"unknown command {cmd}")

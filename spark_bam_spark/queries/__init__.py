@@ -228,6 +228,10 @@ _FORCE_RECHECK: tuple[str, ...] = (
     "bam_compute_splits",
     "bam_check_blocks",
     "bam_count_reads",
+    # r10: the WRITE side also flipped — bam/reader.py::write_bam_df routes
+    # to the JVM DSv2 sink (BamWriteSupport.java) when a JDK is present, so
+    # the roundtrip's write stage changed implementation (read-back plan
+    # changed in r9 already):
     "bam_rewrite_roundtrip",
     "bam_time_load",
     "bam_scan_50k",

@@ -432,40 +432,32 @@ def _fresh_rewrite_dir() -> str:
 )
 def bam_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible round-trip for the S18 writer sink: scan the 2500-
-    record fixture, write it back through ``df.write.format("bam")``
-    (different block_payload so the BGZF framing genuinely changes),
+    record fixture, write it back through the default (JVM-first) write
+    path (different block_payload so the BGZF framing genuinely changes),
     rescan the part-BAMs, and full-outer-join on qname comparing every
     logical field (flag/rname/pos/mapq/cigar/tlen/seq/qual).  The oracle
     derives the expected single row from the generator truth sidecar:
     both counts equal the truth count, zero mismatches.  Any writer or
     reader regression shows up as a mismatch/missing row and breaks the
     hash.  (HTSJDKRewrite.scala:21-93 parity: rewrite-then-compare.)"""
-    from spark_bam_spark.bam.datasource import register as reg
+    return _rewrite_roundtrip(spark, sf_dir, writer=None)
+
+
+def _rewrite_roundtrip(spark: SparkSession, sf_dir: str, writer: str | None) -> DataFrame:
+    from spark_bam_spark.bam.reader import read_bam, write_bam_df
     from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES
 
     src = _reads(spark, split_size=65536)
     rewrite_dir = _fresh_rewrite_dir()
     contigs = ",".join(f"{n}:{ln}" for n, ln in zip(CONTIG_NAMES, CONTIG_LENGTHS))
-    # register BEFORE the write: the writer is always the Python
-    # DataSource, and the read above may have planned via the JVM source
-    # (which never registers the 'bam' format name in this session)
-    reg(spark)
-    (
-        src.repartition(4)
-        .write.format("bam")
-        .option("contigs", contigs)
-        .option("block_payload", 4096)
-        .mode("append")
-        .save(rewrite_dir)
+    write_bam_df(
+        src.repartition(4), rewrite_dir, contigs=contigs, block_payload=4096, writer=writer
     )
-    reg(spark)
     # fresh plan on purpose (no _PLAN_CACHE): each call writes to a fresh
     # scratch dir, so the reader must re-list and re-scan it.  The write
     # is necessarily eager (the rescan needs the part-BAMs on disk) —
     # this is the one registry fn that runs a job at build time, which is
     # safe now that the target is per-call unique.
-    from spark_bam_spark.bam.reader import read_bam
-
     back = read_bam(spark, rewrite_dir, split_size=16384)
     fields = ["flag", "rname", "pos", "mapq", "cigar", "tlen", "seq", "qual"]
     a = src.select("qname", *fields).alias("a")
@@ -480,6 +472,45 @@ def bam_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(mismatch.cast("int")).cast("bigint").alias("n_mismatch"),
         (F.sum(mismatch.cast("int")) == 0).alias("all_match"),
     )
+
+
+@register(
+    "bam_rewrite_roundtrip_jvm",
+    doc="S18 writer sink, JVM DSv2 implementation pinned (BamWriteSupport.java)",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+           CAST(COUNT(*) AS BIGINT) AS n_rewritten,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           TRUE AS all_match
+    FROM read_parquet('{_TRUTH_PQ}')
+    """,
+)
+def bam_rewrite_roundtrip_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip with the JVM DSv2 writer PINNED (errors surface instead
+    of being masked by fallback) — keeps the executor-JVM write path under
+    driver-grade evidence every round, independent of the default
+    dispatch.  Same comparison and oracle as ``bam_rewrite_roundtrip``."""
+    return _rewrite_roundtrip(spark, sf_dir, writer="jvm")
+
+
+@register(
+    "bam_rewrite_roundtrip_py",
+    doc="S18 writer sink, Python Data Source implementation pinned (datasource.py BamWriter)",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+           CAST(COUNT(*) AS BIGINT) AS n_rewritten,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           TRUE AS all_match
+    FROM read_parquet('{_TRUTH_PQ}')
+    """,
+)
+def bam_rewrite_roundtrip_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip with the Python Data Source writer PINNED — keeps the
+    no-JDK fallback write path under driver-grade evidence every round now
+    that the default routes to the JVM sink (same convention as
+    ``bam_scan_reads_py``).  Same comparison and oracle as
+    ``bam_rewrite_roundtrip``."""
+    return _rewrite_roundtrip(spark, sf_dir, writer="py")
 
 
 @register(

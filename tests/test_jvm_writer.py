@@ -1,0 +1,281 @@
+"""The r10 JVM DSv2 BAM writer (bamjvm/BamWriteSupport.java) and the
+write-path dispatch (``bam/reader.py::write_bam_df``,
+``SPARK_GRAFT_BAM_WRITER=py|jvm``).
+
+The two writers are differential twins: for the same options they must
+emit byte-identical part-BAMs (same header bytes, same record encoding,
+same exact block_payload slicing, deflate level 6 — java.util.zip and
+zlib share the deflate implementation).  The JVM sink additionally
+streams with O(block) memory and renames into place at commit
+(task-retry safe), neither of which changes bytes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from spark_bam_spark.bam import bgzf, jvmreader
+from spark_bam_spark.bam.reader import read_bam, write_bam_df, writer_choice
+from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES
+
+_HAS_JDK = jvmreader.javac_path() is not None
+_CONTIGS = ",".join(f"{n}:{ln}" for n, ln in zip(CONTIG_NAMES, CONTIG_LENGTHS))
+
+needs_jdk = pytest.mark.skipif(not _HAS_JDK, reason="no JDK compiler on this machine")
+
+
+@pytest.fixture(scope="module")
+def fixture_path() -> str:
+    from spark_bam_spark.queries.bam_qa import _fixture_path
+
+    return _fixture_path()
+
+
+def _uncompressed(path: str) -> bytes:
+    out = bytearray()
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    while off < len(data):
+        bsize = bgzf.parse_block_header(data[off : off + bgzf.BGZF_HEADER_LEN])
+        if bsize is None:
+            break
+        out += bgzf.decompress_block(data, off, bsize)
+        off += bsize
+    return bytes(out)
+
+
+# --------------------------------------------------------------- dispatch
+
+
+def test_writer_choice_env_override(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BAM_WRITER", "py")
+    assert writer_choice() == "py"
+    monkeypatch.setenv("SPARK_GRAFT_BAM_WRITER", "jvm")
+    assert writer_choice() == "jvm"
+    monkeypatch.delenv("SPARK_GRAFT_BAM_WRITER")
+    assert writer_choice() == ("jvm" if _HAS_JDK else "py")
+
+
+def test_write_bam_df_rejects_bad_writer(spark, tmp_path):
+    df = spark.range(1).select(F.lit("q").alias("qname"))
+    with pytest.raises(ValueError, match="writer must be"):
+        write_bam_df(df, str(tmp_path / "x"), writer="scala")
+
+
+def test_env_py_forces_python_writer(spark, fixture_path, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BAM_WRITER", "py")
+    src = read_bam(spark, fixture_path).limit(50)
+    impl = write_bam_df(src, str(tmp_path / "out"), contigs=_CONTIGS)
+    assert impl == "py"
+    assert read_bam(spark, str(tmp_path / "out")).count() == 50
+
+
+# -------------------------------------------------------------- roundtrip
+
+
+@needs_jdk
+def test_jvm_writer_roundtrip_both_readers(spark, fixture_path, tmp_path):
+    src = read_bam(spark, fixture_path, split_size=65536)
+    out = str(tmp_path / "rw")
+    impl = write_bam_df(
+        src.repartition(4), out, contigs=_CONTIGS, block_payload=4096, writer="jvm"
+    )
+    assert impl == "jvm"
+    fields = ["flag", "rname", "pos", "mapq", "cigar", "tlen", "seq", "qual", "tags"]
+    a = src.select("qname", *fields)
+    for reader in ("jvm", "py"):
+        back = read_bam(spark, out, split_size=16384, reader=reader)
+        b = back.select("qname", *fields)
+        joined = a.alias("a").join(b.alias("b"), "qname", "full_outer")
+        mismatch = ~(F.col("a.flag").isNotNull() & F.col("b.flag").isNotNull())
+        for f in fields[:-1]:
+            mismatch = mismatch | ~F.col(f"a.{f}").eqNullSafe(F.col(f"b.{f}"))
+        mismatch = mismatch | ~F.map_entries("a.tags").eqNullSafe(F.map_entries("b.tags"))
+        assert joined.filter(mismatch).count() == 0, f"reader={reader}"
+
+
+@needs_jdk
+def test_jvm_and_python_writers_emit_identical_bytes(spark, fixture_path, tmp_path):
+    """Differential contract: one partition, same options → the part-BAMs
+    are byte-identical (compressed AND uncompressed)."""
+    src = read_bam(spark, fixture_path).repartition(1).sortWithinPartitions("qname")
+    dirs = {}
+    for w in ("jvm", "py"):
+        dirs[w] = str(tmp_path / w)
+        write_bam_df(src, dirs[w], contigs=_CONTIGS, block_payload=4096, writer=w)
+    jparts = sorted(glob.glob(dirs["jvm"] + "/part-*.bam"))
+    pparts = sorted(glob.glob(dirs["py"] + "/part-*.bam"))
+    assert len(jparts) == len(pparts) == 1
+    with open(jparts[0], "rb") as f:
+        jraw = f.read()
+    with open(pparts[0], "rb") as f:
+        praw = f.read()
+    assert _uncompressed(jparts[0]) == _uncompressed(pparts[0])
+    assert jraw == praw
+
+
+@needs_jdk
+def test_jvm_writer_no_inprogress_leftovers(spark, fixture_path, tmp_path):
+    out = str(tmp_path / "clean")
+    write_bam_df(read_bam(spark, fixture_path).limit(10), out, contigs=_CONTIGS, writer="jvm")
+    assert not glob.glob(out + "/*.inprogress") and not glob.glob(out + "/.*inprogress*")
+
+
+@needs_jdk
+def test_jvm_writer_block_payload_framing(spark, fixture_path, tmp_path):
+    """Every BGZF block except the last carries exactly block_payload
+    uncompressed bytes (the exact-slicing contract shared with the
+    Python writer)."""
+    from spark_bam_spark.bam.reader import read_blocks
+
+    out = str(tmp_path / "framed")
+    write_bam_df(
+        read_bam(spark, fixture_path).repartition(1),
+        out,
+        contigs=_CONTIGS,
+        block_payload=8192,
+        writer="jvm",
+    )
+    part = sorted(glob.glob(out + "/part-*.bam"))[0]
+    rows = read_blocks(spark, part).orderBy("start").collect()
+    sizes = [r["uncompressed_size"] for r in rows]
+    assert all(s == 8192 for s in sizes[:-1])
+    assert 0 < sizes[-1] <= 8192
+    # EOF marker present
+    with open(part, "rb") as f:
+        f.seek(-28, os.SEEK_END)
+        assert f.read(28) == bgzf.EOF_BLOCK
+
+
+# ------------------------------------------------- subsets, defaults, nulls
+
+
+@needs_jdk
+def test_jvm_writer_subset_schema_defaults(spark, tmp_path):
+    """Any-subset column contract: missing columns take spec defaults,
+    rname resolves to ref_idx through the contigs option."""
+    rows = [
+        Row(qname="r0", rname="1", pos=100, seq="ACGT"),
+        Row(qname="r1", rname="3", pos=200, seq="GG"),
+        Row(qname="r2", rname="nope", pos=300, seq="T"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "subset")
+    write_bam_df(df.coalesce(1), out, contigs=_CONTIGS, writer="jvm")
+    back = {r["qname"]: r for r in read_bam(spark, out).collect()}
+    assert len(back) == 3
+    assert back["r0"]["ref_idx"] == 0 and back["r0"]["rname"] == "1"
+    assert back["r1"]["ref_idx"] == 2 and back["r1"]["rname"] == "3"
+    assert back["r2"]["ref_idx"] == -1  # unknown contig name
+    r0 = back["r0"]
+    assert r0["flag"] == 0 and r0["mapq"] == 0 and r0["cigar"] == "*"
+    assert r0["mate_ref_idx"] == -1 and r0["tlen"] == 0
+    assert r0["seq"] == "ACGT" and dict(r0["tags"]) == {}
+
+
+@needs_jdk
+def test_jvm_writer_null_values_take_defaults(spark, tmp_path):
+    """NULL cell values coalesce to the same defaults as missing columns
+    (the Python writer's val() contract)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("qname", StringType()),
+            StructField("flag", IntegerType()),
+            StructField("rname", StringType()),
+            StructField("pos", LongType()),
+            StructField("seq", StringType()),
+            StructField("qual", StringType()),
+            StructField("tags", MapType(StringType(), StringType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("rn", None, "2", None, None, None, None)], schema=schema
+    )
+    out = str(tmp_path / "nulls")
+    write_bam_df(df, out, contigs=_CONTIGS, writer="jvm")
+    r = read_bam(spark, out).first()
+    assert r["qname"] == "rn" and r["flag"] == 0
+    assert r["pos"] == -1  # NULL pos → unplaced
+    assert r["seq"] == "" and dict(r["tags"]) == {}
+
+
+@needs_jdk
+def test_jvm_writer_empty_partitions_write_valid_headers(spark, tmp_path):
+    """Empty partitions still emit a header-only part-BAM (parity with the
+    Python writer) that both readers accept as 0 rows."""
+    df = (
+        spark.createDataFrame([Row(qname="solo", rname="1", pos=5, seq="A")])
+        .repartition(3)
+    )
+    out = str(tmp_path / "sparse")
+    write_bam_df(df, out, contigs=_CONTIGS, writer="jvm")
+    assert len(glob.glob(out + "/part-*.bam")) == 3
+    for reader in ("jvm", "py"):
+        assert read_bam(spark, out, reader=reader).count() == 1
+
+
+@needs_jdk
+def test_jvm_writer_int_typed_numeric_columns(spark, tmp_path):
+    """pos/mate_pos as int (not the read schema's bigint) still encode."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("qname", StringType()),
+            StructField("rname", StringType()),
+            StructField("pos", IntegerType()),
+            StructField("mate_pos", IntegerType()),
+            StructField("seq", StringType()),
+        ]
+    )
+    df = spark.createDataFrame([("i0", "2", 77, 99, "CCC")], schema=schema)
+    out = str(tmp_path / "ints")
+    write_bam_df(df, out, contigs=_CONTIGS, writer="jvm")
+    r = read_bam(spark, out).first()
+    assert r["pos"] == 77 and r["mate_pos"] == 99 and r["rname"] == "2"
+
+
+@needs_jdk
+def test_jvm_writer_rejects_bad_cigar(spark, tmp_path):
+    df = spark.createDataFrame([Row(qname="x", rname="1", pos=1, cigar="4Q", seq="AC")])
+    with pytest.raises(Exception, match="invalid cigar"):
+        write_bam_df(df, str(tmp_path / "bad"), contigs=_CONTIGS, writer="jvm")
+
+
+@needs_jdk
+def test_jvm_writer_rejects_bad_block_payload(spark, tmp_path):
+    df = spark.createDataFrame([Row(qname="x", rname="1", pos=1, seq="AC")])
+    with pytest.raises(Exception, match="block_payload"):
+        write_bam_df(
+            df, str(tmp_path / "bp"), contigs=_CONTIGS, block_payload=1 << 20, writer="jvm"
+        )
+
+
+# ----------------------------------------------------------------- queries
+
+
+@needs_jdk
+def test_rewrite_roundtrip_queries_all_match(spark):
+    from spark_bam_spark.queries import REGISTRY
+
+    for name in (
+        "bam_rewrite_roundtrip",
+        "bam_rewrite_roundtrip_jvm",
+        "bam_rewrite_roundtrip_py",
+    ):
+        row = REGISTRY[name].fn(spark, "/root/testdata/sf0.001").first()
+        assert row["n_mismatch"] == 0 and row["all_match"], name
