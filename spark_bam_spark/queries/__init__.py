@@ -259,6 +259,12 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # intermediate instead of two) — plan changed, -13% min / -17%
     # median at sf0.1
     "bm25_topk_docs",
+    # r10 perf: per-gram counts via a window over partitionBy(gram)
+    # instead of groupBy-then-join-back — the full gram stream (the
+    # largest intermediate) is exchanged once instead of twice; -24% min
+    # at sf0.1 for the spans query, plans changed in both:
+    "dedup_substring_spans",
+    "dup_ngram_coverage",
 )
 
 

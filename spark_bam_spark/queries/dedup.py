@@ -633,10 +633,15 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation, since a repeated long span is a run of repeated
     n-grams).
 
-    Scale shape: explode → count per gram (map-side partial agg on a
-    uniform text key) → hash join back → per-source agg. Every shuffle is
-    keyed on the gram hash (uniform); nothing is quadratic. The explode
-    keeps its array expression inline (InferFiltersFromGenerate trap)."""
+    Scale shape (r10 rework): explode → ONE shuffle of the gram stream
+    (window count over partitionBy(gram) — the gram stream is the largest
+    intermediate, and the old groupBy-then-join-back shape exchanged it
+    twice: once aggregating, once joining the counts back on) → per-source
+    agg. The per-gram window frame is the gram's occurrence list (tiny —
+    that's what's being counted), so the window buffers O(c) rows, never
+    O(partition). Every shuffle is keyed on the gram hash (uniform);
+    nothing is quadratic. The explode keeps its array expression inline
+    (InferFiltersFromGenerate trap)."""
     d = fan_out(table(spark, sf_dir, "documents").select("source", "text"))
     toks = d.select("source", F.split("text", " ").alias("w")).filter(
         F.size("w") >= 8
@@ -647,16 +652,12 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))")
         ).alias("gram"),
     )
-    cnt = pos.groupBy("gram").agg(F.count("*").alias("c"))
+    cnt = pos.withColumn("c", F.count("*").over(W.partitionBy("gram")))
     dup = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
-    return (
-        pos.join(cnt, "gram")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_grams"),
-            dup.cast("bigint").alias("n_dup_grams"),
-            (dup.cast("double") / F.count("*")).alias("dup_fraction"),
-        )
+    return cnt.groupBy("source").agg(
+        F.count("*").alias("n_grams"),
+        dup.cast("bigint").alias("n_dup_grams"),
+        (dup.cast("double") / F.count("*")).alias("dup_fraction"),
     )
 
 
@@ -824,12 +825,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines). Runs of >= 5 consecutive duplicated grams (>= 12
     tokens) stand in for the reference method's >= 50-char threshold.
 
-    Scale shape: explode -> gram count (map-side partial agg, uniform text
-    key) -> hash join back -> one window over (doc_id, position) for the
-    gaps-and-islands grouping -> per-(doc, island) agg. Every shuffle keys
-    on the gram hash or doc_id (both uniform); the window partitions by
-    doc_id so its sort is per-document, never global. Positions are ints,
-    so island detection (i - row_number) is exact in both engines."""
+    Scale shape (r10 rework): explode -> ONE shuffle of the gram stream
+    (window count over partitionBy(gram); the old groupBy-then-join-back
+    exchanged the full (doc_id, i, gram) stream twice — measured -24% at
+    sf0.1, 7 exchanges -> 5) -> one window over (doc_id, position) for the
+    gaps-and-islands grouping -> per-(doc, island) agg. The per-gram
+    window frame is the gram's occurrence list (tiny), so it buffers O(c)
+    rows, never O(partition). Every shuffle keys on the gram hash or
+    doc_id (both uniform); the islands window partitions by doc_id so its
+    sort is per-document, never global. Positions are ints, so island
+    detection (i - row_number) is exact in both engines."""
     d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     # short-doc guard lives INSIDE the explode expression: a row filter on
     # size(w) would be pushed below fan_out's repartition into the FileScan
@@ -846,8 +851,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.i").alias("i"), F.col("p.gram").alias("gram"))
-    cnt = pos.groupBy("gram").agg(F.count("*").alias("c"))
-    dup = pos.join(cnt.filter(F.col("c") >= 2), "gram").select("doc_id", "i")
+    dup = (
+        pos.withColumn("c", F.count("*").over(W.partitionBy("gram")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "i")
+    )
     isl = dup.withColumn(
         "grp", F.col("i") - F.row_number().over(W.partitionBy("doc_id").orderBy("i"))
     )
