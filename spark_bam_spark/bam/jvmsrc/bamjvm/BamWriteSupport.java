@@ -138,6 +138,11 @@ final class BamWriteSupport {
             buf[len++] = (byte) (v >> 24);
         }
 
+        void i64(long v) {
+            i32((int) v);
+            i32((int) (v >> 32));
+        }
+
         void bytes(byte[] src, int off, int n) {
             reserve(n);
             System.arraycopy(src, off, buf, len, n);
@@ -212,6 +217,7 @@ final class BamWriteSupport {
         private final String[] names;
         private final int[] lengths;
         private final int blockPayload;
+        private final boolean bai;
         private final ColMap cols;
         private final SerializableConf sconf;
 
@@ -240,6 +246,7 @@ final class BamWriteSupport {
                 throw new IllegalArgumentException(
                         "bam write: block_payload must be in [1, " + DEFAULT_BLOCK_PAYLOAD + "]");
             }
+            this.bai = Boolean.parseBoolean(opts.getOrDefault("bai", "false"));
             this.cols = new ColMap(info.schema());
             this.sconf = new SerializableConf(SerializableConf.sessionHadoopConf());
         }
@@ -259,7 +266,7 @@ final class BamWriteSupport {
             } catch (IOException e) {
                 throw new java.io.UncheckedIOException(e);
             }
-            return new BamWriterFactory(path, names, lengths, blockPayload, cols, sconf);
+            return new BamWriterFactory(path, names, lengths, blockPayload, bai, cols, sconf);
         }
 
         @Override
@@ -279,15 +286,17 @@ final class BamWriteSupport {
         private final String[] names;
         private final int[] lengths;
         private final int blockPayload;
+        private final boolean bai;
         private final ColMap cols;
         private final SerializableConf sconf;
 
         BamWriterFactory(String path, String[] names, int[] lengths, int blockPayload,
-                         ColMap cols, SerializableConf sconf) {
+                         boolean bai, ColMap cols, SerializableConf sconf) {
             this.path = path;
             this.names = names;
             this.lengths = lengths;
             this.blockPayload = blockPayload;
+            this.bai = bai;
             this.cols = cols;
             this.sconf = sconf;
         }
@@ -295,7 +304,7 @@ final class BamWriteSupport {
         @Override
         public DataWriter<InternalRow> createWriter(int partitionId, long taskId) {
             try {
-                return new BamDataWriter(path, names, lengths, blockPayload, cols, sconf,
+                return new BamDataWriter(path, names, lengths, blockPayload, bai, cols, sconf,
                         partitionId, taskId);
             } catch (IOException e) {
                 throw new java.io.UncheckedIOException(e);
@@ -329,11 +338,27 @@ final class BamWriteSupport {
         private final Grow rec = new Grow(512);
         private long nRecords;
         private boolean closed;
+        // BAI emission (option bai=true): the writer owns every record's
+        // exact virtual offset ((compressed-bytes-flushed << 16) | fill),
+        // so it builds the spec §5.2 binning index as a running side
+        // effect — no second pass, O(touched bins) memory.  Mirrors the
+        // Python generator's build_bai (bam/bai.py:72-100).
+        private final boolean bai;
+        private final int nRefs;
+        private long prevRef = Long.MIN_VALUE; // bai: coordinate-order guard
+        private long prevPos = Long.MIN_VALUE;
+        private long flushed; // compressed bytes written so far
+        private final java.util.HashMap<Integer, TreeMap<Integer, java.util.ArrayList<long[]>>> baiBins =
+                new java.util.HashMap<>();
+        private final java.util.HashMap<Integer, java.util.ArrayList<Long>> baiLinear =
+                new java.util.HashMap<>();
 
         BamDataWriter(String dir, String[] names, int[] lengths, int blockPayload,
-                      ColMap cols, SerializableConf sconf, int partitionId, long taskId)
-                throws IOException {
+                      boolean bai, ColMap cols, SerializableConf sconf, int partitionId,
+                      long taskId) throws IOException {
             this.blockPayload = blockPayload;
+            this.bai = bai;
+            this.nRefs = names.length;
             this.cols = cols;
             this.block = new byte[blockPayload];
             for (int i = 0; i < names.length; i++) nameToIdx.put(names[i], i);
@@ -392,6 +417,7 @@ final class BamWriteSupport {
                 (byte) fill, (byte) (fill >> 8), (byte) (fill >> 16), (byte) (fill >> 24)
             };
             out.write(foot);
+            flushed += Bgzf.HEADER_LEN + n + Bgzf.FOOTER_LEN;
             fill = 0;
         }
 
@@ -494,6 +520,7 @@ final class BamWriteSupport {
             }
 
             // length-prefix then stream into the block slicer
+            long v0 = (flushed << 16) | fill;
             int bodyLen = rec.len;
             byte[] prefix = {
                 (byte) bodyLen, (byte) (bodyLen >> 8), (byte) (bodyLen >> 16), (byte) (bodyLen >> 24)
@@ -501,6 +528,41 @@ final class BamWriteSupport {
             append(prefix, 0, 4);
             append(rec.buf, 0, bodyLen);
             nRecords++;
+            if (bai && refIdx >= 0 && refIdx < nRefs && pos >= 0) {
+                // The BAI linear-index floor is only sound when voffsets are
+                // monotone in (ref, pos) — the spec's coordinate-sort
+                // contract (samtools index refuses unsorted BAMs the same
+                // way).  Fail loudly instead of emitting an index that
+                // silently misprunes.
+                if (refIdx < prevRef || (refIdx == prevRef && pos < prevPos)) {
+                    throw new IOException(
+                            "bai=true requires coordinate-sorted partitions "
+                                    + "(got ref " + refIdx + " pos " + pos + " after ref "
+                                    + prevRef + " pos " + prevPos
+                                    + "); sortWithinPartitions(\"ref_idx\", \"pos\") "
+                                    + "before the write");
+                }
+                prevRef = refIdx;
+                prevPos = pos;
+                long v1 = (flushed << 16) | fill;
+                long end = Math.max(endPos, pos + 1);
+                TreeMap<Integer, java.util.ArrayList<long[]>> refBins =
+                        baiBins.computeIfAbsent((int) refIdx, k -> new TreeMap<>());
+                java.util.ArrayList<long[]> chunks =
+                        refBins.computeIfAbsent(bin, k -> new java.util.ArrayList<>());
+                if (!chunks.isEmpty() && chunks.get(chunks.size() - 1)[1] == v0) {
+                    chunks.get(chunks.size() - 1)[1] = v1; // merge adjacent
+                } else {
+                    chunks.add(new long[] {v0, v1});
+                }
+                java.util.ArrayList<Long> lin =
+                        baiLinear.computeIfAbsent((int) refIdx, k -> new java.util.ArrayList<>());
+                int wEnd = (int) ((end - 1) >> 14); // 16 KiB linear windows
+                while (lin.size() <= wEnd) lin.add(0L);
+                for (int w = (int) (pos >> 14); w <= wEnd; w++) {
+                    if (lin.get(w) == 0L || v0 < lin.get(w)) lin.set(w, v0);
+                }
+            }
         }
 
         static int[] parseCigar(String s) throws IOException {
@@ -534,6 +596,33 @@ final class BamWriteSupport {
             return out;
         }
 
+        /** Spec §5.2 BAI binary encoding of the accumulated index. */
+        private byte[] encodeBai() {
+            Grow o = new Grow(1024);
+            o.bytes(new byte[] {'B', 'A', 'I', 1}, 0, 4);
+            o.i32(nRefs);
+            for (int r = 0; r < nRefs; r++) {
+                TreeMap<Integer, java.util.ArrayList<long[]>> refBins = baiBins.get(r);
+                java.util.ArrayList<Long> lin = baiLinear.get(r);
+                o.i32(refBins == null ? 0 : refBins.size());
+                if (refBins != null) {
+                    for (Map.Entry<Integer, java.util.ArrayList<long[]>> e : refBins.entrySet()) {
+                        o.i32(e.getKey());
+                        o.i32(e.getValue().size());
+                        for (long[] c : e.getValue()) {
+                            o.i64(c[0]);
+                            o.i64(c[1]);
+                        }
+                    }
+                }
+                o.i32(lin == null ? 0 : lin.size());
+                if (lin != null) {
+                    for (long v : lin) o.i64(v);
+                }
+            }
+            return o.toArray();
+        }
+
         @Override
         public WriterCommitMessage commit() throws IOException {
             flushBlock();
@@ -543,6 +632,17 @@ final class BamWriteSupport {
             if (fs.exists(finalPath)) fs.delete(finalPath, false);
             if (!fs.rename(tmpPath, finalPath)) {
                 throw new IOException("bam write: rename " + tmpPath + " -> " + finalPath + " failed");
+            }
+            if (bai) {
+                Path baiTmp = tmpPath.suffix(".bai");
+                Path baiFinal = finalPath.suffix(".bai");
+                try (FSDataOutputStream b = fs.create(baiTmp, true)) {
+                    b.write(encodeBai());
+                }
+                if (fs.exists(baiFinal)) fs.delete(baiFinal, false);
+                if (!fs.rename(baiTmp, baiFinal)) {
+                    throw new IOException("bam write: rename " + baiTmp + " -> " + baiFinal + " failed");
+                }
             }
             return new BamCommitMessage(finalPath.toString(), nRecords);
         }
@@ -554,6 +654,7 @@ final class BamWriteSupport {
                 closed = true;
             }
             fs.delete(tmpPath, false);
+            if (bai) fs.delete(tmpPath.suffix(".bai"), false);
         }
 
         @Override

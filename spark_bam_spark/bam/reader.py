@@ -132,6 +132,7 @@ def write_bam_df(
     path: str,
     contigs: str = "",
     block_payload: int | None = None,
+    bai: bool = False,
     writer: str | None = None,
 ) -> str:
     """Write a reads DataFrame as a directory of part-BAMs via the default
@@ -140,16 +141,27 @@ def write_bam_df(
     Accepts any subset of the logical read-schema columns; missing columns
     and NULLs take the spec defaults in both implementations.  ``contigs``
     is ``name:length,...`` for the header's @SQ lines (and rname→ref_idx
-    resolution when the frame has no ref_idx column)."""
-    choice = writer or writer_choice()
+    resolution when the frame has no ref_idx column).
+
+    ``bai=True`` (JVM writer only) also emits a spec §5.2 BAI index per
+    part file as a running side effect of the write — the writer owns
+    every record's exact virtual offset — so interval queries over the
+    rewritten output get indexed pushdown with no separate indexing pass
+    (at 100 TB, the difference between a pruned scan and a full one)."""
+    choice = writer or ("jvm" if bai else writer_choice())
     if choice not in ("jvm", "py"):
         raise ValueError(f"writer must be jvm|py, got {choice!r}")
+    if bai and choice != "jvm":
+        raise ValueError("bai=True is JVM-writer-only (the Python Data Source "
+                         "writer has no index emitter)")
     spark = df.sparkSession
     if choice == "jvm":
         from spark_bam_spark.bam import jvmreader
 
         jvmreader.ensure_session(spark)
         w = df.write.format(jvmreader.FORMAT)
+        if bai:
+            w = w.option("bai", "true")
     else:
         from spark_bam_spark.bam.datasource import register
 

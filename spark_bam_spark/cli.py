@@ -102,6 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("path")
     p.add_argument("--out", required=True, help="output BAM path")
     p.add_argument("-r", "--range", default=None, help="row-index range lo-hi (1-based, inclusive)")
+    p.add_argument(
+        "--bai",
+        action="store_true",
+        help="also emit a spec-standard BAI index per part file "
+        "(JVM writer only) so the output serves indexed interval scans",
+    )
     # generic registry access: every operator the engine claims is a named
     # query, and every named query is runnable from the CLI
     p = sub.add_parser("list-queries", help="list the operator/query registry")
@@ -242,7 +248,11 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
         from spark_bam_spark.bam.reader import write_bam_df
 
         impl = write_bam_df(
-            reads, args.out, contigs=contigs, writer=getattr(args, "writer", None)
+            reads,
+            args.out,
+            contigs=contigs,
+            bai=getattr(args, "bai", False),
+            writer=getattr(args, "writer", None),
         )
         print(f"wrote {args.out} (writer={impl})")
         return

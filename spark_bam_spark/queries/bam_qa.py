@@ -494,6 +494,47 @@ def bam_rewrite_roundtrip_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bam_rewrite_indexed_pushdown",
+    doc="S18+S7 composed: JVM writer emits per-part BAI; rewritten output serves indexed interval scans",
+    oracle=f"""
+    SELECT qname, rname, pos, end_pos FROM read_parquet('{_TRUTH_PQ}')
+    WHERE rname = '1' AND pos >= 13000 AND pos < 1000000
+    """,
+)
+def bam_rewrite_indexed_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side indexing, end to end: rewrite the fixture through the
+    JVM sink with ``bai=True`` (the writer owns every record's exact
+    virtual offset, so the spec §5.2 index is a running side effect of
+    the write — no second pass), then serve an interval query over the
+    REWRITTEN directory through BAI-chunk pushdown.  The driver hash pins
+    the whole composition — write, per-part index emission, BAI parse,
+    chunk pruning, range walk — against the committed truth parquet.  At
+    100 TB this is what makes rewritten output immediately queryable by
+    interval without a separate indexing job (the reference reads
+    BAIs but never emits them from its rewrite sink;
+    cli/.../rewrite/HTSJDKRewrite.scala:21-93).  Partitions are
+    coordinate-sorted before the write — the spec's contract for BAI,
+    enforced loudly by the writer."""
+    from spark_bam_spark.bam.reader import read_bam, write_bam_df
+    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES
+
+    src = _reads(spark, split_size=65536)
+    rewrite_dir = _fresh_rewrite_dir()
+    contigs = ",".join(f"{n}:{ln}" for n, ln in zip(CONTIG_NAMES, CONTIG_LENGTHS))
+    write_bam_df(
+        src.repartition(4).sortWithinPartitions("ref_idx", "pos"),
+        rewrite_dir,
+        contigs=contigs,
+        block_payload=4096,
+        bai=True,
+    )
+    back = read_bam(spark, rewrite_dir, split_size=16384)
+    return back.filter(
+        (F.col("rname") == "1") & (F.col("pos") >= 13000) & (F.col("pos") < 1_000_000)
+    ).select("qname", "rname", "pos", "end_pos")
+
+
+@register(
     "bam_rewrite_roundtrip_py",
     doc="S18 writer sink, Python Data Source implementation pinned (datasource.py BamWriter)",
     oracle=f"""

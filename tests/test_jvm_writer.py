@@ -265,6 +265,90 @@ def test_jvm_writer_rejects_bad_block_payload(spark, tmp_path):
         )
 
 
+@needs_jdk
+def test_jvm_writer_failed_write_leaves_no_inprogress(spark, tmp_path):
+    """A task that fails mid-write must abort its temp file: the output
+    dir may keep parts committed by OTHER tasks (append semantics), but
+    never a .inprogress file (the rename-on-commit contract)."""
+    out = str(tmp_path / "aborted")
+    bad = spark.createDataFrame(
+        [Row(qname="ok", rname="1", pos=1, cigar="2M", seq="AC"),
+         Row(qname="boom", rname="1", pos=2, cigar="9Q", seq="GG")]  # invalid cigar op
+    ).coalesce(1)
+    with pytest.raises(Exception):
+        write_bam_df(bad, out, contigs=_CONTIGS, writer="jvm")
+    leftovers = [f for f in glob.glob(out + "/*") + glob.glob(out + "/.*")
+                 if "inprogress" in f]
+    assert leftovers == []
+
+
+# --------------------------------------------------------------------- bai
+
+
+@needs_jdk
+def test_jvm_writer_bai_byte_identical_to_generator(spark, fixture_path, tmp_path):
+    """Differential oracle for the write-side BAI emitter: a one-partition
+    rewrite in file order with the generator's block_payload reproduces
+    the generator's .bam byte-for-byte, so the emitted .bai must equal
+    the generator's build_bai sidecar byte-for-byte too (same virtual
+    offsets, same bins, same chunk merging, same linear index)."""
+    src = read_bam(spark, fixture_path, split_size=1 << 30)  # one split: file order
+    out = str(tmp_path / "rw")
+    write_bam_df(src.coalesce(1), out, contigs=_CONTIGS, block_payload=4096, bai=True)
+    part = sorted(glob.glob(out + "/part-*.bam"))[0]
+    with open(fixture_path, "rb") as f:
+        gen_bam = f.read()
+    with open(part, "rb") as f:
+        assert f.read() == gen_bam
+    with open(fixture_path + ".bai", "rb") as f:
+        gen_bai = f.read()
+    with open(part + ".bai", "rb") as f:
+        assert f.read() == gen_bai
+
+
+@needs_jdk
+def test_bai_pushdown_on_rewritten_output(spark, fixture_path, tmp_path):
+    """bai=True makes interval queries over the rewritten directory
+    index-pruned with no separate indexing pass: same rows as the
+    unindexed filter, strictly fewer input splits.  Partitions must be
+    coordinate-sorted (the spec's contract for BAI)."""
+    src = read_bam(spark, fixture_path, split_size=65536)
+    out = str(tmp_path / "rw")
+    write_bam_df(
+        src.repartition(4).sortWithinPartitions("ref_idx", "pos"),
+        out, contigs=_CONTIGS, block_payload=4096, bai=True,
+    )
+    assert len(glob.glob(out + "/part-*.bam.bai")) == 4
+    interval = (F.col("rname") == "1") & (F.col("pos") >= 13000) & (F.col("pos") < 200_000)
+    full = read_bam(spark, out, split_size=8192)
+    pruned = full.filter(interval).select("qname", "pos")
+    expected = sorted(
+        r["qname"] for r in src.filter(interval).select("qname").collect()
+    )
+    got = sorted(r["qname"] for r in pruned.collect())
+    assert got == expected and len(got) > 0
+    assert pruned.rdd.getNumPartitions() < full.select("pos").rdd.getNumPartitions()
+
+
+@needs_jdk
+def test_bai_rejects_unsorted_partitions(spark, tmp_path):
+    """An unsorted partition with bai=True must fail loudly (the BAI
+    linear-index floor is only sound for coordinate-sorted data — the
+    same contract samtools index enforces), never emit a silently
+    mispruning index."""
+    rows = [Row(qname="a", rname="1", pos=500_000, cigar="2M", seq="AC"),
+            Row(qname="b", rname="1", pos=100, cigar="2M", seq="GG")]
+    df = spark.createDataFrame(rows).coalesce(1)
+    with pytest.raises(Exception, match="coordinate-sorted"):
+        write_bam_df(df, str(tmp_path / "u"), contigs=_CONTIGS, bai=True)
+
+
+def test_bai_option_requires_jvm_writer(spark, tmp_path):
+    df = spark.createDataFrame([Row(qname="x", rname="1", pos=1, seq="AC")])
+    with pytest.raises(ValueError, match="JVM-writer-only"):
+        write_bam_df(df, str(tmp_path / "b"), contigs=_CONTIGS, bai=True, writer="py")
+
+
 # ----------------------------------------------------------------- queries
 
 
