@@ -349,6 +349,77 @@ def test_bai_option_requires_jvm_writer(spark, tmp_path):
         write_bam_df(df, str(tmp_path / "b"), contigs=_CONTIGS, bai=True, writer="py")
 
 
+# ------------------------------------------- gated differential fuzz
+
+_FUZZ = os.environ.get("SPARK_GRAFT_JVM_FUZZ") == "1"
+
+
+@needs_jdk
+@pytest.mark.skipif(not _FUZZ, reason="set SPARK_GRAFT_JVM_FUZZ=1 to run")
+def test_fuzz_writer_byte_parity(spark, tmp_path_factory):
+    """Hypothesis sweep over the record space (count, block geometry,
+    RNG seed): for the same single-partition input and options the JVM
+    and Python writers must emit BYTE-IDENTICAL part-BAMs — the
+    generalization of test_jvm_and_python_writers_emit_identical_bytes'
+    one fixed corner.  Env-gated: each example builds a DataFrame and
+    runs two write jobs."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from pyspark.sql import Row as R
+    from spark_bam_spark.bam.records import CIGAR_OPS
+    from spark_bam_spark.bam.writer import synth_records
+
+    base = tmp_path_factory.mktemp("writer_fuzz")
+    counter = {"i": 0}
+
+    def to_row(r):
+        return R(
+            qname=r.qname, flag=r.flag, ref_idx=r.ref_idx, pos=r.pos,
+            mapq=r.mapq,
+            cigar="".join(f"{ln}{CIGAR_OPS[op]}" for op, ln in r.cigar) or "*",
+            mate_ref_idx=r.mate_ref_idx, mate_pos=r.mate_pos, tlen=r.tlen,
+            seq=r.seq, qual="".join(chr(min(q + 33, 255)) for q in r.qual),
+            tags=dict(r.tags),
+        )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        n=st.integers(0, 400),
+        block_payload=st.sampled_from([512, 937, 4096, 17001, 65280]),
+    )
+    def check(seed, n, block_payload):
+        counter["i"] += 1
+        recs = [to_row(r) for r in synth_records(n, seed=seed)]
+        if recs:
+            df = spark.createDataFrame(recs).coalesce(1)
+        else:
+            from pyspark.sql.types import (
+                IntegerType, LongType, MapType, StringType, StructField, StructType,
+            )
+
+            df = spark.createDataFrame([], schema=StructType([
+                StructField("qname", StringType()), StructField("flag", IntegerType()),
+                StructField("ref_idx", IntegerType()), StructField("pos", LongType()),
+                StructField("mapq", IntegerType()), StructField("cigar", StringType()),
+                StructField("mate_ref_idx", IntegerType()),
+                StructField("mate_pos", LongType()), StructField("tlen", IntegerType()),
+                StructField("seq", StringType()), StructField("qual", StringType()),
+                StructField("tags", MapType(StringType(), StringType())),
+            ])).coalesce(1)
+        outs = {}
+        for w in ("jvm", "py"):
+            out = str(base / f"e{counter['i']}_{w}")
+            write_bam_df(df, out, contigs=_CONTIGS, block_payload=block_payload, writer=w)
+            (part,) = sorted(glob.glob(out + "/part-*.bam"))
+            with open(part, "rb") as f:
+                outs[w] = f.read()
+        assert outs["jvm"] == outs["py"]
+
+    check()
+
+
 # ----------------------------------------------------------------- queries
 
 
