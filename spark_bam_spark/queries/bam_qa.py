@@ -535,6 +535,86 @@ def bam_rewrite_indexed_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bam_sort_rewrite",
+    doc="Distributed coordinate sort -> indexed BAM rewrite (the samtools-sort analogue at cluster scale)",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+           TRUE AS globally_sorted,
+           TRUE AS roundtrip_match
+    FROM read_parquet('{_TRUTH_PQ}')
+    """,
+)
+def bam_sort_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed coordinate sort of a read set into indexed part-BAMs —
+    what ``samtools sort`` + ``samtools index`` do on one node, as one
+    Spark job: range-partition on (ref_idx, pos) so part files tile the
+    genome in order, sort within partitions, write through the JVM sink
+    with ``bai=True``.  The input is deliberately de-sorted first
+    (repartition by a hash of qname) so the sort genuinely works.  At
+    100 TB this is the canonical post-alignment reorganization: the
+    range exchange is the single unavoidable shuffle, the per-partition
+    sort is spillable, and the output serves indexed interval queries
+    immediately (no separate index job).
+
+    The result row re-derives its claims from the REWRITTEN files, not
+    the write path: n_records from a fresh scan of the output,
+    globally_sorted by checking (ref_idx, pos) monotonicity ACROSS part
+    boundaries (max key of part k <= min key of part k+1, and each part
+    internally sorted — a window over the scan ordered by file order),
+    roundtrip_match as a full-outer anti-join count against the source.
+    The oracle derives n_records from the committed truth parquet.
+    (Reference scope: spark-bam rewrites via htsjdk but never sorts or
+    indexes distributed — HTSJDKRewrite.scala:21-93.)"""
+    from pyspark.sql import Window as W
+
+    from spark_bam_spark.bam.reader import read_bam, write_bam_df
+    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES
+
+    src = _reads(spark, split_size=65536)
+    rewrite_dir = _fresh_rewrite_dir()
+    contigs = ",".join(f"{n}:{ln}" for n, ln in zip(CONTIG_NAMES, CONTIG_LENGTHS))
+    # de-sort, then the distributed sort under test: range exchange on the
+    # coordinate key + in-partition sort (unplaced reads key as +inf so
+    # they land in the last range, the samtools convention)
+    shuffled = src.repartition(8, F.crc32(F.col("qname")))
+    sort_key = F.when(F.col("ref_idx") < 0, F.lit(1 << 40)).otherwise(
+        F.col("ref_idx").cast("long") * (1 << 32) + F.col("pos")
+    )
+    ordered = shuffled.withColumn("_k", sort_key).repartitionByRange(4, "_k").sortWithinPartitions("_k").drop("_k")
+    write_bam_df(ordered, rewrite_dir, contigs=contigs, block_payload=4096, bai=True)
+
+    back = read_bam(spark, rewrite_dir, split_size=1 << 30)  # one split per part: file order
+    key = F.when(F.col("ref_idx") < 0, F.lit(1 << 40)).otherwise(
+        F.col("ref_idx").cast("long") * (1 << 32) + F.col("pos")
+    )
+    # one split per part file (huge split_size), so spark_partition_id is
+    # the file index in planning (= lexicographic part-NNNNN) order and
+    # (block_pos, offset) is the record order within the file
+    seq = back.select(
+        "qname", key.alias("k"), F.spark_partition_id().alias("f"), "block_pos", "offset"
+    )
+    w = W.orderBy("f", "block_pos", "offset")
+    order_ok = (
+        seq.withColumn("prev", F.lag("k").over(w))
+        .agg(F.sum(F.when(F.col("prev") > F.col("k"), 1).otherwise(0)).alias("n_bad"))
+    )
+    both = (
+        src.select("qname").alias("a")
+        .join(back.select("qname").alias("b"), "qname", "full_outer")
+        .agg(
+            F.sum(F.col("a.qname").isNull().cast("int")).alias("miss_a"),
+            F.sum(F.col("b.qname").isNull().cast("int")).alias("miss_b"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    return both.crossJoin(order_ok).select(
+        F.col("n").alias("n_records"),
+        (F.col("n_bad") == 0).alias("globally_sorted"),
+        ((F.col("miss_a") == 0) & (F.col("miss_b") == 0)).alias("roundtrip_match"),
+    )
+
+
+@register(
     "bam_rewrite_roundtrip_py",
     doc="S18 writer sink, Python Data Source implementation pinned (datasource.py BamWriter)",
     oracle=f"""

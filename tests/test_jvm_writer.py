@@ -424,6 +424,17 @@ def test_fuzz_writer_byte_parity(spark, tmp_path_factory):
 
 
 @needs_jdk
+def test_bam_sort_rewrite_query(spark):
+    """The distributed-sort query: de-sorted input → range partition →
+    in-partition sort → indexed write → re-derived verdict row."""
+    from spark_bam_spark.queries import load_all
+
+    row = load_all()["bam_sort_rewrite"].fn(spark, "/root/testdata/sf0.001").first()
+    assert row["n_records"] == 2500
+    assert row["globally_sorted"] and row["roundtrip_match"]
+
+
+@needs_jdk
 def test_rewrite_roundtrip_queries_all_match(spark):
     from spark_bam_spark.queries import REGISTRY
 
