@@ -729,6 +729,14 @@ class BamDataSource(DataSource):
         return BamReader(dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> BamWriter:
+        if overwrite:
+            # runs on the driver: df.write.mode("overwrite") replaces the
+            # directory (parity with the JVM sink's SupportsTruncate)
+            import shutil
+
+            out = self.options.get("path")
+            if out and os.path.isdir(out):
+                shutil.rmtree(out, ignore_errors=True)
         return BamWriter(dict(self.options), schema)
 
 

@@ -132,6 +132,7 @@ public class BamDataSource implements TableProvider {
             Set<TableCapability> caps = new HashSet<>();
             caps.add(TableCapability.BATCH_READ);
             caps.add(TableCapability.BATCH_WRITE);
+            caps.add(TableCapability.TRUNCATE); // df.write.mode("overwrite")
             return caps;
         }
 

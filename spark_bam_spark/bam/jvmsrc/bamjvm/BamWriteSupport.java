@@ -17,6 +17,7 @@ import org.apache.spark.sql.connector.write.DataWriter;
 import org.apache.spark.sql.connector.write.DataWriterFactory;
 import org.apache.spark.sql.connector.write.LogicalWriteInfo;
 import org.apache.spark.sql.connector.write.PhysicalWriteInfo;
+import org.apache.spark.sql.connector.write.SupportsTruncate;
 import org.apache.spark.sql.connector.write.Write;
 import org.apache.spark.sql.connector.write.WriteBuilder;
 import org.apache.spark.sql.connector.write.WriterCommitMessage;
@@ -212,7 +213,8 @@ final class BamWriteSupport {
 
     // ------------------------------------------------------------- builder
 
-    static final class BamWriteBuilder implements WriteBuilder, Write, BatchWrite {
+    static final class BamWriteBuilder
+            implements WriteBuilder, SupportsTruncate, Write, BatchWrite {
         private final String path;
         private final String[] names;
         private final int[] lengths;
@@ -220,6 +222,7 @@ final class BamWriteSupport {
         private final boolean bai;
         private final ColMap cols;
         private final SerializableConf sconf;
+        private boolean truncate;
 
         BamWriteBuilder(LogicalWriteInfo info) {
             Map<String, String> opts = info.options().asCaseSensitiveMap();
@@ -257,11 +260,21 @@ final class BamWriteSupport {
         @Override
         public BatchWrite toBatch() { return this; }
 
+        /** {@code df.write.mode("overwrite")}: replace the directory. */
+        @Override
+        public WriteBuilder truncate() {
+            this.truncate = true;
+            return this;
+        }
+
         @Override
         public DataWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
             try {
                 Path dir = new Path(path);
                 FileSystem fs = dir.getFileSystem(sconf.conf);
+                if (truncate && fs.exists(dir)) {
+                    fs.delete(dir, true);
+                }
                 fs.mkdirs(dir);
             } catch (IOException e) {
                 throw new java.io.UncheckedIOException(e);

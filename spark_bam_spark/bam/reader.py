@@ -133,6 +133,7 @@ def write_bam_df(
     contigs: str = "",
     block_payload: int | None = None,
     bai: bool = False,
+    mode: str = "append",
     writer: str | None = None,
 ) -> str:
     """Write a reads DataFrame as a directory of part-BAMs via the default
@@ -151,6 +152,8 @@ def write_bam_df(
     choice = writer or ("jvm" if bai else writer_choice())
     if choice not in ("jvm", "py"):
         raise ValueError(f"writer must be jvm|py, got {choice!r}")
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if bai and choice != "jvm":
         raise ValueError("bai=True is JVM-writer-only (the Python Data Source "
                          "writer has no index emitter)")
@@ -171,7 +174,7 @@ def write_bam_df(
         w = w.option("contigs", contigs)
     if block_payload is not None:
         w = w.option("block_payload", str(block_payload))
-    w.mode("append").save(path)
+    w.mode(mode).save(path)
     return choice
 
 

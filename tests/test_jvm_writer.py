@@ -349,6 +349,30 @@ def test_bai_option_requires_jvm_writer(spark, tmp_path):
         write_bam_df(df, str(tmp_path / "b"), contigs=_CONTIGS, bai=True, writer="py")
 
 
+@pytest.mark.parametrize("writer", ["jvm", "py"])
+def test_overwrite_mode_replaces_directory(spark, fixture_path, tmp_path, writer):
+    """mode='overwrite' replaces the target directory in BOTH writers
+    (SupportsTruncate on the JVM sink, driver-side rmtree in the Python
+    Data Source) — a stale part file from a wider earlier write must not
+    survive."""
+    if writer == "jvm" and not _HAS_JDK:
+        pytest.skip("no JDK")
+    out = str(tmp_path / "ow")
+    first = read_bam(spark, fixture_path).limit(100).repartition(4)
+    write_bam_df(first, out, contigs=_CONTIGS, writer=writer)
+    assert len(glob.glob(out + "/part-*.bam")) == 4
+    second = read_bam(spark, fixture_path).limit(30).coalesce(1)
+    write_bam_df(second, out, contigs=_CONTIGS, mode="overwrite", writer=writer)
+    assert len(glob.glob(out + "/part-*.bam")) == 1
+    assert read_bam(spark, out).count() == 30
+
+
+def test_write_bam_df_rejects_bad_mode(spark, tmp_path):
+    df = spark.createDataFrame([Row(qname="x", rname="1", pos=1, seq="AC")])
+    with pytest.raises(ValueError, match="mode must be"):
+        write_bam_df(df, str(tmp_path / "m"), contigs=_CONTIGS, mode="ignore")
+
+
 # ------------------------------------------- gated differential fuzz
 
 _FUZZ = os.environ.get("SPARK_GRAFT_JVM_FUZZ") == "1"
