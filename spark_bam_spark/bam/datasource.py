@@ -638,6 +638,9 @@ class BamWriter(DataSourceWriter):
                 self.names.append(n)
                 self.lengths.append(int(ln))
         self.block_payload = int(options.get("block_payload", 0xFF00))
+        self.deflate_level = int(options.get("deflate_level", 6))
+        if not 0 <= self.deflate_level <= 9:
+            raise ValueError("bam write: deflate_level must be in [0, 9]")
 
     def write(self, rows: Iterator) -> WriterCommitMessage:
         from pyspark import TaskContext
@@ -679,7 +682,15 @@ class BamWriter(DataSourceWriter):
                 )
             )
         out = os.path.join(self.path, f"part-{pid:05d}.bam")
-        write_bam(out, self.names, self.lengths, recs, block_payload=self.block_payload, sidecars=False)
+        write_bam(
+            out,
+            self.names,
+            self.lengths,
+            recs,
+            block_payload=self.block_payload,
+            sidecars=False,
+            level=self.deflate_level,
+        )
         return WriterCommitMessage()
 
 

@@ -220,6 +220,7 @@ final class BamWriteSupport {
         private final int[] lengths;
         private final int blockPayload;
         private final boolean bai;
+        private final int deflateLevel;
         private final ColMap cols;
         private final SerializableConf sconf;
         private boolean truncate;
@@ -250,6 +251,10 @@ final class BamWriteSupport {
                         "bam write: block_payload must be in [1, " + DEFAULT_BLOCK_PAYLOAD + "]");
             }
             this.bai = Boolean.parseBoolean(opts.getOrDefault("bai", "false"));
+            this.deflateLevel = Integer.parseInt(opts.getOrDefault("deflate_level", "6"));
+            if (deflateLevel < 0 || deflateLevel > 9) {
+                throw new IllegalArgumentException("bam write: deflate_level must be in [0, 9]");
+            }
             this.cols = new ColMap(info.schema());
             this.sconf = new SerializableConf(SerializableConf.sessionHadoopConf());
         }
@@ -279,7 +284,7 @@ final class BamWriteSupport {
             } catch (IOException e) {
                 throw new java.io.UncheckedIOException(e);
             }
-            return new BamWriterFactory(path, names, lengths, blockPayload, bai, cols, sconf);
+            return new BamWriterFactory(path, names, lengths, blockPayload, bai, deflateLevel, cols, sconf);
         }
 
         @Override
@@ -300,16 +305,18 @@ final class BamWriteSupport {
         private final int[] lengths;
         private final int blockPayload;
         private final boolean bai;
+        private final int deflateLevel;
         private final ColMap cols;
         private final SerializableConf sconf;
 
         BamWriterFactory(String path, String[] names, int[] lengths, int blockPayload,
-                         boolean bai, ColMap cols, SerializableConf sconf) {
+                         boolean bai, int deflateLevel, ColMap cols, SerializableConf sconf) {
             this.path = path;
             this.names = names;
             this.lengths = lengths;
             this.blockPayload = blockPayload;
             this.bai = bai;
+            this.deflateLevel = deflateLevel;
             this.cols = cols;
             this.sconf = sconf;
         }
@@ -317,8 +324,8 @@ final class BamWriteSupport {
         @Override
         public DataWriter<InternalRow> createWriter(int partitionId, long taskId) {
             try {
-                return new BamDataWriter(path, names, lengths, blockPayload, bai, cols, sconf,
-                        partitionId, taskId);
+                return new BamDataWriter(path, names, lengths, blockPayload, bai, deflateLevel,
+                        cols, sconf, partitionId, taskId);
             } catch (IOException e) {
                 throw new java.io.UncheckedIOException(e);
             }
@@ -346,7 +353,7 @@ final class BamWriteSupport {
         private final byte[] block; // uncompressed staging, flushed at blockPayload
         private int fill;
         private final byte[] deflated = new byte[Bgzf.MAX_BLOCK_SIZE];
-        private final Deflater deflater = new Deflater(6, true);
+        private final Deflater deflater;
         private final CRC32 crc = new CRC32();
         private final Grow rec = new Grow(512);
         private long nRecords;
@@ -367,10 +374,11 @@ final class BamWriteSupport {
                 new java.util.HashMap<>();
 
         BamDataWriter(String dir, String[] names, int[] lengths, int blockPayload,
-                      boolean bai, ColMap cols, SerializableConf sconf, int partitionId,
-                      long taskId) throws IOException {
+                      boolean bai, int deflateLevel, ColMap cols, SerializableConf sconf,
+                      int partitionId, long taskId) throws IOException {
             this.blockPayload = blockPayload;
             this.bai = bai;
+            this.deflater = new Deflater(deflateLevel, true);
             this.nRefs = names.length;
             this.cols = cols;
             this.block = new byte[blockPayload];

@@ -63,6 +63,7 @@ def write_bam(
     records: list[BamRecord],
     block_payload: int = DEFAULT_BLOCK_PAYLOAD,
     sidecars: bool = True,
+    level: int = 6,
 ) -> WriteResult:
     """Serialize header+records, slice into BGZF blocks of
     ``block_payload`` uncompressed bytes, write sidecars."""
@@ -82,7 +83,7 @@ def write_bam(
     out = bytearray()
     for ustart in range(0, len(stream), block_payload):
         chunk = bytes(stream[ustart : ustart + block_payload])
-        blk = compress_block(chunk)
+        blk = compress_block(chunk, level=level)
         blocks.append(BlockMetadata(cpos, len(blk), len(chunk)))
         block_ustarts.append(ustart)
         out += blk

@@ -120,6 +120,28 @@ def test_jvm_and_python_writers_emit_identical_bytes(spark, fixture_path, tmp_pa
 
 
 @needs_jdk
+def test_deflate_level_parity_and_size(spark, fixture_path, tmp_path):
+    """deflate_level is a throughput/size knob honored identically by both
+    writers (same zlib): byte-identical output at level 1 too, and level 1
+    output is measurably larger than level 6."""
+    src = read_bam(spark, fixture_path).repartition(1).sortWithinPartitions("qname")
+    raws = {}
+    for w in ("jvm", "py"):
+        out = str(tmp_path / f"l1_{w}")
+        write_bam_df(src, out, contigs=_CONTIGS, block_payload=4096,
+                     deflate_level=1, writer=w)
+        (part,) = glob.glob(out + "/part-*.bam")
+        with open(part, "rb") as f:
+            raws[w] = f.read()
+    assert raws["jvm"] == raws["py"]
+    out6 = str(tmp_path / "l6")
+    write_bam_df(src, out6, contigs=_CONTIGS, block_payload=4096, writer="jvm")
+    (part6,) = glob.glob(out6 + "/part-*.bam")
+    assert len(raws["jvm"]) > os.path.getsize(part6)
+    assert read_bam(spark, str(tmp_path / "l1_jvm")).count() == src.count()
+
+
+@needs_jdk
 def test_jvm_writer_no_inprogress_leftovers(spark, fixture_path, tmp_path):
     out = str(tmp_path / "clean")
     write_bam_df(read_bam(spark, fixture_path).limit(10), out, contigs=_CONTIGS, writer="jvm")
