@@ -146,6 +146,29 @@ def read_bam_jvm(
     return reader.load(path)
 
 
+def read_bam_stream(
+    spark: SparkSession,
+    path: str,
+    split_size: int | None = None,
+    mode: str | None = None,
+) -> DataFrame:
+    """Structured Streaming DataFrame over a landing directory of BAM
+    files (bamjvm.BamMicroBatchStream): each micro-batch ingests the
+    .bam files that appeared since the last batch through the SAME
+    planner/pushdown/reader as the batch scan.  Use
+    ``trigger(availableNow=True)`` for a deterministic drain of whatever
+    has landed; offsets checkpoint as the set of seen file names, so a
+    restarted query only ingests new files.  JVM-only (the Python Data
+    Source implements no stream reader)."""
+    ensure_session(spark)
+    reader = spark.readStream.format(FORMAT)
+    if split_size is not None:
+        reader = reader.option("split_size", str(split_size))
+    if mode is not None:
+        reader = reader.option("mode", mode)
+    return reader.load(path)
+
+
 def read_blocks_jvm(
     spark: SparkSession,
     path: str,

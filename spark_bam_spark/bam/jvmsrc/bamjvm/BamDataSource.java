@@ -133,6 +133,7 @@ public class BamDataSource implements TableProvider {
             caps.add(TableCapability.BATCH_READ);
             caps.add(TableCapability.BATCH_WRITE);
             caps.add(TableCapability.TRUNCATE); // df.write.mode("overwrite")
+            caps.add(TableCapability.MICRO_BATCH_READ); // spark.readStream
             return caps;
         }
 
@@ -331,9 +332,22 @@ public class BamDataSource implements TableProvider {
             return required;
         }
 
+        /** Hadoop conf for the streaming twin (same package, nested class). */
+        Configuration sconfConf() {
+            return sconf.conf;
+        }
+
         @Override
         public Batch toBatch() {
             return this;
+        }
+
+        /** Structured Streaming: ingest .bam files as they land (see
+         *  {@link BamMicroBatchStream}). */
+        @Override
+        public org.apache.spark.sql.connector.read.streaming.MicroBatchStream toMicroBatchStream(
+                String checkpointLocation) {
+            return new BamMicroBatchStream(this);
         }
 
         private long optLong(String key, long dflt) {
@@ -372,32 +386,56 @@ public class BamDataSource implements TableProvider {
             return tok.isEmpty() ? 0 : (long) (Double.parseDouble(tok) * unit);
         }
 
-        @Override
-        public InputPartition[] planInputPartitions() {
+        /** Root path from options (required). */
+        Path rootPath() {
             String pathOpt = options.get("path");
             if (pathOpt == null) {
                 throw new IllegalArgumentException("bamjvm source requires a path");
             }
+            return new Path(pathOpt);
+        }
+
+        /**
+         * Stable .bam listing under root (name-sorted; a plain file lists
+         * as itself).  In-progress writer temp files (.bam.inprogress)
+         * never match the suffix, so a concurrently-writing job's torn
+         * files are invisible here — the property the streaming source
+         * relies on.
+         */
+        static List<FileStatus> listBamFiles(FileSystem fs, Path root) throws IOException {
+            List<FileStatus> files = new ArrayList<>();
+            FileStatus rootStatus = fs.getFileStatus(root);
+            if (rootStatus.isDirectory()) {
+                FileStatus[] children = fs.listStatus(root);
+                Arrays.sort(children, (a, b) -> a.getPath().getName().compareTo(b.getPath().getName()));
+                for (FileStatus c : children) {
+                    if (c.isFile() && c.getPath().getName().endsWith(".bam")) {
+                        files.add(c);
+                    }
+                }
+            } else {
+                files.add(rootStatus);
+            }
+            return files;
+        }
+
+        @Override
+        public InputPartition[] planInputPartitions() {
+            try {
+                FileSystem fs = rootPath().getFileSystem(sconf.conf);
+                return planFiles(fs, listBamFiles(fs, rootPath()));
+            } catch (IOException e) {
+                throw new UncheckedIOException(e);
+            }
+        }
+
+        /** Split planning for an explicit file set (batch scan = the full
+         *  listing; streaming micro-batches = each batch's new files). */
+        InputPartition[] planFiles(FileSystem fs, List<FileStatus> files) {
             int readsToCheck = (int) optLong("reads_to_check", Checker.DEFAULT_READS_TO_CHECK);
             long maxReadSize = optLong("max_read_size", Checker.DEFAULT_MAX_READ_SIZE);
             boolean permissive = "permissive".equals(options.getOrDefault("mode", "failfast"));
             try {
-                Configuration conf = sconf.conf;
-                Path root = new Path(pathOpt);
-                FileSystem fs = root.getFileSystem(conf);
-                List<FileStatus> files = new ArrayList<>();
-                FileStatus rootStatus = fs.getFileStatus(root);
-                if (rootStatus.isDirectory()) {
-                    FileStatus[] children = fs.listStatus(root);
-                    Arrays.sort(children, (a, b) -> a.getPath().getName().compareTo(b.getPath().getName()));
-                    for (FileStatus c : children) {
-                        if (c.isFile() && c.getPath().getName().endsWith(".bam")) {
-                            files.add(c);
-                        }
-                    }
-                } else {
-                    files.add(rootStatus);
-                }
                 long splitSize = optLong("split_size", -1);
                 if (splitSize <= 0) {
                     // adaptive default, same policy as the Python source:
