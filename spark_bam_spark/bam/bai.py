@@ -41,6 +41,13 @@ class BaiIndex:
     # per reference: bin -> chunks, and the 16 KiB linear index
     bins: list[dict[int, list[Chunk]]]
     linear: list[list[int]]
+    # samtools' metadata pseudo-bin 37450 per reference (spec §5.2 note):
+    # (off_beg, off_end, n_mapped, n_unmapped) — what `samtools idxstats`
+    # reads so per-contig counts cost O(index), not O(data); None when the
+    # ref has no placed records (or the .bai predates stats emission)
+    stats: list[tuple[int, int, int, int] | None] | None = None
+    # trailing count of coordinate-less records (ref_idx/pos < 0)
+    n_no_coor: int = 0
 
 
 def reg2bin(beg: int, end: int) -> int:
@@ -70,17 +77,33 @@ def reg2bins(beg: int, end: int) -> list[int]:
 
 def build_bai(
     n_refs: int,
-    records: list[tuple[int, int, int, Pos, Pos]],
+    records: list[tuple[int, int, int, int, Pos, Pos]],
 ) -> BaiIndex:
-    """records: (ref_idx, pos, end_pos, start Pos, end Pos) per record,
-    in file order. Adjacent chunks within a bin are merged."""
+    """records: (ref_idx, pos, end_pos, flag, start Pos, end Pos) per
+    record, in file order. Adjacent chunks within a bin are merged; the
+    metadata pseudo-bin (idxstats counts + ref voffset span) and the
+    trailing no-coordinate count accumulate alongside."""
     bins: list[dict[int, list[Chunk]]] = [dict() for _ in range(n_refs)]
     linear: list[list[int]] = [[] for _ in range(n_refs)]
-    for ref_idx, pos, end_pos, p0, p1 in records:
+    stats: list[tuple[int, int, int, int] | None] = [None] * n_refs
+    n_no_coor = 0
+    for ref_idx, pos, end_pos, flag, p0, p1 in records:
         if ref_idx < 0 or pos < 0:
+            n_no_coor += 1
             continue
         b = reg2bin(pos, max(end_pos, pos + 1))
         v0, v1 = p0.to_voffset(), p1.to_voffset()
+        unmapped = 1 if flag & 0x4 else 0
+        prev = stats[ref_idx]
+        if prev is None:
+            stats[ref_idx] = (v0, v1, 1 - unmapped, unmapped)
+        else:
+            stats[ref_idx] = (
+                min(prev[0], v0),
+                max(prev[1], v1),
+                prev[2] + (1 - unmapped),
+                prev[3] + unmapped,
+            )
         chunks = bins[ref_idx].setdefault(b, [])
         if chunks and chunks[-1].end == v0:
             chunks[-1] = Chunk(chunks[-1].start, v1)  # merge adjacent
@@ -93,22 +116,30 @@ def build_bai(
         for w in range(pos >> _LINEAR_SHIFT, w_end + 1):
             if lin[w] == 0 or v0 < lin[w]:
                 lin[w] = v0
-    return BaiIndex(bins=bins, linear=linear)
+    return BaiIndex(bins=bins, linear=linear, stats=stats, n_no_coor=n_no_coor)
 
 
 def write_bai(path: str, idx: BaiIndex) -> None:
     out = bytearray(BAI_MAGIC)
     out += struct.pack("<i", len(idx.bins))
-    for bins, lin in zip(idx.bins, idx.linear):
-        out += struct.pack("<i", len(bins))
+    for ref, (bins, lin) in enumerate(zip(idx.bins, idx.linear)):
+        st = idx.stats[ref] if idx.stats else None
+        out += struct.pack("<i", len(bins) + (1 if st else 0))
         for b in sorted(bins):
             chunks = bins[b]
             out += struct.pack("<Ii", b, len(chunks))
             for c in chunks:
                 out += struct.pack("<QQ", c.start, c.end)
+        if st:
+            # metadata pseudo-bin, always last (37450 > any real bin):
+            # chunk 1 = ref voffset span, chunk 2 = (n_mapped, n_unmapped)
+            out += struct.pack("<Ii", METADATA_BIN, 2)
+            out += struct.pack("<QQ", st[0], st[1])
+            out += struct.pack("<QQ", st[2], st[3])
         out += struct.pack("<i", len(lin))
         for v in lin:
             out += struct.pack("<Q", v)
+    out += struct.pack("<Q", idx.n_no_coor)
     with open(path, "wb") as f:
         f.write(bytes(out))
 
@@ -124,10 +155,12 @@ def parse_bai(path: str) -> BaiIndex:
     o += 4
     bins: list[dict[int, list[Chunk]]] = []
     linear: list[list[int]] = []
+    stats: list[tuple[int, int, int, int] | None] = []
     for _ in range(n_ref):
         (n_bin,) = struct.unpack_from("<i", buf, o)
         o += 4
         bmap: dict[int, list[Chunk]] = {}
+        st: tuple[int, int, int, int] | None = None
         for _ in range(n_bin):
             b, n_chunk = struct.unpack_from("<Ii", buf, o)
             o += 8
@@ -136,14 +169,33 @@ def parse_bai(path: str) -> BaiIndex:
                 s, e = struct.unpack_from("<QQ", buf, o)
                 o += 16
                 chunks.append(Chunk(s, e))
-            bmap[b] = chunks
+            if b == METADATA_BIN and len(chunks) == 2:
+                # samtools idxstats pseudo-bin: span chunk + counts chunk;
+                # kept out of the query bins so chunk planning never sees it
+                st = (chunks[0].start, chunks[0].end, chunks[1].start, chunks[1].end)
+            else:
+                bmap[b] = chunks
         (n_intv,) = struct.unpack_from("<i", buf, o)
         o += 4
         lin = list(struct.unpack_from(f"<{n_intv}Q", buf, o)) if n_intv else []
         o += 8 * n_intv
         bins.append(bmap)
         linear.append(lin)
-    return BaiIndex(bins=bins, linear=linear)
+        stats.append(st)
+    n_no_coor = struct.unpack_from("<Q", buf, o)[0] if o + 8 <= len(buf) else 0
+    return BaiIndex(bins=bins, linear=linear, stats=stats, n_no_coor=n_no_coor)
+
+
+def idxstats_from_bai(idx: BaiIndex) -> tuple[list[tuple[int, int, int]], int]:
+    """samtools-idxstats from the index alone — O(index bytes), no data
+    scan: per-ref (ref_idx, n_mapped, n_unmapped) from the metadata
+    pseudo-bin, plus the no-coordinate count.  Refs without stats (no
+    placed records, or a pre-stats .bai) report zeros."""
+    rows = []
+    for ref_idx in range(len(idx.bins)):
+        st = idx.stats[ref_idx] if idx.stats else None
+        rows.append((ref_idx, st[2] if st else 0, st[3] if st else 0))
+    return rows, idx.n_no_coor
 
 
 def query_chunks(idx: BaiIndex, ref_idx: int, beg: int, end: int) -> list[Chunk]:

@@ -372,6 +372,9 @@ final class BamWriteSupport {
                 new java.util.HashMap<>();
         private final java.util.HashMap<Integer, java.util.ArrayList<Long>> baiLinear =
                 new java.util.HashMap<>();
+        // samtools metadata pseudo-bin per ref: {offBeg, offEnd, nMapped, nUnmapped}
+        private final java.util.HashMap<Integer, long[]> baiStats = new java.util.HashMap<>();
+        private long baiNoCoor;
 
         BamDataWriter(String dir, String[] names, int[] lengths, int blockPayload,
                       boolean bai, int deflateLevel, ColMap cols, SerializableConf sconf,
@@ -549,6 +552,9 @@ final class BamWriteSupport {
             append(prefix, 0, 4);
             append(rec.buf, 0, bodyLen);
             nRecords++;
+            if (bai && (refIdx < 0 || refIdx >= nRefs || pos < 0)) {
+                baiNoCoor++;
+            }
             if (bai && refIdx >= 0 && refIdx < nRefs && pos >= 0) {
                 // The BAI linear-index floor is only sound when voffsets are
                 // monotone in (ref, pos) — the spec's coordinate-sort
@@ -582,6 +588,17 @@ final class BamWriteSupport {
                 while (lin.size() <= wEnd) lin.add(0L);
                 for (int w = (int) (pos >> 14); w <= wEnd; w++) {
                     if (lin.get(w) == 0L || v0 < lin.get(w)) lin.set(w, v0);
+                }
+                // metadata pseudo-bin accumulators (samtools idxstats)
+                long unm = (flag & 0x4) != 0 ? 1 : 0;
+                long[] st = baiStats.get((int) refIdx);
+                if (st == null) {
+                    baiStats.put((int) refIdx, new long[] {v0, v1, 1 - unm, unm});
+                } else {
+                    st[0] = Math.min(st[0], v0);
+                    st[1] = Math.max(st[1], v1);
+                    st[2] += 1 - unm;
+                    st[3] += unm;
                 }
             }
         }
@@ -625,7 +642,8 @@ final class BamWriteSupport {
             for (int r = 0; r < nRefs; r++) {
                 TreeMap<Integer, java.util.ArrayList<long[]>> refBins = baiBins.get(r);
                 java.util.ArrayList<Long> lin = baiLinear.get(r);
-                o.i32(refBins == null ? 0 : refBins.size());
+                long[] st = baiStats.get(r);
+                o.i32((refBins == null ? 0 : refBins.size()) + (st == null ? 0 : 1));
                 if (refBins != null) {
                     for (Map.Entry<Integer, java.util.ArrayList<long[]>> e : refBins.entrySet()) {
                         o.i32(e.getKey());
@@ -636,11 +654,22 @@ final class BamWriteSupport {
                         }
                     }
                 }
+                if (st != null) {
+                    // metadata pseudo-bin, always last (37450 > any real bin):
+                    // chunk 1 = ref voffset span, chunk 2 = (n_mapped, n_unmapped)
+                    o.i32(37450);
+                    o.i32(2);
+                    o.i64(st[0]);
+                    o.i64(st[1]);
+                    o.i64(st[2]);
+                    o.i64(st[3]);
+                }
                 o.i32(lin == null ? 0 : lin.size());
                 if (lin != null) {
                     for (long v : lin) o.i64(v);
                 }
             }
+            o.i64(baiNoCoor);
             return o.toArray();
         }
 

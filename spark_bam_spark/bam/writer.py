@@ -120,7 +120,7 @@ def write_bam(
         rec_ends = rec_uoffsets[1:] + [len(stream)]
         bai_rows = [
             (r.ref_idx, r.pos, max(r.end_pos, r.pos + 1) if r.pos >= 0 else -1,
-             to_pos(u0), to_pos(u1))
+             r.flag, to_pos(u0), to_pos(u1))
             for r, u0, u1 in zip(records, rec_uoffsets, rec_ends)
         ]
         write_bai(path + ".bai", build_bai(len(names), bai_rows))

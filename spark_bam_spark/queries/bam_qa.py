@@ -48,12 +48,21 @@ _FIXTURE = "/tmp/spark_bam_spark_fixture/qa2500.bam"
 _SAM_FIXTURE = "/tmp/spark_bam_spark_fixture/qa2500.sam"
 
 
+# Bump when the generator's SIDECAR output changes (the BAM bytes are
+# frozen — the committed truth parquet pins them) so cached fixtures
+# regenerate: v2 = BAI gains the samtools metadata pseudo-bin + n_no_coor.
+_FIXTURE_GEN_VERSION = 2
+
+
 def _fixture_path() -> str:
-    if not os.path.exists(_FIXTURE):
+    marker = f"{_FIXTURE}.genv{_FIXTURE_GEN_VERSION}"
+    if not (os.path.exists(_FIXTURE) and os.path.exists(marker)):
         os.makedirs(os.path.dirname(_FIXTURE), exist_ok=True)
         from spark_bam_spark.bam.writer import make_fixture
 
         make_fixture(_FIXTURE, n=2500, block_payload=4096)
+        with open(marker, "w"):
+            pass
     return _FIXTURE
 
 
@@ -663,6 +672,84 @@ def bam_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(out)
         .groupBy("flag")
         .agg(F.count("*").cast("bigint").alias("n_reads"))
+    )
+
+
+@register(
+    "bam_idxstats_from_index",
+    doc="samtools idxstats from the BAI metadata pseudo-bin alone — O(index), no data scan",
+    oracle=f"""
+    SELECT COALESCE(rname, '*') AS rname,
+           CAST(SUM(CASE WHEN flag & 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS mapped_reads,
+           CAST(SUM(CASE WHEN flag & 4 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS unmapped_reads
+    FROM read_parquet('{_TRUTH_PQ}')
+    GROUP BY 1
+    """,
+)
+def bam_idxstats_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``samtools idxstats`` economics at cluster scale: per-contig
+    mapped/unmapped counts read from the BAI metadata pseudo-bin
+    (spec §5.2 bin 37450 — emitted by this engine's writers as of r10)
+    plus the trailing no-coordinate count, WITHOUT scanning any data
+    bytes.  The pipeline: coordinate-sorted indexed rewrite of the
+    fixture into 4 parts (the bam_sort_rewrite shape), then ONE task per
+    part .bai parses kilobytes of index and the per-ref counts aggregate
+    — at 100 TB this is seconds of index metadata instead of a full
+    corpus scan, the exact trade samtools idxstats makes on one node.
+    The driver hash pins the whole chain (writer-side stats accumulation,
+    binary pseudo-bin encode, parse, aggregation) against the truth
+    parquet's per-contig histogram.  (Reference: its check module reads
+    BAIs but has no idxstats surface; behavior anchor
+    check/.../index/Read.scala:14-114.)"""
+    import glob as _glob
+
+    from spark_bam_spark.bam.reader import read_bam, write_bam_df
+    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES
+
+    src = _reads(spark, split_size=65536)
+    rewrite_dir = _fresh_rewrite_dir()
+    contigs = ",".join(f"{n}:{ln}" for n, ln in zip(CONTIG_NAMES, CONTIG_LENGTHS))
+    sort_key = F.when(F.col("ref_idx") < 0, F.lit(1 << 40)).otherwise(
+        F.col("ref_idx").cast("long") * (1 << 32) + F.col("pos")
+    )
+    write_bam_df(
+        src.withColumn("_k", sort_key)
+        .repartitionByRange(4, "_k")
+        .sortWithinPartitions("_k")
+        .drop("_k"),
+        rewrite_dir,
+        contigs=contigs,
+        block_payload=4096,
+        bai=True,
+    )
+    bais = sorted(_glob.glob(os.path.join(rewrite_dir, "part-*.bam.bai")))
+    names = list(CONTIG_NAMES)
+
+    def parse_parts(batches):
+        import pandas as pd
+
+        from spark_bam_spark.bam.bai import idxstats_from_bai, parse_bai
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                per_ref, no_coor = idxstats_from_bai(parse_bai(p))
+                for ref_idx, mapped, unmapped in per_ref:
+                    rows.append((names[ref_idx], mapped, unmapped))
+                rows.append(("*", 0, no_coor))
+            yield pd.DataFrame(rows, columns=["rname", "mapped_reads", "unmapped_reads"])
+
+    files_df = spark.createDataFrame([(p,) for p in bais], "path string").repartition(4)
+    return (
+        files_df.mapInPandas(
+            parse_parts, "rname string, mapped_reads long, unmapped_reads long"
+        )
+        .groupBy("rname")
+        .agg(
+            F.sum("mapped_reads").cast("bigint").alias("mapped_reads"),
+            F.sum("unmapped_reads").cast("bigint").alias("unmapped_reads"),
+        )
+        .filter((F.col("mapped_reads") + F.col("unmapped_reads")) > 0)
     )
 
 

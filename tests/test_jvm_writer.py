@@ -365,6 +365,61 @@ def test_bai_rejects_unsorted_partitions(spark, tmp_path):
         write_bam_df(df, str(tmp_path / "u"), contigs=_CONTIGS, bai=True)
 
 
+@needs_jdk
+def test_bai_metadata_pseudobin_idxstats(spark, fixture_path, tmp_path):
+    """The writers emit samtools' metadata pseudo-bin (37450) and the
+    trailing no-coordinate count, so idxstats comes from the index alone:
+    summed across a 4-part sorted rewrite it must equal a real scan's
+    per-ref counts."""
+    from spark_bam_spark.bam.bai import idxstats_from_bai, parse_bai
+
+    src = read_bam(spark, fixture_path, split_size=65536)
+    out = str(tmp_path / "rw")
+    sort_key = F.when(F.col("ref_idx") < 0, F.lit(1 << 40)).otherwise(
+        F.col("ref_idx").cast("long") * (1 << 32) + F.col("pos")
+    )
+    write_bam_df(
+        src.withColumn("_k", sort_key).repartitionByRange(4, "_k")
+        .sortWithinPartitions("_k").drop("_k"),
+        out, contigs=_CONTIGS, block_payload=4096, bai=True,
+    )
+    mapped = {}
+    no_coor = 0
+    for p in sorted(glob.glob(out + "/part-*.bam.bai")):
+        per_ref, nc = idxstats_from_bai(parse_bai(p))
+        no_coor += nc
+        for ref, m, u in per_ref:
+            mapped[ref] = mapped.get(ref, 0) + m
+            assert u == 0  # fixture has no placed-but-unmapped reads
+    want = {
+        r["ref_idx"]: r["n"]
+        for r in src.filter(F.col("ref_idx") >= 0).groupBy("ref_idx").agg(
+            F.count("*").alias("n")).collect()
+    }
+    assert mapped == want
+    assert no_coor == src.filter(F.col("ref_idx") < 0).count()
+
+
+def test_parse_bai_without_stats_is_backward_compatible(tmp_path):
+    """A pre-r10 .bai (no pseudo-bin, no trailing count) still parses:
+    stats None per ref, n_no_coor 0, chunk queries unaffected."""
+    from spark_bam_spark.bam.bai import BaiIndex, parse_bai, write_bai
+    from spark_bam_spark.bam.bgzf import Pos
+
+    idx = BaiIndex(
+        bins=[{100: []}, {}],
+        linear=[[Pos(0, 0).to_voffset()], []],
+    )
+    p = str(tmp_path / "old.bai")
+    write_bai(p, idx)
+    with open(p, "rb") as f:
+        data = f.read()
+    with open(p, "wb") as f:  # strip the trailing n_no_coor → pre-r10 layout
+        f.write(data[:-8])
+    back = parse_bai(p)
+    assert back.stats == [None, None] and back.n_no_coor == 0
+
+
 def test_bai_option_requires_jvm_writer(spark, tmp_path):
     df = spark.createDataFrame([Row(qname="x", rname="1", pos=1, seq="AC")])
     with pytest.raises(ValueError, match="JVM-writer-only"):
