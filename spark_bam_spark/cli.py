@@ -207,17 +207,27 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
             _reads(spark, args.path, args.split_size, columns="qname,block_pos,offset")
         )
     elif cmd == "idxstats":
-        reads = _reads(spark, args.path, args.split_size, columns="rname,flag")
-        unmapped = (F.col("flag").bitwiseAND(0x4) != 0).cast("int")
-        df = (
-            reads.select(F.coalesce(F.col("rname"), F.lit("*")).alias("rname"), unmapped.alias("u"))
-            .groupBy("rname")
-            .agg(
-                F.sum(1 - F.col("u")).cast("bigint").alias("mapped"),
-                F.sum("u").cast("bigint").alias("unmapped"),
+        # samtools semantics: index-first (O(index bytes) via the BAI
+        # metadata pseudo-bin — the r10 write-side emission exists so
+        # this query never touches the data), scan-fallback when any
+        # data file lacks a .bai sidecar
+        pairs = qa.bai_sidecar_pairs(args.path)
+        if pairs:
+            df = qa.idxstats_from_index(spark, pairs)
+        else:
+            reads = _reads(spark, args.path, args.split_size, columns="rname,flag")
+            unmapped = (F.col("flag").bitwiseAND(0x4) != 0).cast("int")
+            df = (
+                reads.select(
+                    F.coalesce(F.col("rname"), F.lit("*")).alias("rname"), unmapped.alias("u")
+                )
+                .groupBy("rname")
+                .agg(
+                    F.sum(1 - F.col("u")).cast("bigint").alias("mapped"),
+                    F.sum("u").cast("bigint").alias("unmapped"),
+                )
+                .orderBy("rname")
             )
-            .orderBy("rname")
-        )
     elif cmd == "blocks":
         df = qa._blocks_df(spark, args.path)
     elif cmd == "index-blocks":

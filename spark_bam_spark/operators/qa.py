@@ -327,6 +327,70 @@ def index_records(reads: DataFrame, out_dir: str) -> None:
     )
 
 
+def bai_sidecar_pairs(path: str) -> list[tuple[str, str]]:
+    """(bam, bai) pairs when EVERY data file under ``path`` carries a
+    spec §5.2 ``.bai`` sidecar (a single indexed file, or a rewrite
+    directory written with ``bai=True``); ``[]`` otherwise.  All-or-
+    nothing on purpose: a partially indexed directory must fall back to
+    the scan path — serving idxstats from half an index would silently
+    undercount."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        bams = sorted(_glob.glob(os.path.join(path, "*.bam")))
+    else:
+        bams = [path] if os.path.exists(path) else []
+    pairs = [(b, b + ".bai") for b in bams]
+    if pairs and all(os.path.exists(bai) for _, bai in pairs):
+        return pairs
+    return []
+
+
+def idxstats_from_index(spark: SparkSession, pairs: list[tuple[str, str]]) -> DataFrame:
+    """samtools-style idxstats served from the BAI metadata pseudo-bins
+    alone — O(index bytes) instead of O(data bytes), the entire point of
+    emitting the index at write time: per-ref (mapped, unmapped) from
+    each part's pseudo-bin (bin 37450), the no-coordinate count from the
+    index trailer, summed across parts.  Contig names come from the
+    first part's header (every part of a rewrite shares it).  Refs with
+    zero placed reads are dropped so the output matches the scan path's
+    groupBy (which cannot produce empty groups).  (Reference reads BAIs
+    in check/.../index/Read.scala:14-114 but has no idxstats surface;
+    samtools semantics are index-first, scan-fallback.)"""
+    from spark_bam_spark.bam.header import parse_header
+
+    with open(pairs[0][0], "rb") as f:
+        names = list(parse_header(f).names)
+    bais = [bai for _, bai in pairs]
+
+    def parse_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_bam_spark.bam.bai import idxstats_from_bai, parse_bai
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                per_ref, no_coor = idxstats_from_bai(parse_bai(p))
+                for ref_idx, mapped, unmapped in per_ref:
+                    rows.append((names[ref_idx], mapped, unmapped))
+                rows.append(("*", 0, no_coor))
+            yield pd.DataFrame(rows, columns=["rname", "mapped", "unmapped"])
+
+    files_df = spark.createDataFrame([(p,) for p in bais], "path string").repartition(
+        min(len(bais), 32)
+    )
+    return (
+        files_df.mapInPandas(parse_parts, "rname string, mapped long, unmapped long")
+        .groupBy("rname")
+        .agg(
+            F.sum("mapped").cast("bigint").alias("mapped"),
+            F.sum("unmapped").cast("bigint").alias("unmapped"),
+        )
+        .filter((F.col("mapped") + F.col("unmapped")) > 0)
+        .orderBy("rname")
+    )
+
+
 def sorted_range_repartition(reads: DataFrame, n: int = 8) -> DataFrame:
     """W3 sortedRepartition (IndexedRecordPositions.scala:27-31): range-
     partition by Pos so each partition owns a disjoint, ordered key range

@@ -213,58 +213,34 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r9 (the eleven r8 entries — the five regenerated checker
-    # diagnostics, the five _assign-consumer IVF/kmeans queries, and
-    # bam_interval_pushdown — all went green in CORRECTNESS_r08 and are
-    # cleared per convention).
+    # r11 (the 22 r9/r10 entries — the read/write default-flip cohort,
+    # the blocks-consumer cohort, and the three plan-changed perf queries
+    # — ALL went hash-green in CORRECTNESS_r10 and are cleared per
+    # convention, freeing the r11 window to drain the two oldest
+    # evidence vintages: r4 [18 queries] + r5 [28] = 46 of 50 slots).
     #
-    # r9's entries are the DEFAULT-FLIP cohort: the engine's BAM read
-    # path now routes through the JVM DSv2 reader when a JDK is present
-    # (bam/reader.py), so every registered query that reads the fixture
-    # through _reads()/read_bam() executes a different physical plan
-    # than the one its last driver-green hash pinned:
-    "bam_scan_reads",
-    "bam_interval_pushdown",
-    "bam_compute_splits",
-    "bam_check_blocks",
-    "bam_count_reads",
-    # r10: the WRITE side also flipped — bam/reader.py::write_bam_df routes
-    # to the JVM DSv2 sink (BamWriteSupport.java) when a JDK is present, so
-    # the roundtrip's write stage changed implementation (read-back plan
-    # changed in r9 already):
+    # r11 entries are capped at 4 so that drain still fits: each is the
+    # REPRESENTATIVE query for one code path that changed this round;
+    # twins sharing the identical changed path keep their r10 evidence
+    # plus the differential pytest coverage that pins both languages
+    # byte-identical.
+    #
+    # Streaming offsets reworked (BamMicroBatchStream.java: full
+    # name-set JSON -> compacted batch-id metadata log):
+    "bam_stream_ingest",
+    # JVM write path: job-unique part names (append no longer clobbers),
+    # int32 range checks in num() — represents the _jvm twin and the
+    # bai-consumers (bam_sort_rewrite, bam_rewrite_indexed_pushdown,
+    # bam_idxstats_from_index), all r10-green on the same sink:
     "bam_rewrite_roundtrip",
-    "bam_time_load",
-    "bam_scan_50k",
-    "bam_scan_1m",
-    "bam_idxstats",
-    # annotate_positions' next-record join now reads via the default
-    # path too (operators/qa.py):
-    "bam_close_calls",
-    "bam_fp_metadata",
-    # and the JVM reader itself changed (per-file contig resolution for
-    # pushdown, session Hadoop conf propagation, record-layout
-    # validation, locality hints), so its two direct queries re-enter:
-    "bam_scan_reads_jvm",
-    "bam_interval_pushdown_jvm",
-    # block discovery also flipped to the JVM BlocksSource by default
-    # (operators/qa._blocks_df), changing every calls()/blocks-consumer
-    # plan:
-    "bam_check_confusion",
-    "bam_check_three_way",
-    "bam_full_check",
-    "bam_full_check_cdf",
-    "bam_compression_ratio",
-    # r9 perf: dl/stats/docfreq now derived from the tf table instead of
-    # re-exploding the token stream (one shuffle of the largest
-    # intermediate instead of two) — plan changed, -13% min / -17%
-    # median at sf0.1
-    "bm25_topk_docs",
-    # r10 perf: per-gram counts via a window over partitionBy(gram)
-    # instead of groupBy-then-join-back — the full gram stream (the
-    # largest intermediate) is exchanged once instead of twice; -24% min
-    # at sf0.1 for the spans query, plans changed in both:
-    "dedup_substring_spans",
-    "dup_ngram_coverage",
+    # Python write path: BAI emission ported (bai=true now works on both
+    # writers), job-unique part names:
+    "bam_rewrite_roundtrip_py",
+    # Both readers gained the spec §4.2.2 CG-tag long-cigar fallback
+    # (n_cigar_op uint16 overflow) — decode branch inert on the fixture
+    # (differential tests pin it) but the scan code changed; represents
+    # the _jvm/_py scan twins:
+    "bam_scan_reads",
 )
 
 

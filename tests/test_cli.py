@@ -42,6 +42,25 @@ def test_idxstats_shape(spark, bam_path, capsys):
     assert names == ["*", "1", "2", "3"]
 
 
+def test_idxstats_index_path_matches_scan(spark, bam_path, tmp_path, capsys):
+    """samtools semantics: idxstats serves from the BAI metadata
+    pseudo-bin when every data file is indexed (O(index), no data scan)
+    and falls back to the rname/flag scan otherwise — both paths must
+    print the same report."""
+    import shutil
+
+    from spark_bam_spark.operators import qa
+
+    assert qa.bai_sidecar_pairs(bam_path), "fixture should ship a .bai sidecar"
+    idx_lines = _run(spark, ["idxstats", bam_path], capsys)
+
+    noidx = str(tmp_path / "noindex.bam")
+    shutil.copyfile(bam_path, noidx)
+    assert qa.bai_sidecar_pairs(noidx) == []  # no sidecar -> scan fallback
+    scan_lines = _run(spark, ["idxstats", noidx], capsys)
+    assert idx_lines == scan_lines
+
+
 def test_compute_splits_csv_out(spark, bam_path, tmp_path, capsys):
     out = str(tmp_path / "splits")
     _run(spark, ["compute-splits", bam_path, "--split-size", "16384", "--out", out], capsys)
