@@ -628,6 +628,8 @@ class BamWriter(DataSourceWriter):
     """Distributed BAM sink: one part-BAM per partition under ``path``."""
 
     def __init__(self, options: dict, schema: StructType) -> None:
+        import uuid
+
         self.path = options.get("path")
         contigs = options.get("contigs", "")
         self.names: list[str] = []
@@ -641,13 +643,20 @@ class BamWriter(DataSourceWriter):
         self.deflate_level = int(options.get("deflate_level", 6))
         if not 0 <= self.deflate_level <= 9:
             raise ValueError("bam write: deflate_level must be in [0, 9]")
+        self.bai = str(options.get("bai", "false")).lower() == "true"
+        # job-unique part-name token, generated driver-side once per write
+        # (parity with the JVM sink's queryId-suffixed parts): append into
+        # a directory that already holds output never clobbers an earlier
+        # job's same-numbered part
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, rows: Iterator) -> WriterCommitMessage:
         from pyspark import TaskContext
 
         from spark_bam_spark.bam.writer import write_bam
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
         recs = []
         name_to_idx = {n: i for i, n in enumerate(self.names)}
@@ -657,11 +666,27 @@ class BamWriter(DataSourceWriter):
             v = d.get(key)
             return default if v is None else v
 
+        prev_ref = prev_pos = None
         for row in rows:
             d = row.asDict()
             ref_idx = d.get("ref_idx")
             if ref_idx is None:
                 ref_idx = name_to_idx.get(d.get("rname"), -1)
+            if self.bai and int(ref_idx) >= 0 and int(val(d, "pos", -1)) >= 0:
+                # The BAI linear-index floor is only sound when voffsets
+                # are monotone in (ref, pos) — the spec's coordinate-sort
+                # contract (samtools index refuses unsorted BAMs the same
+                # way).  Fail loudly instead of emitting an index that
+                # silently misprunes.  (Same contract as the JVM sink.)
+                r, p = int(ref_idx), int(val(d, "pos", -1))
+                if prev_ref is not None and (r, p) < (prev_ref, prev_pos):
+                    raise ValueError(
+                        f"bai=true requires coordinate-sorted partitions "
+                        f"(got ref {r} pos {p} after ref {prev_ref} pos "
+                        f'{prev_pos}); sortWithinPartitions("ref_idx", '
+                        f'"pos") before the write'
+                    )
+                prev_ref, prev_pos = r, p
             cigar = _parse_cigar(val(d, "cigar", "*"))
             qual_s = val(d, "qual", "")
             recs.append(
@@ -681,16 +706,31 @@ class BamWriter(DataSourceWriter):
                     tags=dict(val(d, "tags", {})),
                 )
             )
-        out = os.path.join(self.path, f"part-{pid:05d}.bam")
-        write_bam(
-            out,
-            self.names,
-            self.lengths,
-            recs,
-            block_payload=self.block_payload,
-            sidecars=False,
-            level=self.deflate_level,
+        # write to a task-attempt-private .inprogress name, rename on
+        # success (parity with the JVM sink: a retried/speculative task
+        # cannot leave a torn part behind; os.replace is atomic)
+        final = os.path.join(self.path, f"part-{pid:05d}-{self.job_token}.bam")
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}-{ctx.taskAttemptId()}.bam.inprogress"
         )
+        try:
+            write_bam(
+                tmp,
+                self.names,
+                self.lengths,
+                recs,
+                block_payload=self.block_payload,
+                sidecars=False,
+                bai=self.bai,
+                level=self.deflate_level,
+            )
+            os.replace(tmp, final)
+            if self.bai:
+                os.replace(tmp + ".bai", final + ".bai")
+        finally:
+            for leftover in (tmp, tmp + ".bai"):
+                if os.path.exists(leftover):
+                    os.remove(leftover)
         return WriterCommitMessage()
 
 

@@ -223,10 +223,15 @@ final class BamWriteSupport {
         private final int deflateLevel;
         private final ColMap cols;
         private final SerializableConf sconf;
+        private final String jobToken;
         private boolean truncate;
 
         BamWriteBuilder(LogicalWriteInfo info) {
             Map<String, String> opts = info.options().asCaseSensitiveMap();
+            // per-job unique part-name token (Spark's write UUID), so
+            // mode("append") into a directory that already holds output
+            // adds parts instead of clobbering same-numbered ones
+            this.jobToken = info.queryId().replace("-", "").substring(0, 12);
             this.path = opts.get("path");
             if (this.path == null || this.path.isEmpty()) {
                 throw new IllegalArgumentException("bam write: 'path' is required");
@@ -284,7 +289,7 @@ final class BamWriteSupport {
             } catch (IOException e) {
                 throw new java.io.UncheckedIOException(e);
             }
-            return new BamWriterFactory(path, names, lengths, blockPayload, bai, deflateLevel, cols, sconf);
+            return new BamWriterFactory(path, names, lengths, blockPayload, bai, deflateLevel, cols, sconf, jobToken);
         }
 
         @Override
@@ -308,9 +313,11 @@ final class BamWriteSupport {
         private final int deflateLevel;
         private final ColMap cols;
         private final SerializableConf sconf;
+        private final String jobToken;
 
         BamWriterFactory(String path, String[] names, int[] lengths, int blockPayload,
-                         boolean bai, int deflateLevel, ColMap cols, SerializableConf sconf) {
+                         boolean bai, int deflateLevel, ColMap cols, SerializableConf sconf,
+                         String jobToken) {
             this.path = path;
             this.names = names;
             this.lengths = lengths;
@@ -319,13 +326,14 @@ final class BamWriteSupport {
             this.deflateLevel = deflateLevel;
             this.cols = cols;
             this.sconf = sconf;
+            this.jobToken = jobToken;
         }
 
         @Override
         public DataWriter<InternalRow> createWriter(int partitionId, long taskId) {
             try {
                 return new BamDataWriter(path, names, lengths, blockPayload, bai, deflateLevel,
-                        cols, sconf, partitionId, taskId);
+                        cols, sconf, partitionId, taskId, jobToken);
             } catch (IOException e) {
                 throw new java.io.UncheckedIOException(e);
             }
@@ -378,7 +386,7 @@ final class BamWriteSupport {
 
         BamDataWriter(String dir, String[] names, int[] lengths, int blockPayload,
                       boolean bai, int deflateLevel, ColMap cols, SerializableConf sconf,
-                      int partitionId, long taskId) throws IOException {
+                      int partitionId, long taskId, String jobToken) throws IOException {
             this.blockPayload = blockPayload;
             this.bai = bai;
             this.deflater = new Deflater(deflateLevel, true);
@@ -388,7 +396,8 @@ final class BamWriteSupport {
             for (int i = 0; i < names.length; i++) nameToIdx.put(names[i], i);
             Path base = new Path(dir);
             this.fs = base.getFileSystem(sconf.conf);
-            this.finalPath = new Path(base, String.format("part-%05d.bam", partitionId));
+            this.finalPath = new Path(base,
+                    String.format("part-%05d-%s.bam", partitionId, jobToken));
             this.tmpPath = new Path(base,
                     String.format(".part-%05d-%d.bam.inprogress", partitionId, taskId));
             this.out = fs.create(tmpPath, true);
@@ -457,6 +466,17 @@ final class BamWriteSupport {
             return isLong ? row.getLong(idx) : row.getInt(idx);
         }
 
+        /** Long-typed numeric columns must fit the spec's int32 fields —
+         *  throw like the Python writer's struct.pack does instead of
+         *  silently truncating (the twins must fail identically). */
+        private static int i32(long v, String name) throws IOException {
+            if (v < Integer.MIN_VALUE || v > Integer.MAX_VALUE) {
+                throw new IOException(
+                        "bam write: column '" + name + "' value " + v + " out of int32 range");
+            }
+            return (int) v;
+        }
+
         @Override
         public void write(InternalRow row) throws IOException {
             rec.len = 0;
@@ -468,11 +488,11 @@ final class BamWriteSupport {
                 refIdx = mapped == null ? -1 : mapped;
             }
             long pos = num(row, cols.pos, cols.posLong, -1);
-            int mapq = (int) num(row, cols.mapq, cols.mapqLong, 0);
-            int flag = (int) num(row, cols.flag, cols.flagLong, 0);
+            int mapq = i32(num(row, cols.mapq, cols.mapqLong, 0), "mapq");
+            int flag = i32(num(row, cols.flag, cols.flagLong, 0), "flag");
             long mateRef = num(row, cols.mateRefIdx, cols.mateRefIdxLong, -1);
             long matePos = num(row, cols.matePos, cols.matePosLong, -1);
-            int tlen = (int) num(row, cols.tlen, cols.tlenLong, 0);
+            int tlen = i32(num(row, cols.tlen, cols.tlenLong, 0), "tlen");
             String cigarS = str(row, cols.cigar, "*");
             String seq = str(row, cols.seq, "");
             String qualS = str(row, cols.qual, "");
@@ -492,16 +512,16 @@ final class BamWriteSupport {
             long endPos = pos < 0 ? -1 : pos + refConsumed;
             int bin = pos >= 0 ? reg2bin(pos, Math.max(endPos, pos + 1)) : 0;
 
-            rec.i32((int) refIdx);
-            rec.i32((int) pos);
+            rec.i32(i32(refIdx, "ref_idx"));
+            rec.i32(i32(pos, "pos"));
             rec.u8(nameB.length + 1);
             rec.u8(mapq);
             rec.u16(bin);
             rec.u16(nCigar);
             rec.u16(flag);
             rec.i32(lSeq);
-            rec.i32((int) mateRef);
-            rec.i32((int) matePos);
+            rec.i32(i32(mateRef, "mate_ref_idx"));
+            rec.i32(i32(matePos, "mate_pos"));
             rec.i32(tlen);
             rec.bytes(nameB, 0, nameB.length);
             rec.u8(0);
@@ -679,7 +699,13 @@ final class BamWriteSupport {
             out.write(EOF_BLOCK);
             out.close();
             closed = true;
-            if (fs.exists(finalPath)) fs.delete(finalPath, false);
+            // part names are job-unique (partitionId + write UUID) and the
+            // commit coordinator admits one attempt per partition, so an
+            // existing final path is a real anomaly — fail, never delete
+            // another job's data
+            if (fs.exists(finalPath)) {
+                throw new IOException("bam write: " + finalPath + " already exists");
+            }
             if (!fs.rename(tmpPath, finalPath)) {
                 throw new IOException("bam write: rename " + tmpPath + " -> " + finalPath + " failed");
             }
@@ -689,7 +715,6 @@ final class BamWriteSupport {
                 try (FSDataOutputStream b = fs.create(baiTmp, true)) {
                     b.write(encodeBai());
                 }
-                if (fs.exists(baiFinal)) fs.delete(baiFinal, false);
                 if (!fs.rename(baiTmp, baiFinal)) {
                     throw new IOException("bam write: rename " + baiTmp + " -> " + baiFinal + " failed");
                 }

@@ -145,32 +145,31 @@ def write_bam_df(
     is ``name:length,...`` for the header's @SQ lines (and rname→ref_idx
     resolution when the frame has no ref_idx column).
 
-    ``bai=True`` (JVM writer only) also emits a spec §5.2 BAI index per
-    part file as a running side effect of the write — the writer owns
-    every record's exact virtual offset — so interval queries over the
-    rewritten output get indexed pushdown with no separate indexing pass
-    (at 100 TB, the difference between a pruned scan and a full one)."""
-    choice = writer or ("jvm" if bai else writer_choice())
+    ``bai=True`` also emits a spec §5.2 BAI index per part file as a
+    running side effect of the write — the writer owns every record's
+    exact virtual offset — so interval queries over the rewritten output
+    get indexed pushdown with no separate indexing pass (at 100 TB, the
+    difference between a pruned scan and a full one).  Both writers
+    emit it (byte-identical for identical part bytes); both reject
+    partitions that are not coordinate-sorted."""
+    choice = writer or writer_choice()
     if choice not in ("jvm", "py"):
         raise ValueError(f"writer must be jvm|py, got {choice!r}")
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    if bai and choice != "jvm":
-        raise ValueError("bai=True is JVM-writer-only (the Python Data Source "
-                         "writer has no index emitter)")
     spark = df.sparkSession
     if choice == "jvm":
         from spark_bam_spark.bam import jvmreader
 
         jvmreader.ensure_session(spark)
         w = df.write.format(jvmreader.FORMAT)
-        if bai:
-            w = w.option("bai", "true")
     else:
         from spark_bam_spark.bam.datasource import register
 
         register(spark)
         w = df.write.format("bam")
+    if bai:
+        w = w.option("bai", "true")
     if contigs:
         w = w.option("contigs", contigs)
     if block_payload is not None:

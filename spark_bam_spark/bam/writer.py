@@ -64,9 +64,14 @@ def write_bam(
     block_payload: int = DEFAULT_BLOCK_PAYLOAD,
     sidecars: bool = True,
     level: int = 6,
+    bai: bool | None = None,
 ) -> WriteResult:
     """Serialize header+records, slice into BGZF blocks of
-    ``block_payload`` uncompressed bytes, write sidecars."""
+    ``block_payload`` uncompressed bytes, write sidecars.  ``bai``
+    controls the spec §5.2 index independently of the test-only
+    sidecars (default: follow ``sidecars``) so the distributed Python
+    writer can emit just the index, mirroring the JVM sink's
+    ``bai=true``."""
     header = encode_header(names, lengths)
     stream = bytearray(header)
     rec_uoffsets: list[int] = []
@@ -113,7 +118,7 @@ def write_bam(
                 (b.start, min(v[0] for v in vals), max(v[0] for v in vals), min(v[1] for v in vals), max(v[1] for v in vals))
             )
 
-    if sidecars:
+    if bai if bai is not None else sidecars:
         # spec-standard BAI (writer owns exact positions → exact index)
         from spark_bam_spark.bam.bai import build_bai, write_bai
 
@@ -124,6 +129,7 @@ def write_bam(
             for r, u0, u1 in zip(records, rec_uoffsets, rec_ends)
         ]
         write_bai(path + ".bai", build_bai(len(names), bai_rows))
+    if sidecars:
         with open(path + ".blocks", "w") as f:
             for b in blocks:
                 f.write(f"{b.start},{b.compressed_size},{b.uncompressed_size}\n")

@@ -420,10 +420,58 @@ def test_parse_bai_without_stats_is_backward_compatible(tmp_path):
     assert back.stats == [None, None] and back.n_no_coor == 0
 
 
-def test_bai_option_requires_jvm_writer(spark, tmp_path):
-    df = spark.createDataFrame([Row(qname="x", rname="1", pos=1, seq="AC")])
-    with pytest.raises(ValueError, match="JVM-writer-only"):
-        write_bam_df(df, str(tmp_path / "b"), contigs=_CONTIGS, bai=True, writer="py")
+def test_py_writer_bai_byte_identical_to_generator(spark, fixture_path, tmp_path):
+    """r11: BAI emission ported to the Python Data Source writer — the
+    dual-implementation symmetry the rest of the format layer has.  Same
+    differential oracle as the JVM test: a one-partition file-order
+    rewrite with the generator's block_payload reproduces the
+    generator's .bam byte-for-byte, so the emitted .bai must equal the
+    generator's build_bai sidecar byte-for-byte too."""
+    src = read_bam(spark, fixture_path, split_size=1 << 30, reader="py")
+    out = str(tmp_path / "rw")
+    impl = write_bam_df(
+        src.coalesce(1), out, contigs=_CONTIGS, block_payload=4096, bai=True, writer="py"
+    )
+    assert impl == "py"
+    part = sorted(glob.glob(out + "/part-*.bam"))[0]
+    with open(fixture_path, "rb") as f:
+        gen_bam = f.read()
+    with open(part, "rb") as f:
+        assert f.read() == gen_bam
+    with open(fixture_path + ".bai", "rb") as f:
+        gen_bai = f.read()
+    with open(part + ".bai", "rb") as f:
+        assert f.read() == gen_bai
+
+
+def test_py_writer_bai_rejects_unsorted_partitions(spark, tmp_path):
+    """Same contract as the JVM sink: unsorted partitions with bai=True
+    fail loudly (never a silently mispruning index), and the failed
+    task leaves no .inprogress or part files behind."""
+    rows = [Row(qname="a", rname="1", pos=500_000, cigar="2M", seq="AC"),
+            Row(qname="b", rname="1", pos=100, cigar="2M", seq="GG")]
+    df = spark.createDataFrame(rows).coalesce(1)
+    out = str(tmp_path / "u")
+    with pytest.raises(Exception, match="coordinate-sorted"):
+        write_bam_df(df, out, contigs=_CONTIGS, bai=True, writer="py")
+    assert glob.glob(out + "/part-*") == []
+    assert [f for f in glob.glob(out + "/.*") if "inprogress" in f] == []
+
+
+@pytest.mark.parametrize("writer", ["jvm", "py"])
+def test_append_mode_never_clobbers_earlier_parts(spark, fixture_path, tmp_path, writer):
+    """ADVICE r10: part names carry a per-job unique token, so
+    df.write.mode('append') into a directory that already holds output
+    adds parts instead of silently replacing same-numbered ones."""
+    if writer == "jvm" and not _HAS_JDK:
+        pytest.skip("no JDK")
+    out = str(tmp_path / "ap")
+    first = read_bam(spark, fixture_path).limit(100).coalesce(1)
+    write_bam_df(first, out, contigs=_CONTIGS, writer=writer)
+    second = read_bam(spark, fixture_path).limit(40).coalesce(1)
+    write_bam_df(second, out, contigs=_CONTIGS, writer=writer)
+    assert len(glob.glob(out + "/part-*.bam")) == 2
+    assert read_bam(spark, out).count() == 140
 
 
 @pytest.mark.parametrize("writer", ["jvm", "py"])
