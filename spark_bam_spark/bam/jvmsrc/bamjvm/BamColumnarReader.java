@@ -97,6 +97,9 @@ final class BamColumnarReader implements PartitionReader<ColumnarBatch> {
         int qualStart = seqStart + (lSeq + 1) / 2;
         int tagStart = qualStart + lSeq;
         int recordEnd = o + 4 + walker.recBlockSize;
+        // §4.2.2: promote a CG:B,I long cigar (null for normal records)
+        int[] cgWords = BamPartitionReader.cgCigarWords(
+                b, cigarStart, nCigar, lSeq, tagStart, recordEnd);
         for (int i = 0; i < ids.length; i++) {
             WritableColumnVector v = vectors[i];
             switch (ids[i]) {
@@ -122,13 +125,18 @@ final class BamColumnarReader implements PartitionReader<ColumnarBatch> {
                     v.putLong(row, Bgzf.i32(b, o + 8));
                     break;
                 case 5:
-                    v.putLong(row, BamPartitionReader.endPos(b, o, cigarStart, nCigar));
+                    v.putLong(row, cgWords != null
+                            ? BamPartitionReader.endPosFromWords(Bgzf.i32(b, o + 8), cgWords)
+                            : BamPartitionReader.endPos(b, o, cigarStart, nCigar));
                     break;
                 case 6:
                     v.putInt(row, b[o + 13] & 0xFF);
                     break;
-                case 7: { // cigar
-                    if (nCigar == 0) {
+                case 7: { // cigar (promoted CG when long)
+                    if (cgWords != null) {
+                        int len = writeCigarWords(cgWords);
+                        v.putByteArray(row, scratch, 0, len);
+                    } else if (nCigar == 0) {
                         v.putByteArray(row, BamColumnarReader.STAR, 0, 1);
                     } else {
                         int len = writeCigar(b, cigarStart, nCigar);
@@ -137,7 +145,7 @@ final class BamColumnarReader implements PartitionReader<ColumnarBatch> {
                     break;
                 }
                 case 8:
-                    v.putInt(row, nCigar);
+                    v.putInt(row, cgWords != null ? cgWords.length : nCigar);
                     break;
                 case 9:
                     v.putInt(row, Bgzf.i32(b, o + 24));
@@ -198,21 +206,35 @@ final class BamColumnarReader implements PartitionReader<ColumnarBatch> {
         byte[] s = scratch(nCigar * 11); // 10 digits + op per element max
         int w = 0;
         for (int c = 0; c < nCigar; c++) {
-            int v = Bgzf.i32(b, cigarStart + 4 * c);
-            int len = v >>> 4;
-            // decimal digits, written forward via a reversed scratch tail
-            int start = w;
-            do {
-                s[w++] = (byte) ('0' + (len % 10));
-                len /= 10;
-            } while (len != 0);
-            for (int lo = start, hi = w - 1; lo < hi; lo++, hi--) {
-                byte t = s[lo];
-                s[lo] = s[hi];
-                s[hi] = t;
-            }
-            s[w++] = BamPartitionReader.CIGAR_CHARS[v & 0xF];
+            w = writeCigarOp(s, w, Bgzf.i32(b, cigarStart + 4 * c));
         }
+        return w;
+    }
+
+    /** Same, from promoted CG:B,I words. */
+    private int writeCigarWords(int[] words) {
+        byte[] s = scratch(words.length * 11);
+        int w = 0;
+        for (int v : words) {
+            w = writeCigarOp(s, w, v);
+        }
+        return w;
+    }
+
+    private static int writeCigarOp(byte[] s, int w, int v) {
+        int len = v >>> 4;
+        // decimal digits, written forward via a reversed scratch tail
+        int start = w;
+        do {
+            s[w++] = (byte) ('0' + (len % 10));
+            len /= 10;
+        } while (len != 0);
+        for (int lo = start, hi = w - 1; lo < hi; lo++, hi--) {
+            byte t = s[lo];
+            s[lo] = s[hi];
+            s[hi] = t;
+        }
+        s[w++] = BamPartitionReader.CIGAR_CHARS[v & 0xF];
         return w;
     }
 
@@ -241,11 +263,10 @@ final class BamColumnarReader implements PartitionReader<ColumnarBatch> {
                 k++;
                 p = z + 1;
             } else {
-                int sz = BamPartitionReader.TAG_SIZES[typ];
-                if (sz < 0) {
+                p = BamPartitionReader.skipTag(b, p, end);
+                if (p < 0) {
                     break;
                 }
-                p += 3 + sz;
             }
         }
         v.putArray(row, entryBase, k);

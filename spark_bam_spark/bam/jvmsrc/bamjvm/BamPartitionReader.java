@@ -35,6 +35,7 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
         for (int i = 0; i < 256; i++) {
             TAG_SIZES[i] = -1;
         }
+        TAG_SIZES['A'] = 1;
         TAG_SIZES['c'] = 1;
         TAG_SIZES['C'] = 1;
         TAG_SIZES['s'] = 2;
@@ -42,6 +43,91 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
         TAG_SIZES['i'] = 4;
         TAG_SIZES['I'] = 4;
         TAG_SIZES['f'] = 4;
+    }
+
+    /**
+     * Advance past one auxiliary field starting at {@code p} (tag byte 0).
+     * Z/H skip to their NUL terminator, B skips subtype+count+payload,
+     * fixed-size types skip their width; -1 on unknown type or corrupt
+     * layout (the scanners stop there — same contract as the Python
+     * decoders' _walk_tags).
+     */
+    static int skipTag(byte[] b, int p, int end) {
+        int typ = b[p + 2] & 0xFF;
+        if (typ == 'Z' || typ == 'H') {
+            int z = p + 3;
+            while (z < end && b[z] != 0) {
+                z++;
+            }
+            return z >= end ? -1 : z + 1;
+        }
+        if (typ == 'B') {
+            if (p + 8 > end) {
+                return -1;
+            }
+            int sz = TAG_SIZES[b[p + 3] & 0xFF];
+            long cnt = Bgzf.i32(b, p + 4);
+            if (sz <= 0 || cnt < 0 || p + 8 + sz * cnt > end) {
+                return -1;
+            }
+            return (int) (p + 8 + sz * cnt);
+        }
+        int sz = TAG_SIZES[typ];
+        return sz < 0 ? -1 : p + 3 + sz;
+    }
+
+    /**
+     * Spec §4.2.2 long-cigar fallback: when the stored cigar is the
+     * placeholder kSmN (k == l_seq), the real >65,535-op cigar lives in a
+     * CG:B,I tag.  Returns the packed (len&lt;&lt;4|op) words, or null when the
+     * record is not a placeholder / carries no CG tag.
+     */
+    static int[] cgCigarWords(byte[] b, int cigarStart, int nCigar, int lSeq,
+                              int tagStart, int recordEnd) {
+        if (nCigar != 2) {
+            return null;
+        }
+        int w0 = Bgzf.i32(b, cigarStart);
+        int w1 = Bgzf.i32(b, cigarStart + 4);
+        if ((w0 & 0xF) != 4 || (w0 >>> 4) != lSeq || (w1 & 0xF) != 3) {
+            return null;
+        }
+        int p = tagStart;
+        while (p + 3 <= recordEnd) {
+            if (b[p] == 'C' && b[p + 1] == 'G' && (b[p + 2] & 0xFF) == 'B'
+                    && p + 8 <= recordEnd && (b[p + 3] & 0xFF) == 'I') {
+                int cnt = Bgzf.i32(b, p + 4);
+                if (cnt <= 0 || p + 8 + 4L * cnt > recordEnd) {
+                    return null;
+                }
+                int[] words = new int[cnt];
+                for (int i = 0; i < cnt; i++) {
+                    words[i] = Bgzf.i32(b, p + 8 + 4 * i);
+                }
+                return words;
+            }
+            p = skipTag(b, p, recordEnd);
+            if (p < 0) {
+                return null;
+            }
+        }
+        return null;
+    }
+
+    /** end_pos recomputed from promoted CG words (parity with the Python
+     *  scalar decoder; equals the placeholder's N length on
+     *  spec-conforming files). */
+    static long endPosFromWords(long pos, int[] words) {
+        if (pos < 0) {
+            return -1L;
+        }
+        long consumed = 0;
+        for (int v : words) {
+            if (REF_CONSUMING[v & 0xF]) {
+                consumed += (v >>> 4);
+            }
+        }
+        return pos + consumed;
     }
 
     // field ids in full-schema order; the pruned schema maps to these
@@ -121,6 +207,9 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
         int qualStart = seqStart + packedLen;
         int tagStart = qualStart + lSeq;
         int recordEnd = o + 4 + blockSize;
+        // §4.2.2: promote a CG:B,I long cigar (null for normal records;
+        // the nCigar==2 pre-check keeps this free on short-read data)
+        int[] cgWords = cgCigarWords(b, cigarStart, nCigar, lSeq, tagStart, recordEnd);
         for (int i = 0; i < ids.length; i++) {
             switch (ids[i]) {
                 case 0: // qname (trailing NUL stripped)
@@ -141,13 +230,21 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
                     vals[i] = (long) Bgzf.i32(b, o + 8);
                     break;
                 case 5: // end_pos = pos + reference-consumed cigar length
-                    vals[i] = endPos(b, o, cigarStart, nCigar);
+                    vals[i] = cgWords != null
+                            ? endPosFromWords(Bgzf.i32(b, o + 8), cgWords)
+                            : endPos(b, o, cigarStart, nCigar);
                     break;
                 case 6: // mapq
                     vals[i] = b[o + 13] & 0xFF;
                     break;
-                case 7: { // cigar ('*' when empty)
-                    if (nCigar == 0) {
+                case 7: { // cigar ('*' when empty; promoted CG when long)
+                    if (cgWords != null) {
+                        StringBuilder sb = new StringBuilder(cgWords.length * 4);
+                        for (int v : cgWords) {
+                            sb.append(v >>> 4).append((char) CIGAR_CHARS[v & 0xF]);
+                        }
+                        vals[i] = UTF8String.fromString(sb.toString());
+                    } else if (nCigar == 0) {
                         vals[i] = UTF8String.fromString("*");
                     } else {
                         StringBuilder sb = new StringBuilder(nCigar * 4);
@@ -159,8 +256,8 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
                     }
                     break;
                 }
-                case 8: // n_cigar_ops
-                    vals[i] = nCigar;
+                case 8: // n_cigar_ops (real count for promoted CG records)
+                    vals[i] = cgWords != null ? cgWords.length : nCigar;
                     break;
                 case 9: // mate_ref_idx
                     vals[i] = Bgzf.i32(b, o + 24);
@@ -227,9 +324,11 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
     }
 
     /**
-     * Z-typed auxiliary fields as a string map; fixed-size typed tags are
-     * skipped and the scan stops at H/B/unknown types or a corrupt Z —
-     * the same contract as the Python decoder's tags() pass.
+     * Z-typed auxiliary fields as a string map; A/c/C/s/S/i/I/f fixed-size
+     * tags, H hex strings and B arrays are skipped structurally and the
+     * scan stops at an unknown type or corrupt layout — the same contract
+     * as the Python decoders' _walk_tags.  A CG:B,I long-cigar carrier is
+     * B-typed, so it never enters the map (it is promoted into 'cigar').
      */
     private ArrayBasedMapData decodeTags(byte[] b, int p, int end) {
         List<UTF8String> keys = null;
@@ -252,11 +351,10 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
                 valsList.add(utf8(b, p + 3, z - (p + 3)));
                 p = z + 1;
             } else {
-                int sz = TAG_SIZES[typ];
-                if (sz < 0) {
-                    break; // H/B/unknown: stop scanning this record
+                p = skipTag(b, p, end);
+                if (p < 0) {
+                    break; // unknown/corrupt: stop scanning this record
                 }
-                p += 3 + sz;
             }
         }
         if (keys == null) {

@@ -511,6 +511,16 @@ final class BamWriteSupport {
             }
             long endPos = pos < 0 ? -1 : pos + refConsumed;
             int bin = pos >= 0 ? reg2bin(pos, Math.max(endPos, pos + 1)) : 0;
+            // spec §4.2.2 long-cigar fallback (n_cigar_op is uint16): the
+            // placeholder kSmN goes in the cigar field, the real ops into
+            // a CG:B,I tag appended AFTER the Z tags — identical bytes to
+            // the Python writer's encode_record
+            int[] cgWords = null;
+            if (nCigar > 0xFFFF) {
+                cgWords = cigar;
+                cigar = new int[] {(lSeq << 4) | 4, ((int) refConsumed << 4) | 3};
+                nCigar = 2;
+            }
 
             rec.i32(i32(refIdx, "ref_idx"));
             rec.i32(i32(pos, "pos"));
@@ -553,6 +563,12 @@ final class BamWriteSupport {
                     UTF8String v = vals.isNullAt(i) ? null : vals.getUTF8String(i);
                     sorted.put(keys.getUTF8String(i).toString(), v == null ? "" : v.toString());
                 }
+                if (cgWords != null && sorted.containsKey("CG")) {
+                    throw new IOException(
+                            "bam write: cigar has >65535 ops and tags already carry a CG key"
+                                    + " — ambiguous; drop the CG tag and put the real cigar"
+                                    + " in 'cigar'");
+                }
                 for (Map.Entry<String, String> e : sorted.entrySet()) {
                     byte[] tag = e.getKey().getBytes(java.nio.charset.StandardCharsets.US_ASCII);
                     rec.bytes(tag, 0, Math.min(2, tag.length));
@@ -561,6 +577,14 @@ final class BamWriteSupport {
                     rec.bytes(val, 0, val.length);
                     rec.u8(0);
                 }
+            }
+            if (cgWords != null) {
+                rec.u8('C');
+                rec.u8('G');
+                rec.u8('B');
+                rec.u8('I');
+                rec.i32(cgWords.length);
+                for (int v : cgWords) rec.i32(v);
             }
 
             // length-prefix then stream into the block slicer

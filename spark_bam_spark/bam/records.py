@@ -63,8 +63,31 @@ class BamRecord:
 
 def encode_record(r: BamRecord) -> bytes:
     name_b = r.qname.encode("ascii") + b"\x00"
-    n_cigar = len(r.cigar)
+    cigar = r.cigar
+    n_cigar = len(cigar)
     l_seq = len(r.seq)
+    cg_tag = b""
+    if n_cigar > 0xFFFF:
+        # spec §4.2.2 long-cigar fallback (n_cigar_op is uint16): store the
+        # placeholder kSmN in the cigar field (k = l_seq, m = reference
+        # consumed — same end_pos as the real cigar by construction) and
+        # the real ops in a CG:B,I tag appended AFTER the Z tags (the
+        # htslib/samtools convention; keeping it last also keeps the
+        # Z-only tag scanners complete).  Both writers emit this
+        # identically — byte parity holds for long-read records too.
+        if "CG" in r.tags:
+            raise ValueError(
+                "cigar has >65535 ops and tags already carry a CG key — "
+                "ambiguous; drop the CG tag and put the real cigar in 'cigar'"
+            )
+        ref_len = sum(ln for op, ln in cigar if op in _REF_CONSUMING)
+        cg_tag = (
+            b"CGBI"
+            + struct.pack("<i", n_cigar)
+            + b"".join(struct.pack("<I", (ln << 4) | op) for op, ln in cigar)
+        )
+        cigar = [(4, l_seq), (3, ref_len)]  # S then N
+        n_cigar = 2
     # reg2bin over [pos, end) — spec §5.3; 0 for unplaced
     bin_ = _reg2bin(r.pos, max(r.end_pos, r.pos + 1)) if r.pos >= 0 else 0
     body = bytearray()
@@ -83,7 +106,7 @@ def encode_record(r: BamRecord) -> bytes:
         r.tlen,
     )
     body += name_b
-    for op, ln in r.cigar:
+    for op, ln in cigar:
         body += struct.pack("<I", (ln << 4) | op)
     seq_bytes = bytearray((l_seq + 1) // 2)
     for i, base in enumerate(r.seq):
@@ -93,6 +116,7 @@ def encode_record(r: BamRecord) -> bytes:
     body += r.qual if len(r.qual) == l_seq else bytes([0xFF] * l_seq)
     for tag, val in sorted(r.tags.items()):
         body += tag.encode("ascii")[:2] + b"Z" + val.encode("ascii") + b"\x00"
+    body += cg_tag
     return struct.pack("<i", len(body)) + bytes(body)
 
 
@@ -137,23 +161,16 @@ def decode_record(
     qual = bytes(buf[p : p + l_seq]) if want_qual else b""
     p += l_seq
     end = off + 4 + block_size
+    # spec §4.2.2 long-cigar placeholder: kSmN with k == l_seq means the
+    # real cigar lives in a CG:B,I tag — scan for it even when the caller
+    # pruned tags, so 'cigar' is always the real alignment
+    placeholder = n_cigar == 2 and cigar[0] == (4, l_seq) and cigar[1][0] == 3
     tags: dict[str, str] = {}
-    while want_tags and p + 3 <= end:
-        tag = buf[p : p + 2].decode("ascii", errors="replace")
-        typ = chr(buf[p + 2])
-        p += 3
-        if typ == "Z":
-            z = buf.index(b"\x00", p, end)
-            tags[tag] = buf[p:z].decode("ascii", errors="replace")
-            p = z + 1
-        elif typ in "cC":
-            p += 1
-        elif typ in "sS":
-            p += 2
-        elif typ in "iIf":
-            p += 4
-        else:
-            break  # H/B and unknown: stop politely (fixtures only use Z)
+    cg_ops: list[tuple[int, int]] | None = None
+    if want_tags or placeholder:
+        tags, cg_ops = _walk_tags(buf, p, end, want_map=want_tags)
+    if placeholder and cg_ops:
+        cigar = cg_ops
     rec = BamRecord(
         qname=qname,
         flag=flag,
@@ -169,6 +186,56 @@ def decode_record(
         tags=tags,
     )
     return rec, 4 + block_size
+
+
+_B_SIZES = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+
+
+def _walk_tags(
+    buf: bytes, p: int, end: int, want_map: bool
+) -> tuple[dict[str, str], list[tuple[int, int]] | None]:
+    """Walk the auxiliary-field region: Z values surfaced in the map,
+    fixed-size typed tags and H/B arrays skipped structurally, and a
+    CG:B,I array (the §4.2.2 long-cigar carrier) decoded into cigar ops.
+    CG never enters the map — it is promoted into 'cigar' by the caller,
+    the same transparency samtools applies."""
+    tags: dict[str, str] = {}
+    cg_ops: list[tuple[int, int]] | None = None
+    while p + 3 <= end:
+        tag = buf[p : p + 2].decode("ascii", errors="replace")
+        typ = chr(buf[p + 2])
+        p += 3
+        if typ == "Z":
+            z = buf.index(b"\x00", p, end)
+            if want_map:
+                tags[tag] = buf[p:z].decode("ascii", errors="replace")
+            p = z + 1
+        elif typ == "H":
+            z = buf.find(b"\x00", p, end)
+            if z < 0:
+                break
+            p = z + 1
+        elif typ == "B":
+            sub = chr(buf[p])
+            size = _B_SIZES.get(sub)
+            if size is None or p + 5 > end:
+                break
+            (cnt,) = struct.unpack_from("<i", buf, p + 1)
+            if cnt < 0 or p + 5 + size * cnt > end:
+                break
+            if tag == "CG" and sub == "I":
+                words = struct.unpack_from(f"<{cnt}I", buf, p + 5)
+                cg_ops = [(v & 0xF, v >> 4) for v in words]
+            p += 5 + size * cnt
+        elif typ in "AcC":
+            p += 1
+        elif typ in "sS":
+            p += 2
+        elif typ in "iIf":
+            p += 4
+        else:
+            break  # unknown type: stop politely (fixtures only use Z)
+    return tags, cg_ops
 
 
 def _reg2bin(beg: int, end: int) -> int:

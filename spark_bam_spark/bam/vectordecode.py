@@ -41,9 +41,12 @@ _SEQ_PAIRS = (
 _QUAL33 = np.arange(256, dtype=np.uint16).astype(np.uint8) + np.uint8(33)
 # tag type byte → fixed payload size; -1 = variable (Z) or scan-stopper (H/B)
 _TAG_SIZES = np.full(256, -1, dtype=np.int64)
-for _c, _s in ((0x63, 1), (0x43, 1), (0x73, 2), (0x53, 2), (0x69, 4), (0x49, 4), (0x66, 4)):
+for _c, _s in (
+    (0x41, 1),  # 'A' printable char
+    (0x63, 1), (0x43, 1), (0x73, 2), (0x53, 2), (0x69, 4), (0x49, 4), (0x66, 4),
+):
     _TAG_SIZES[_c] = _s
-_TAG_SIZES[0x5A] = -1  # 'Z' handled via NUL scan
+_TAG_SIZES[0x5A] = -1  # 'Z' handled via NUL scan ('H' likewise; 'B' counted)
 
 
 def ranges_concat(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -104,6 +107,7 @@ class DecodedBatch:
     numpy/Arrow computation over all records at once."""
 
     def __init__(self, buf, starts: np.ndarray, names: list[str]) -> None:
+        self.raw = buf  # kept for the rare scalar CG-tag scan (§4.2.2)
         self.np_buf = np.frombuffer(buf, dtype=np.uint8, count=len(buf))
         self.starts = starts.astype(np.int64, copy=False)
         self.names = names
@@ -112,6 +116,7 @@ class DecodedBatch:
         fixed = self.np_buf[self.starts[:, None] + np.arange(_FIXED)]
         self._f = np.ascontiguousarray(fixed)
         self.n = n
+        self._cg: dict[int, list[tuple[int, int]]] | None = None
 
     def _i32(self, byte_off: int) -> np.ndarray:
         return self._f[:, byte_off : byte_off + 4].copy().view("<i4").ravel()
@@ -208,9 +213,64 @@ class DecodedBatch:
         )
         return consumed.astype(np.int64)
 
+    def cg_promotions(self) -> dict[int, list[tuple[int, int]]]:
+        """record index → real (op, len) cigar for §4.2.2 long-cigar
+        records: n_cigar_op is uint16, so >65,535-op alignments store the
+        placeholder kSmN (k == l_seq, op S then op N) in the cigar field
+        and the real ops in a CG:B,I tag.  Candidate detection is
+        vectorized (three comparisons over the n_cigar==2 subset); only
+        actual placeholders pay a scalar tag scan — zero cost for
+        short-read data, O(long-read records) otherwise.  Cached: cigar,
+        n_cigar_ops and end_pos all consume it."""
+        if self._cg is not None:
+            return self._cg
+        self._cg = {}
+        cand = np.flatnonzero(self.n_cigar == 2)
+        if cand.size:
+            b = self.np_buf
+            cs = self.cigar_start[cand]
+            w0 = (
+                b[cs].astype(np.uint32)
+                | (b[cs + 1].astype(np.uint32) << 8)
+                | (b[cs + 2].astype(np.uint32) << 16)
+                | (b[cs + 3].astype(np.uint32) << 24)
+            )
+            w1 = (
+                b[cs + 4].astype(np.uint32)
+                | (b[cs + 5].astype(np.uint32) << 8)
+                | (b[cs + 6].astype(np.uint32) << 16)
+                | (b[cs + 7].astype(np.uint32) << 24)
+            )
+            ok = (
+                ((w0 & 0xF) == 4)
+                & ((w0 >> 4) == self.l_seq[cand].astype(np.uint32))
+                & ((w1 & 0xF) == 3)
+            )
+            if bool(ok.any()):
+                from spark_bam_spark.bam.records import _walk_tags
+
+                t_starts = self.tag_start
+                r_ends = self.record_end
+                for i in cand[ok]:
+                    _, cg_ops = _walk_tags(
+                        self.raw, int(t_starts[i]), int(r_ends[i]), want_map=False
+                    )
+                    if cg_ops:
+                        self._cg[int(i)] = cg_ops
+        return self._cg
+
     def end_pos(self) -> np.ndarray:
         pos = self.pos.astype(np.int64)
-        return np.where(pos < 0, np.int64(-1), pos + self.ref_consumed())
+        out = np.where(pos < 0, np.int64(-1), pos + self.ref_consumed())
+        for i, cg_ops in self.cg_promotions().items():
+            # recompute from the REAL cigar — identical to the scalar
+            # decoder (equal to the placeholder's N length on
+            # spec-conforming files, by construction)
+            if pos[i] >= 0:
+                out[i] = pos[i] + sum(
+                    ln for op, ln in cg_ops if _REF_CONSUMING[op]
+                )
+        return out
 
     def cigar_str(self) -> pa.Array:
         """'4S96M'-style strings, built entirely in Arrow C++: int→str
@@ -223,7 +283,25 @@ class DecodedBatch:
         np.cumsum(self.n_cigar, out=list_offsets[1:])
         per_rec = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), items)
         joined = pc.binary_join(per_rec, "")
-        return pc.if_else(pa.array(self.n_cigar == 0), pa.scalar("*"), joined)
+        arr = pc.if_else(pa.array(self.n_cigar == 0), pa.scalar("*"), joined)
+        promos = self.cg_promotions()
+        if promos:
+            from spark_bam_spark.bam.records import CIGAR_OPS
+
+            mask = np.zeros(self.n, dtype=bool)
+            mask[list(promos)] = True
+            reps = [
+                "".join(f"{ln}{CIGAR_OPS[op]}" for op, ln in promos[i])
+                for i in sorted(promos)
+            ]
+            arr = pc.replace_with_mask(arr, pa.array(mask), pa.array(reps, pa.string()))
+        return arr
+
+    def n_cigar_ops(self) -> np.ndarray:
+        out = self.n_cigar.astype(np.int32)
+        for i, cg_ops in self.cg_promotions().items():
+            out[i] = len(cg_ops)
+        return out
 
     # -- strings ------------------------------------------------------------
     def qname(self) -> pa.Array:
@@ -253,12 +331,14 @@ class DecodedBatch:
 
     # -- tags (vectorized typed-stream scan) ---------------------------------
     def tags(self) -> pa.Array:
-        """Auxiliary-field map (Z-typed values surfaced; fixed-size typed
-        tags skipped; scan stops at H/B/unknown — matching the scalar
-        decoder). Vectorized as ROUNDS over tag ordinals: round k
-        processes the k-th tag of every still-active record at once.
-        Z-value ends resolve via one searchsorted into the positions of
-        all NUL bytes — no per-record memchr."""
+        """Auxiliary-field map (Z-typed values surfaced; A/c/C/s/S/i/I/f
+        fixed-size tags, H hex strings and B arrays skipped structurally;
+        scan stops at an unknown type or corrupt layout — the same
+        contract as the scalar decoder's _walk_tags). Vectorized as
+        ROUNDS over tag ordinals: round k processes the k-th tag of every
+        still-active record at once. Z/H value ends resolve via one
+        searchsorted into the positions of all NUL bytes — no per-record
+        memchr."""
         n = self.n
         t_starts = self.tag_start
         t_lens = np.maximum(self.record_end - t_starts, 0)
@@ -266,6 +346,7 @@ class DecodedBatch:
         seg_end = np.cumsum(t_lens)
         base = seg_end - t_lens  # region start per record, in flat coords
         zpos = np.flatnonzero(flat == 0)
+        top = np.int64(max(len(flat) - 1, 0))
 
         p = base.copy()
         active = p + 3 <= seg_end
@@ -276,14 +357,33 @@ class DecodedBatch:
             pp = p[ai]
             typ = flat[pp + 2]
             is_z = typ == 0x5A
+            is_h = typ == 0x48
             zi = np.searchsorted(zpos, pp + 3)
             has_z = zi < len(zpos)
             z = np.where(has_z, zpos[np.minimum(zi, len(zpos) - 1)], np.int64(-1))
-            z_ok = is_z & has_z & (z < seg_end[ai])
+            z_ok = (is_z | is_h) & has_z & (z < seg_end[ai])
+            # B arrays: subtype byte + int32 count + count*size payload
+            # (clamped gathers stay in bounds; the seg_end check rejects
+            # any read that strayed past the record's own tag region)
+            is_b = typ == 0x42
+            sub_sz = _TAG_SIZES[flat[np.minimum(pp + 3, top)]]
+            cnt = (
+                flat[np.minimum(pp + 4, top)].astype(np.int64)
+                | (flat[np.minimum(pp + 5, top)].astype(np.int64) << 8)
+                | (flat[np.minimum(pp + 6, top)].astype(np.int64) << 16)
+                | (flat[np.minimum(pp + 7, top)].astype(np.int64) << 24)
+            )
+            b_ok = (
+                is_b
+                & (pp + 8 <= seg_end[ai])
+                & (sub_sz > 0)
+                & (cnt >= 0)
+                & (pp + 8 + sub_sz * cnt <= seg_end[ai])
+            )
             fixed_sz = _TAG_SIZES[typ]
-            is_fixed = fixed_sz > 0
-            dead = ~(z_ok | is_fixed)  # H/B/unknown or corrupt Z: stop scan
-            emit = np.flatnonzero(z_ok)
+            is_fixed = ~is_b & (fixed_sz > 0)
+            dead = ~(z_ok | is_fixed | b_ok)  # unknown/corrupt: stop scan
+            emit = np.flatnonzero(z_ok & is_z)
             if emit.size:
                 eidx = ai[emit]
                 em_rec.append(eidx)
@@ -291,7 +391,9 @@ class DecodedBatch:
                 em_key.append(pp[emit])
                 em_vstart.append(pp[emit] + 3)
                 em_vlen.append(z[emit] - pp[emit] - 3)
-            adv = np.where(z_ok, z - pp + 1, 3 + fixed_sz)
+            adv = np.where(
+                z_ok, z - pp + 1, np.where(b_ok, 8 + sub_sz * cnt, 3 + fixed_sz)
+            )
             p[ai] = np.where(dead, pp, pp + adv)
             active[ai[dead]] = False
             live = ai[~dead]
@@ -357,7 +459,7 @@ def decode_batch(
         if name == "cigar":
             return d.cigar_str()
         if name == "n_cigar_ops":
-            return pa.array(d.n_cigar.astype(np.int32), type=pa.int32())
+            return pa.array(d.n_cigar_ops(), type=pa.int32())
         if name == "mate_ref_idx":
             return pa.array(d.mate_ref_idx, type=pa.int32())
         if name == "mate_pos":

@@ -74,8 +74,10 @@ def test_every_field_matches_scalar_decoder(fx):
 
 
 def test_typed_tags_skip_and_stop(tmp_path):
-    """Fixed-size typed tags are skipped, Z tags surface, and the scan
-    stops at a B array tag — matching the scalar decoder's behavior."""
+    """Fixed-size typed tags, H hex strings and B arrays are skipped
+    structurally (r11: the §4.2.2 CG work upgraded every scanner from
+    stop-at-B to skip-B), Z tags surface wherever they sit, and the scan
+    stops at an unknown type — matching the scalar decoder."""
     rec = BamRecord(
         qname="t1", flag=0x1, ref_idx=0, pos=100, mapq=30, cigar=[(0, 4)],
         mate_ref_idx=0, mate_pos=150, tlen=50, seq="ACGT", qual=bytes([30] * 4),
@@ -88,8 +90,10 @@ def test_typed_tags_skip_and_stop(tmp_path):
         b"NMC\x05"                      # C (uint8) — skipped
         + b"ASs" + struct.pack("<h", -7)  # s (int16) — skipped
         + b"XZZ" + b"a:b:c\x00"           # Z with colons — surfaced
-        + b"BAB" + b"c\x02\x00\x00\x00\x01\x02"  # B array — scan stops
-        + b"YZZ" + b"never\x00"           # after B: unreachable
+        + b"BAB" + b"c\x02\x00\x00\x00\x01\x02"  # B array — skipped
+        + b"YZZ" + b"reachable\x00"       # Z after B — surfaced now
+        + b"QQ?" + b"x"                   # unknown type '?' — scan stops
+        + b"ZZZ" + b"never\x00"           # after unknown: unreachable
     )
     raw += extra
     struct.pack_into("<i", raw, 0, len(raw) - 4)
@@ -106,7 +110,7 @@ def test_typed_tags_skip_and_stop(tmp_path):
     )
     got = dict(rb.column(ALL_COLS.index("tags"))[0].as_py())
     assert got == rec2.tags
-    assert got == {"RG": "rg0", "XZ": "a:b:c"}
+    assert got == {"RG": "rg0", "XZ": "a:b:c", "YZ": "reachable"}
 
 
 def test_empty_and_unplaced_records(tmp_path):
