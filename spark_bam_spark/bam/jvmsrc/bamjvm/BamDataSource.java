@@ -139,6 +139,29 @@ public class BamDataSource implements TableProvider {
 
         @Override
         public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
+            // supportsExternalMetadata() exists for the WRITE side; a
+            // user-specified READ schema is only honored when each field
+            // matches the real column's name and type — the readers
+            // resolve columns by name with fixed types, so e.g. pos
+            // declared as string would otherwise yield corrupt rows or a
+            // ClassCastException deep in execution instead of this error
+            StructType full = fullSchema();
+            for (org.apache.spark.sql.types.StructField f : schema.fields()) {
+                int idx;
+                try {
+                    idx = full.fieldIndex(f.name());
+                } catch (IllegalArgumentException e) {
+                    throw new IllegalArgumentException(
+                            "bam read: unknown column '" + f.name() + "' in user schema;"
+                                    + " available: " + String.join(", ", full.fieldNames()));
+                }
+                if (!f.dataType().sameType(full.fields()[idx].dataType())) {
+                    throw new IllegalArgumentException(
+                            "bam read: column '" + f.name() + "' must be "
+                                    + full.fields()[idx].dataType().sql() + ", got "
+                                    + f.dataType().sql());
+                }
+            }
             return new BamScanBuilder(options.asCaseSensitiveMap());
         }
 
@@ -347,7 +370,7 @@ public class BamDataSource implements TableProvider {
         @Override
         public org.apache.spark.sql.connector.read.streaming.MicroBatchStream toMicroBatchStream(
                 String checkpointLocation) {
-            return new BamMicroBatchStream(this);
+            return new BamMicroBatchStream(this, checkpointLocation);
         }
 
         private long optLong(String key, long dflt) {

@@ -1,7 +1,11 @@
-"""The r10 Structured Streaming BAM source (bamjvm.BamMicroBatchStream):
+"""The Structured Streaming BAM source (bamjvm.BamMicroBatchStream):
 micro-batches ingest the .bam files that appeared since the last batch,
-planned through the same splitter/pushdown/reader as the batch scan,
-with offsets checkpointed as the seen-file set.
+planned through the same splitter/pushdown/reader as the batch scan.
+
+r11: offsets are a monotonic batch id backed by a checkpointed
+file-metadata log (the FileStreamSource design) — the checkpointed
+offset is O(1) no matter how many files the stream has ever seen, and
+restarts rebuild the seen set by replaying the log.
 """
 
 from __future__ import annotations
@@ -76,6 +80,43 @@ def test_stream_ingest_query_matches_truth(spark):
 
     rows = load_all()["bam_stream_ingest"].fn(spark, "/root/testdata/sf0.001").collect()
     assert sum(r["n_reads"] for r in rows) == 5000  # 2 copies x 2500
+
+
+@needs_jdk
+def test_offset_is_constant_size_and_log_replays_on_restart(spark, tmp_path):
+    """The checkpointed offset is O(1) — a batch id, never the file list
+    (the r10 name-set offset grew O(all files ever seen), quadratic
+    diffing over a long-lived stream).  A second drain with the same
+    checkpoint restores the seen set from the metadata log and ingests
+    only the new arrivals, even across a many-file first batch."""
+    import glob as _glob
+    import json
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    n_files = 40
+    for i in range(n_files):
+        make_fixture(os.path.join(land, f"f{i:04d}.bam"), n=10, block_payload=4096, seed=i)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(spark, land, ckpt, out)
+    assert spark.read.parquet(out).count() == 10 * n_files
+    # every checkpointed offset is a small {"batchId": N} JSON — no names
+    offset_files = _glob.glob(os.path.join(ckpt, "offsets", "*"))
+    assert offset_files
+    for p in offset_files:
+        with open(p) as f:
+            payload = f.read()
+        (line,) = [ln for ln in payload.splitlines() if "batchId" in ln]
+        assert len(line) < 64
+        assert ".bam" not in payload  # names live in the source's own log
+        json.loads(line)  # well-formed
+    # the source's own metadata log (under ckpt/sources/...) holds the
+    # names; restart: only the new file is ingested
+    logs = _glob.glob(os.path.join(ckpt, "sources", "**", "bam-file-log", "*"), recursive=True)
+    assert logs, "expected the source's bam-file-log under the checkpoint"
+    make_fixture(os.path.join(land, "late.bam"), n=25, block_payload=4096, seed=99)
+    _drain(spark, land, ckpt, out)
+    assert spark.read.parquet(out).count() == 10 * n_files + 25
 
 
 @needs_jdk

@@ -420,3 +420,26 @@ def test_many_file_directory_parallel_planning(spark, tmp_path_factory):
                      .option("split_size", 4096).load(str(d)).collect()))
     jvb = sorted(map(tuple, jvmreader.read_blocks_jvm(spark, str(d), split_size=4096).collect()))
     assert pyb == jvb and len(jvb) > 12
+
+
+def test_user_read_schema_validated(spark, fixture_path):
+    """ADVICE r10: supportsExternalMetadata() exists for the write side;
+    a user-specified READ schema must match the real column names/types
+    or fail fast — the readers resolve columns by name with fixed types,
+    so a mistyped schema would otherwise produce corrupt rows."""
+    from spark_bam_spark.bam.jvmreader import FORMAT
+
+    jvmreader.ensure_session(spark)
+    # wrong type: loud, immediate
+    with pytest.raises(Exception, match="must be BIGINT"):
+        (spark.read.format(FORMAT).schema("pos string")
+         .load(fixture_path).collect())
+    # unknown column: loud, immediate
+    with pytest.raises(Exception, match="unknown column"):
+        (spark.read.format(FORMAT).schema("nope int")
+         .load(fixture_path).collect())
+    # a valid subset schema reads fine
+    got = (spark.read.format(FORMAT).schema("qname string, pos bigint")
+           .load(fixture_path))
+    assert got.columns == ["qname", "pos"]
+    assert got.count() == 2500
