@@ -75,48 +75,71 @@ def reg2bins(beg: int, end: int) -> list[int]:
     return bins
 
 
-def build_bai(
-    n_refs: int,
-    records: list[tuple[int, int, int, int, Pos, Pos]],
-) -> BaiIndex:
-    """records: (ref_idx, pos, end_pos, flag, start Pos, end Pos) per
-    record, in file order. Adjacent chunks within a bin are merged; the
-    metadata pseudo-bin (idxstats counts + ref voffset span) and the
-    trailing no-coordinate count accumulate alongside."""
-    bins: list[dict[int, list[Chunk]]] = [dict() for _ in range(n_refs)]
-    linear: list[list[int]] = [[] for _ in range(n_refs)]
-    stats: list[tuple[int, int, int, int] | None] = [None] * n_refs
-    n_no_coor = 0
-    for ref_idx, pos, end_pos, flag, p0, p1 in records:
+class BaiAccumulator:
+    """Incremental spec §5.2 index builder: feed records in file order
+    via :meth:`add`, read the finished :class:`BaiIndex` from
+    :meth:`index`.  O(touched bins + linear windows) memory — what a
+    STREAMING writer needs (the JVM sink keeps the same running
+    structures, BamWriteSupport.java) — while :func:`build_bai` stays
+    the one-shot wrapper for callers that already hold the record list.
+    Adjacent chunks within a bin merge as they arrive; the metadata
+    pseudo-bin (idxstats counts + ref voffset span) and the trailing
+    no-coordinate count accumulate alongside."""
+
+    def __init__(self, n_refs: int) -> None:
+        self.bins: list[dict[int, list[Chunk]]] = [dict() for _ in range(n_refs)]
+        self.linear: list[list[int]] = [[] for _ in range(n_refs)]
+        self.stats: list[tuple[int, int, int, int] | None] = [None] * n_refs
+        self.n_no_coor = 0
+
+    def add(self, ref_idx: int, pos: int, end_pos: int, flag: int, v0: int, v1: int) -> None:
+        """One record: coordinates, flag, and its [start, end) virtual
+        offsets in the file being written."""
         if ref_idx < 0 or pos < 0:
-            n_no_coor += 1
-            continue
+            self.n_no_coor += 1
+            return
         b = reg2bin(pos, max(end_pos, pos + 1))
-        v0, v1 = p0.to_voffset(), p1.to_voffset()
         unmapped = 1 if flag & 0x4 else 0
-        prev = stats[ref_idx]
+        prev = self.stats[ref_idx]
         if prev is None:
-            stats[ref_idx] = (v0, v1, 1 - unmapped, unmapped)
+            self.stats[ref_idx] = (v0, v1, 1 - unmapped, unmapped)
         else:
-            stats[ref_idx] = (
+            self.stats[ref_idx] = (
                 min(prev[0], v0),
                 max(prev[1], v1),
                 prev[2] + (1 - unmapped),
                 prev[3] + unmapped,
             )
-        chunks = bins[ref_idx].setdefault(b, [])
+        chunks = self.bins[ref_idx].setdefault(b, [])
         if chunks and chunks[-1].end == v0:
             chunks[-1] = Chunk(chunks[-1].start, v1)  # merge adjacent
         else:
             chunks.append(Chunk(v0, v1))
-        lin = linear[ref_idx]
+        lin = self.linear[ref_idx]
         w_end = max(end_pos, pos + 1) - 1 >> _LINEAR_SHIFT
         while len(lin) <= w_end:
             lin.append(0)
         for w in range(pos >> _LINEAR_SHIFT, w_end + 1):
             if lin[w] == 0 or v0 < lin[w]:
                 lin[w] = v0
-    return BaiIndex(bins=bins, linear=linear, stats=stats, n_no_coor=n_no_coor)
+
+    def index(self) -> BaiIndex:
+        return BaiIndex(
+            bins=self.bins, linear=self.linear, stats=self.stats, n_no_coor=self.n_no_coor
+        )
+
+
+def build_bai(
+    n_refs: int,
+    records: list[tuple[int, int, int, int, Pos, Pos]],
+) -> BaiIndex:
+    """records: (ref_idx, pos, end_pos, flag, start Pos, end Pos) per
+    record, in file order — the one-shot wrapper over
+    :class:`BaiAccumulator`."""
+    acc = BaiAccumulator(n_refs)
+    for ref_idx, pos, end_pos, flag, p0, p1 in records:
+        acc.add(ref_idx, pos, end_pos, flag, p0.to_voffset(), p1.to_voffset())
+    return acc.index()
 
 
 def write_bai(path: str, idx: BaiIndex) -> None:

@@ -653,12 +653,11 @@ class BamWriter(DataSourceWriter):
     def write(self, rows: Iterator) -> WriterCommitMessage:
         from pyspark import TaskContext
 
-        from spark_bam_spark.bam.writer import write_bam
+        from spark_bam_spark.bam.writer import StreamingBamEncoder
 
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
-        recs = []
         name_to_idx = {n: i for i, n in enumerate(self.names)}
         def val(d: dict, key: str, default):
             # d.get(key, default) returns None (not default) when the
@@ -666,64 +665,72 @@ class BamWriter(DataSourceWriter):
             v = d.get(key)
             return default if v is None else v
 
-        prev_ref = prev_pos = None
-        for row in rows:
-            d = row.asDict()
-            ref_idx = d.get("ref_idx")
-            if ref_idx is None:
-                ref_idx = name_to_idx.get(d.get("rname"), -1)
-            if self.bai and int(ref_idx) >= 0 and int(val(d, "pos", -1)) >= 0:
-                # The BAI linear-index floor is only sound when voffsets
-                # are monotone in (ref, pos) — the spec's coordinate-sort
-                # contract (samtools index refuses unsorted BAMs the same
-                # way).  Fail loudly instead of emitting an index that
-                # silently misprunes.  (Same contract as the JVM sink.)
-                r, p = int(ref_idx), int(val(d, "pos", -1))
-                if prev_ref is not None and (r, p) < (prev_ref, prev_pos):
-                    raise ValueError(
-                        f"bai=true requires coordinate-sorted partitions "
-                        f"(got ref {r} pos {p} after ref {prev_ref} pos "
-                        f'{prev_pos}); sortWithinPartitions("ref_idx", '
-                        f'"pos") before the write'
-                    )
-                prev_ref, prev_pos = r, p
-            cigar = _parse_cigar(val(d, "cigar", "*"))
-            qual_s = val(d, "qual", "")
-            recs.append(
-                BamRecord(
-                    qname=val(d, "qname", ""),
-                    flag=int(val(d, "flag", 0)),
-                    ref_idx=int(ref_idx),
-                    pos=int(val(d, "pos", -1)),
-                    mapq=int(val(d, "mapq", 0)),
-                    cigar=cigar,
-                    mate_ref_idx=int(val(d, "mate_ref_idx", -1)),
-                    mate_pos=int(val(d, "mate_pos", -1)),
-                    tlen=int(val(d, "tlen", 0)),
-                    seq=val(d, "seq", ""),
-                    # phred+33 text → raw scores, clamped to a legal byte
-                    qual=bytes(min(max(ord(c) - 33, 0), 255) for c in qual_s),
-                    tags=dict(val(d, "tags", {})),
-                )
-            )
         # write to a task-attempt-private .inprogress name, rename on
         # success (parity with the JVM sink: a retried/speculative task
-        # cannot leave a torn part behind; os.replace is atomic)
+        # cannot leave a torn part behind; os.replace is atomic).
+        # Records STREAM through the encoder's block-sized staging buffer
+        # (r11): the task holds O(block_payload) bytes, never the
+        # partition's record list — the memory shape a 100 TB rewrite
+        # needs even on the no-JDK fallback path.
         final = os.path.join(self.path, f"part-{pid:05d}-{self.job_token}.bam")
         tmp = os.path.join(
             self.path, f".part-{pid:05d}-{ctx.taskAttemptId()}.bam.inprogress"
         )
+        prev_ref = prev_pos = None
         try:
-            write_bam(
-                tmp,
-                self.names,
-                self.lengths,
-                recs,
-                block_payload=self.block_payload,
-                sidecars=False,
-                bai=self.bai,
-                level=self.deflate_level,
-            )
+            with open(tmp, "wb") as f:
+                enc = StreamingBamEncoder(
+                    f,
+                    self.names,
+                    self.lengths,
+                    block_payload=self.block_payload,
+                    level=self.deflate_level,
+                    bai=self.bai,
+                )
+                for row in rows:
+                    d = row.asDict()
+                    ref_idx = d.get("ref_idx")
+                    if ref_idx is None:
+                        ref_idx = name_to_idx.get(d.get("rname"), -1)
+                    if self.bai and int(ref_idx) >= 0 and int(val(d, "pos", -1)) >= 0:
+                        # The BAI linear-index floor is only sound when
+                        # voffsets are monotone in (ref, pos) — the spec's
+                        # coordinate-sort contract (samtools index refuses
+                        # unsorted BAMs the same way).  Fail loudly instead
+                        # of emitting an index that silently misprunes.
+                        # (Same contract as the JVM sink.)
+                        r, p = int(ref_idx), int(val(d, "pos", -1))
+                        if prev_ref is not None and (r, p) < (prev_ref, prev_pos):
+                            raise ValueError(
+                                f"bai=true requires coordinate-sorted partitions "
+                                f"(got ref {r} pos {p} after ref {prev_ref} pos "
+                                f'{prev_pos}); sortWithinPartitions("ref_idx", '
+                                f'"pos") before the write'
+                            )
+                        prev_ref, prev_pos = r, p
+                    qual_s = val(d, "qual", "")
+                    enc.add(
+                        BamRecord(
+                            qname=val(d, "qname", ""),
+                            flag=int(val(d, "flag", 0)),
+                            ref_idx=int(ref_idx),
+                            pos=int(val(d, "pos", -1)),
+                            mapq=int(val(d, "mapq", 0)),
+                            cigar=_parse_cigar(val(d, "cigar", "*")),
+                            mate_ref_idx=int(val(d, "mate_ref_idx", -1)),
+                            mate_pos=int(val(d, "mate_pos", -1)),
+                            tlen=int(val(d, "tlen", 0)),
+                            seq=val(d, "seq", ""),
+                            # phred+33 text → raw scores, clamped legal
+                            qual=bytes(min(max(ord(c) - 33, 0), 255) for c in qual_s),
+                            tags=dict(val(d, "tags", {})),
+                        )
+                    )
+                enc.finish()
+            if self.bai:
+                from spark_bam_spark.bam.bai import write_bai
+
+                write_bai(tmp + ".bai", enc.bai.index())
             os.replace(tmp, final)
             if self.bai:
                 os.replace(tmp + ".bai", final + ".bai")

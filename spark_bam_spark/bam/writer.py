@@ -142,6 +142,75 @@ def write_bam(
     return WriteResult(path, len(records), blocks, positions, header_end)
 
 
+class StreamingBamEncoder:
+    """O(block_payload) BAM part-file encoder for the distributed Python
+    writer: records stream through a fixed staging buffer that flushes a
+    deflated BGZF block whenever it fills — the task never holds the
+    partition's record list or its serialized stream (the memory shape
+    the JVM sink has, BamWriteSupport.java).  Byte-identical to
+    :func:`write_bam` for the same records and options: the global
+    uncompressed stream is sliced at the same ``block_payload``
+    boundaries with the same deflate level.
+
+    With ``bai=True`` the encoder also feeds a :class:`BaiAccumulator`
+    with each record's exact [start, end) virtual offsets
+    ((compressed-bytes-flushed << 16) | staging fill) as a running side
+    effect — O(touched bins) memory, no second pass."""
+
+    def __init__(
+        self,
+        f,
+        names: list[str],
+        lengths: list[int],
+        block_payload: int = DEFAULT_BLOCK_PAYLOAD,
+        level: int = 6,
+        bai: bool = False,
+    ) -> None:
+        from spark_bam_spark.bam.bai import BaiAccumulator
+
+        self.f = f
+        self.bp = block_payload
+        self.level = level
+        self.staging = bytearray(block_payload)
+        self.fill = 0
+        self.flushed = 0  # compressed bytes written so far
+        self.n_records = 0
+        self.bai = BaiAccumulator(len(names)) if bai else None
+        self._append(encode_header(names, lengths))
+
+    def _flush_block(self) -> None:
+        if self.fill == 0:
+            return
+        blk = compress_block(bytes(self.staging[: self.fill]), level=self.level)
+        self.f.write(blk)
+        self.flushed += len(blk)
+        self.fill = 0
+
+    def _append(self, data: bytes) -> None:
+        mv = memoryview(data)
+        while mv:
+            take = min(self.bp - self.fill, len(mv))
+            self.staging[self.fill : self.fill + take] = mv[:take]
+            self.fill += take
+            mv = mv[take:]
+            if self.fill == self.bp:
+                self._flush_block()
+
+    def add(self, rec: BamRecord) -> None:
+        v0 = (self.flushed << 16) | self.fill
+        self._append(encode_record(rec))
+        self.n_records += 1
+        if self.bai is not None:
+            v1 = (self.flushed << 16) | self.fill
+            end = max(rec.end_pos, rec.pos + 1) if rec.pos >= 0 else -1
+            self.bai.add(rec.ref_idx, rec.pos, end, rec.flag, v0, v1)
+
+    def finish(self) -> None:
+        """Flush the trailing partial block and the spec EOF marker."""
+        self._flush_block()
+        self.f.write(EOF_BLOCK)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic fixture generation (the analogue of test-bams/)
 # ---------------------------------------------------------------------------

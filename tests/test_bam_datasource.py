@@ -231,3 +231,38 @@ def test_cost_packed_indexed_partitions_balanced(spark_bam, tmp_path):
         .filter("rname = '1'")
     )
     assert df.count() == 5000
+
+
+def test_streaming_encoder_byte_identical_to_write_bam(tmp_path):
+    """r11: the distributed Python writer streams records through an
+    O(block_payload) staging buffer (StreamingBamEncoder) instead of
+    buffering the partition.  For the same records and options its
+    output must equal write_bam's byte-for-byte — including at tiny
+    block payloads where every record straddles block boundaries — and
+    with bai=True the incremental BaiAccumulator must reproduce the
+    one-shot build_bai index exactly."""
+    import io
+
+    from spark_bam_spark.bam.writer import StreamingBamEncoder, synth_records, write_bam
+
+    recs = synth_records(400, seed=21)
+    for bp in (96, 4096, 0xFF00):
+        ref = str(tmp_path / f"ref_{bp}.bam")
+        write_bam(ref, CONTIG_NAMES, CONTIG_LENGTHS, recs, block_payload=bp)
+        buf = io.BytesIO()
+        enc = StreamingBamEncoder(
+            buf, CONTIG_NAMES, CONTIG_LENGTHS, block_payload=bp, bai=True
+        )
+        for r in recs:
+            enc.add(r)
+        enc.finish()
+        with open(ref, "rb") as f:
+            assert buf.getvalue() == f.read(), f"block_payload={bp}"
+        from spark_bam_spark.bam.bai import write_bai
+
+        bai_path = str(tmp_path / f"enc_{bp}.bai")
+        write_bai(bai_path, enc.bai.index())
+        with open(ref + ".bai", "rb") as f:
+            ref_bai = f.read()
+        with open(bai_path, "rb") as f:
+            assert f.read() == ref_bai, f"bai block_payload={bp}"
