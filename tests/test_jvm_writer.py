@@ -537,10 +537,26 @@ def test_fuzz_writer_byte_parity(spark, tmp_path_factory):
         seed=st.integers(0, 10_000),
         n=st.integers(0, 400),
         block_payload=st.sampled_from([512, 937, 4096, 17001, 65280]),
+        long_cigar=st.booleans(),
     )
-    def check(seed, n, block_payload):
+    def check(seed, n, block_payload, long_cigar):
         counter["i"] += 1
-        recs = [to_row(r) for r in synth_records(n, seed=seed)]
+        src = synth_records(n, seed=seed)
+        if long_cigar:
+            # §4.2.2 corner: one >uint16-op record exercises the
+            # placeholder + CG:B,I emission in both writers
+            from spark_bam_spark.bam.records import BamRecord
+
+            n_ops = 65_536 + seed % 64
+            ops = [(0, 1) if i % 2 == 0 else (1, 1) for i in range(n_ops)]
+            lseq = n_ops
+            src.insert(len(src) // 2, BamRecord(
+                qname=f"long{seed}", flag=0, ref_idx=0, pos=777, mapq=1,
+                cigar=ops, mate_ref_idx=-1, mate_pos=-1, tlen=0,
+                seq=("ACGT" * (lseq // 4 + 1))[:lseq],
+                qual=bytes([30]) * lseq, tags={"RG": "rgf"},
+            ))
+        recs = [to_row(r) for r in src]
         if recs:
             df = spark.createDataFrame(recs).coalesce(1)
         else:
