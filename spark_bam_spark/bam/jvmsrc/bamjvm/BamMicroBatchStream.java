@@ -40,6 +40,10 @@ import org.apache.spark.sql.connector.read.streaming.Offset;
  * rebuild the seen-file set (O(total files) memory, the same bound as
  * FileStreamSource's seen map) and the highest batch id — a log entry
  * written by a failed trigger is thereby honored, not re-discovered.
+ * Every COMPACT_INTERVAL committed batches the per-batch entries fold
+ * into one ".compact" file (see {@link #commit}), so a long-lived
+ * stream's log stays O(files) bytes in O(1 + recent) log files instead
+ * of one file per batch forever.
  *
  * Files are ingested WHOLE once they appear: the lister only matches
  * "*.bam", and this engine's own writer lands files as
@@ -52,6 +56,12 @@ import org.apache.spark.sql.connector.read.streaming.Offset;
  * load/.../CanLoadBam.scala, cited as behavior).
  */
 final class BamMicroBatchStream implements MicroBatchStream {
+    /** Fold per-batch log entries into one ".compact" file every N
+     *  committed batches (FileStreamSource's compactInterval analogue):
+     *  a long-lived stream otherwise accumulates one tiny log file per
+     *  batch and restart replays all of them. */
+    static final int COMPACT_INTERVAL = 10;
+
     private final BamDataSource.BamScan scan;
     private final Path logDir;
     private long batchId; // highest batch with a log entry (0 = none)
@@ -133,28 +143,44 @@ final class BamMicroBatchStream implements MicroBatchStream {
         return logDir.getFileSystem(scan.sconfConf());
     }
 
-    /** Rebuild (batchId, seen) from the checkpointed log on (re)start. */
+    /** Rebuild (batchId, seen) from the checkpointed log on (re)start:
+     *  union of every ".compact" roll-up and per-batch entry present
+     *  (set semantics make leftover overlap from a crashed compaction
+     *  harmless); batchId = the highest id either kind records. */
     private void restoreLog() throws IOException {
         FileSystem lfs = logFs();
         if (!lfs.exists(logDir)) {
             return;
         }
         for (FileStatus f : lfs.listStatus(logDir)) {
-            String name = f.getPath().getName();
-            long id;
-            try {
-                id = Long.parseLong(name);
-            } catch (NumberFormatException e) {
+            long id = logFileId(f.getPath().getName());
+            if (id < 0) {
                 continue; // .tmp leftovers from a crashed write
             }
-            seen.addAll(readBatchLog(lfs, id));
+            seen.addAll(readLogFile(lfs, f.getPath()));
             batchId = Math.max(batchId, id);
         }
     }
 
+    /** Batch id of a log file name ("<n>" or "<n>.compact"); -1 for
+     *  temp/unknown files. */
+    static long logFileId(String name) {
+        String digits = name.endsWith(".compact")
+                ? name.substring(0, name.length() - ".compact".length())
+                : name;
+        try {
+            return Long.parseLong(digits);
+        } catch (NumberFormatException e) {
+            return -1;
+        }
+    }
+
     private List<String> readBatchLog(FileSystem lfs, long id) throws IOException {
+        return readLogFile(lfs, new Path(logDir, Long.toString(id)));
+    }
+
+    private List<String> readLogFile(FileSystem lfs, Path p) throws IOException {
         List<String> names = new ArrayList<>();
-        Path p = new Path(logDir, Long.toString(id));
         try (BufferedReader r = new BufferedReader(
                 new InputStreamReader(lfs.open(p), StandardCharsets.UTF_8))) {
             String line;
@@ -253,8 +279,59 @@ final class BamMicroBatchStream implements MicroBatchStream {
         return scan.createReaderFactory();
     }
 
+    /**
+     * Compaction rides on the API contract: {@code commit(end)} means
+     * Spark has durably processed every batch ≤ end and "will only
+     * request offsets greater than end in the future", so per-batch
+     * resolution is never needed again below that bound.  Every
+     * COMPACT_INTERVAL committed batches, fold everything ≤ end into
+     * one "<end>.compact" file (written atomically BEFORE the folded
+     * sources are deleted — a crash at any point leaves a superset on
+     * disk, and restore's set-union semantics absorb the overlap).
+     * Compaction failure is logged-and-ignored: it is an optimization,
+     * never a correctness dependency.
+     */
     @Override
-    public void commit(Offset end) {}
+    public void commit(Offset end) {
+        long bound = ((BatchOffset) end).batchId;
+        if (bound <= 0 || bound % COMPACT_INTERVAL != 0) {
+            return;
+        }
+        try {
+            FileSystem lfs = logFs();
+            Path compacted = new Path(logDir, bound + ".compact");
+            if (!lfs.exists(logDir) || lfs.exists(compacted)) {
+                return; // already compacted at this bound
+            }
+            TreeSet<String> all = new TreeSet<>();
+            List<Path> folded = new ArrayList<>();
+            for (FileStatus f : lfs.listStatus(logDir)) {
+                long id = logFileId(f.getPath().getName());
+                if (id >= 0 && id <= bound) {
+                    all.addAll(readLogFile(lfs, f.getPath()));
+                    folded.add(f.getPath());
+                }
+            }
+            if (folded.isEmpty()) {
+                return;
+            }
+            Path tmp = new Path(logDir, bound + ".compact.tmp");
+            try (FSDataOutputStream o = lfs.create(tmp, true)) {
+                for (String n : all) {
+                    o.write(encodeName(n).getBytes(StandardCharsets.UTF_8));
+                    o.write('\n');
+                }
+            }
+            if (!lfs.rename(tmp, compacted)) {
+                throw new IOException("bam stream: rename " + tmp + " -> " + compacted + " failed");
+            }
+            for (Path p : folded) {
+                lfs.delete(p, false);
+            }
+        } catch (IOException e) {
+            // best-effort: leave the per-batch files in place
+        }
+    }
 
     @Override
     public void stop() {}

@@ -132,3 +132,42 @@ def test_stream_ignores_inprogress_and_sidecar_files(spark, tmp_path):
     ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
     _drain(spark, land, ckpt, out)
     assert spark.read.parquet(out).count() == 100
+
+
+@needs_jdk
+def test_log_compaction_folds_committed_batches(spark, tmp_path):
+    """Every COMPACT_INTERVAL (10) committed batches the per-batch log
+    entries fold into one .compact file (commit()'s API contract: Spark
+    never again requests offsets <= the committed bound, so per-batch
+    resolution below it is dead).  12 drains with one new file each →
+    '10.compact' present, per-batch files 1..10 gone, 11..12 retained —
+    and the incremental contract still holds across the compaction."""
+    import glob as _glob
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    total = 0
+    for i in range(12):
+        make_fixture(os.path.join(land, f"b{i:02d}.bam"), n=10 + i, block_payload=4096, seed=i)
+        total += 10 + i
+        _drain(spark, land, ckpt, out)
+        assert spark.read.parquet(out).count() == total  # only the new file each drain
+    logs = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(ckpt, "sources", "**", "bam-file-log", "*"), recursive=True)
+    )
+    assert "10.compact" in logs, logs
+    assert [n for n in logs if n.isdigit() and int(n) <= 10] == [], logs
+    assert {"11", "12"} <= set(logs), logs
+    # the compact file carries all 10 folded names, percent-decoded
+    (compact_path,) = _glob.glob(
+        os.path.join(ckpt, "sources", "**", "bam-file-log", "10.compact"), recursive=True
+    )
+    with open(compact_path) as f:
+        names = {ln.strip() for ln in f if ln.strip()}
+    assert names == {f"b{i:02d}.bam" for i in range(10)}
+    # restart AFTER compaction: seen restores from compact + per-batch tail
+    make_fixture(os.path.join(land, "late.bam"), n=7, block_payload=4096, seed=99)
+    _drain(spark, land, ckpt, out)
+    assert spark.read.parquet(out).count() == total + 7
