@@ -492,6 +492,18 @@ def test_overwrite_mode_replaces_directory(spark, fixture_path, tmp_path, writer
     assert read_bam(spark, out).count() == 30
 
 
+@pytest.mark.parametrize("writer", ["py", pytest.param("jvm", marks=pytest.mark.skipif(not _HAS_JDK, reason="no JDK"))])
+def test_out_of_int32_numeric_fails_loudly(spark, tmp_path, writer):
+    """ADVICE r10: long-typed numerics that exceed the spec's int32
+    fields must throw in BOTH writers (the JVM sink used to truncate
+    silently via (int) casts while the Python writer's struct.pack
+    raised — the differential twins must fail identically)."""
+    rows = [Row(qname="x", rname="1", pos=2**31, cigar="2M", seq="AC")]
+    df = spark.createDataFrame(rows).coalesce(1)
+    with pytest.raises(Exception, match="int32|2147483647"):
+        write_bam_df(df, str(tmp_path / "ov"), contigs=_CONTIGS, writer=writer)
+
+
 def test_write_bam_df_rejects_bad_mode(spark, tmp_path):
     df = spark.createDataFrame([Row(qname="x", rname="1", pos=1, seq="AC")])
     with pytest.raises(ValueError, match="mode must be"):
