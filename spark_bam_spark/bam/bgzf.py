@@ -82,13 +82,19 @@ def parse_block_header(buf: bytes, off: int = 0) -> int | None:
 
 def decompress_block(buf: bytes, off: int, bsize: int) -> bytes:
     """Inflate one block's payload (Stream.scala:49-54). ``buf`` must hold
-    the whole block."""
+    the whole block.  Validates BOTH footer fields: ISIZE and CRC32 of
+    the uncompressed data (r11 — a flipped payload bit that still
+    inflates to the right length would otherwise decode silently; at
+    100 TB bit rot is an expectation, and htslib/samtools validate the
+    same way).  zlib.crc32 is C-speed, far cheaper than the inflate."""
     xlen = struct.unpack_from("<H", buf, off + 10)[0]
     payload = buf[off + 12 + xlen : off + bsize - BGZF_FOOTER_LEN]
     data = zlib.decompress(payload, wbits=-15)
-    isize = struct.unpack_from("<I", buf, off + bsize - 4)[0]
+    crc, isize = struct.unpack_from("<II", buf, off + bsize - 8)
     if len(data) != isize:
         raise ValueError(f"BGZF ISIZE mismatch at {off}: {len(data)} != {isize}")
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"BGZF CRC32 mismatch at {off}: corrupt block payload")
     return data
 
 

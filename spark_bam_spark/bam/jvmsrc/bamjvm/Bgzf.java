@@ -110,13 +110,18 @@ final class Bgzf {
 
     /**
      * Inflate one block's deflate payload into {@code out[outOff..]};
-     * returns the uncompressed size (validated against ISIZE).
+     * returns the uncompressed size.  Both footer fields are validated —
+     * ISIZE and the CRC32 of the uncompressed data (r11: a flipped
+     * payload bit that still inflates to the right length would
+     * otherwise decode silently; htslib validates the same way, and the
+     * JDK CRC32 is hardware-accelerated, far cheaper than the inflate).
      */
     static int inflateBlock(Inflater inflater, byte[] block, int bsize, byte[] out, int outOff)
             throws IOException {
         int xlen = u16(block, 10);
         int payloadOff = 12 + xlen;
         int payloadLen = bsize - FOOTER_LEN - payloadOff;
+        long crc = i32(block, bsize - 8) & 0xFFFFFFFFL;
         long isize = i32(block, bsize - 4) & 0xFFFFFFFFL;
         inflater.reset();
         inflater.setInput(block, payloadOff, payloadLen);
@@ -134,6 +139,11 @@ final class Bgzf {
         }
         if (produced != isize) {
             throw new IOException("BGZF ISIZE mismatch: " + produced + " != " + isize);
+        }
+        java.util.zip.CRC32 check = new java.util.zip.CRC32();
+        check.update(out, outOff, produced);
+        if (check.getValue() != crc) {
+            throw new IOException("BGZF CRC32 mismatch: corrupt block payload");
         }
         return produced;
     }

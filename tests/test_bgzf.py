@@ -90,3 +90,19 @@ def test_truncated_block_raises():
     f = io.BytesIO(blk[:-10])
     with pytest.raises(ValueError):
         list(bgzf.block_stream(f))
+
+
+def test_crc_mismatch_raises():
+    """r11: decompress_block validates the footer CRC32 of the
+    uncompressed data, not just ISIZE — the corruption class where a
+    flipped bit still inflates to the right length must fail loudly
+    (htslib semantics), never decode silently."""
+    data = b"read-payload" * 100
+    blk = bytearray(compress_block(data))
+    # sanity: pristine block round-trips
+    assert bgzf.decompress_block(bytes(blk), 0, len(blk)) == data
+    # corrupt the STORED CRC (the payload still inflates cleanly, and
+    # ISIZE still matches, so only the CRC check can catch this)
+    blk[-8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32"):
+        bgzf.decompress_block(bytes(blk), 0, len(blk))

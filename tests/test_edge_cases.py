@@ -97,3 +97,32 @@ def test_tiny_blocks_sub_record_slicing(spark_bam, tmp_path):
         assert df.count() == 80, f"split={split}"
         names = sorted(r["qname"] for r in df.select("qname").collect())
         assert names == sorted(r.qname for r in recs)
+
+
+def test_corrupt_block_crc_fails_loudly_both_readers(spark_bam, tmp_path):
+    """A block whose payload inflates cleanly but fails the footer CRC32
+    (bit rot) must fail the scan loudly in BOTH readers — never decode
+    silently.  The stored CRC of a mid-file block is flipped, so ISIZE
+    and the deflate stream stay valid and only the CRC check can
+    object."""
+    from spark_bam_spark.bam import bgzf, jvmreader
+    from spark_bam_spark.bam.reader import read_bam
+
+    path = str(tmp_path / "rot.bam")
+    write_bam(path, CONTIG_NAMES, CONTIG_LENGTHS, synth_records(300, seed=5),
+              block_payload=4096)
+    with open(path, "rb") as f:
+        data = bytearray(f.read())
+    # find the third block's footer and flip its stored CRC
+    off = 0
+    for _ in range(3):
+        bsize = bgzf.parse_block_header(data[off : off + bgzf.BGZF_HEADER_LEN])
+        off += bsize
+    data[off - 8] ^= 0xFF  # third block's CRC byte
+    bad = str(tmp_path / "rot_flipped.bam")
+    with open(bad, "wb") as f:
+        f.write(bytes(data))
+    readers = ["py"] + (["jvm"] if jvmreader.javac_path() else [])
+    for reader in readers:
+        with pytest.raises(Exception, match="CRC32"):
+            read_bam(spark_bam, bad, split_size=1 << 30, reader=reader).count()
