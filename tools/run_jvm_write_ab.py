@@ -1,13 +1,12 @@
 """A/B the JVM DSv2 BAM writer against the Python Data Source writer.
 
-The Python writer crosses the Python/Arrow boundary per row
-(``row.asDict()``) and buffers the whole partition's record list AND its
-serialized stream before compressing; the JVM sink
-(bamjvm/BamWriteSupport.java) encodes in the executor JVM and streams
-into a fixed block_payload-byte buffer.  This measures the end-to-end
-write wall time (input pre-cached, so the scan cost is excluded from the
-timed region) with one fresh process per writer cell — the same
-decision-grade discipline as tools/run_jvm_ab.py.
+Both writers stream into a fixed block_payload-byte staging buffer
+(since r11 the Python side does too, via StreamingBamEncoder); the
+remaining gap is the per-row Python boundary (``row.asDict()`` + pure-
+Python record encode) vs the JVM sink encoding in the executor JVM.
+This measures the end-to-end write wall time (input pre-cached, so the
+scan cost is excluded from the timed region) with one fresh process per
+writer cell — the same decision-grade discipline as tools/run_jvm_ab.py.
 
 Usage:
     python tools/run_jvm_write_ab.py [--n 1000000] [--repeat 3]
