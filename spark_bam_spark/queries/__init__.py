@@ -226,20 +226,23 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # byte-identical.
     #
     # Streaming offsets reworked (BamMicroBatchStream.java: full
-    # name-set JSON -> compacted batch-id metadata log):
+    # name-set JSON -> batch-id metadata log, compacted every 10
+    # committed batches):
     "bam_stream_ingest",
     # JVM write path: job-unique part names (append no longer clobbers),
-    # int32 range checks in num() — represents the _jvm twin and the
-    # bai-consumers (bam_sort_rewrite, bam_rewrite_indexed_pushdown,
-    # bam_idxstats_from_index), all r10-green on the same sink:
+    # int32 range checks, §4.2.2 CG emission — represents the _jvm twin
+    # and the bai-consumers (bam_sort_rewrite,
+    # bam_rewrite_indexed_pushdown, bam_idxstats_from_index), all
+    # r10-green on the same sink:
     "bam_rewrite_roundtrip",
     # Python write path: BAI emission ported (bai=true now works on both
-    # writers), job-unique part names:
+    # writers), O(block) streaming encoder, job-unique part names:
     "bam_rewrite_roundtrip_py",
     # Both readers gained the spec §4.2.2 CG-tag long-cigar fallback
-    # (n_cigar_op uint16 overflow) — decode branch inert on the fixture
-    # (differential tests pin it) but the scan code changed; represents
-    # the _jvm/_py scan twins:
+    # (n_cigar_op uint16 overflow), structural foreign-tag skipping, and
+    # BGZF footer-CRC32 validation — all inert on the healthy fixture
+    # (differential tests pin them) but the scan code changed;
+    # represents the _jvm/_py scan twins:
     "bam_scan_reads",
 )
 
