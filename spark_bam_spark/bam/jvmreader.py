@@ -151,21 +151,30 @@ def read_bam_stream(
     path: str,
     split_size: int | None = None,
     mode: str | None = None,
+    max_file_age_ms: int | None = None,
 ) -> DataFrame:
     """Structured Streaming DataFrame over a landing directory of BAM
     files (bamjvm.BamMicroBatchStream): each micro-batch ingests the
     .bam files that appeared since the last batch through the SAME
     planner/pushdown/reader as the batch scan.  Use
     ``trigger(availableNow=True)`` for a deterministic drain of whatever
-    has landed; offsets checkpoint as the set of seen file names, so a
-    restarted query only ingests new files.  JVM-only (the Python Data
-    Source implements no stream reader)."""
+    has landed; offsets checkpoint as a monotonic batch id backed by a
+    compacted file-metadata log, so a restarted query only ingests new
+    files.  ``max_file_age_ms`` (FileStreamSource's maxFileAge
+    analogue, default off) ignores files older than the newest file
+    seen minus the age and bounds the in-memory seen map to the age
+    window — the knob a months-long ingest over an eternally-growing
+    landing zone needs; same documented caveat as Spark's file source
+    (a file whose mtime is bumped after eviction is re-ingested).
+    JVM-only (the Python Data Source implements no stream reader)."""
     ensure_session(spark)
     reader = spark.readStream.format(FORMAT)
     if split_size is not None:
         reader = reader.option("split_size", str(split_size))
     if mode is not None:
         reader = reader.option("mode", mode)
+    if max_file_age_ms is not None:
+        reader = reader.option("max_file_age_ms", str(max_file_age_ms))
     return reader.load(path)
 
 

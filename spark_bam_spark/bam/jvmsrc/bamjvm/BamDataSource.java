@@ -378,6 +378,12 @@ public class BamDataSource implements TableProvider {
             return v == null ? dflt : Long.parseLong(v);
         }
 
+        /** Raw option access for the streaming wrapper (e.g.
+         *  max_file_age_ms — a stream-only knob the batch scan ignores). */
+        String rawOption(String key) {
+            return options.get(key);
+        }
+
         /**
          * '0-10m,1g-' → {{0, 10 MiB}, {1 GiB, 2^62}} — the CLI's
          * ByteRanges argument (P3), same grammar as the Python source's

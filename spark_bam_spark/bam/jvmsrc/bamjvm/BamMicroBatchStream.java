@@ -6,10 +6,9 @@ import java.io.InputStreamReader;
 import java.io.UncheckedIOException;
 import java.nio.charset.StandardCharsets;
 import java.util.ArrayList;
-import java.util.HashSet;
 import java.util.List;
-import java.util.Set;
-import java.util.TreeSet;
+import java.util.Map;
+import java.util.TreeMap;
 import org.apache.hadoop.fs.FSDataOutputStream;
 import org.apache.hadoop.fs.FileStatus;
 import org.apache.hadoop.fs.FileSystem;
@@ -65,11 +64,26 @@ final class BamMicroBatchStream implements MicroBatchStream {
     private final BamDataSource.BamScan scan;
     private final Path logDir;
     private long batchId; // highest batch with a log entry (0 = none)
-    private final Set<String> seen = new HashSet<>();
+    // name -> modification time at first sight (-1 = unknown, pre-r11 log)
+    private final java.util.HashMap<String, Long> seen = new java.util.HashMap<>();
+    // FileStreamSource's maxFileAge analogue (option max_file_age_ms,
+    // default OFF): files older than (newest mtime seen - age) are
+    // ignored at listing AND evicted from the seen map, bounding its
+    // memory on an eternally-growing landing zone.  Same documented
+    // caveat as FileStreamSource: a file whose mtime is bumped after
+    // eviction is re-ingested.
+    private final long maxAgeMs;
+    private long watermark = Long.MIN_VALUE; // newest mtime ever seen
 
     BamMicroBatchStream(BamDataSource.BamScan scan, String checkpointLocation) {
         this.scan = scan;
         this.logDir = new Path(checkpointLocation, "bam-file-log");
+        String age = scan.rawOption("max_file_age_ms");
+        this.maxAgeMs = age == null ? -1 : Long.parseLong(age);
+        if (age != null && this.maxAgeMs <= 0) {
+            throw new IllegalArgumentException(
+                    "bam stream: max_file_age_ms must be positive, got " + age);
+        }
         try {
             restoreLog();
         } catch (IOException e) {
@@ -143,10 +157,11 @@ final class BamMicroBatchStream implements MicroBatchStream {
         return logDir.getFileSystem(scan.sconfConf());
     }
 
-    /** Rebuild (batchId, seen) from the checkpointed log on (re)start:
-     *  union of every ".compact" roll-up and per-batch entry present
-     *  (set semantics make leftover overlap from a crashed compaction
-     *  harmless); batchId = the highest id either kind records. */
+    /** Rebuild (batchId, seen, watermark) from the checkpointed log on
+     *  (re)start: union of every ".compact" roll-up and per-batch entry
+     *  present (set semantics make leftover overlap from a crashed
+     *  compaction harmless); batchId = the highest id either kind
+     *  records. */
     private void restoreLog() throws IOException {
         FileSystem lfs = logFs();
         if (!lfs.exists(logDir)) {
@@ -157,7 +172,10 @@ final class BamMicroBatchStream implements MicroBatchStream {
             if (id < 0) {
                 continue; // .tmp leftovers from a crashed write
             }
-            seen.addAll(readLogFile(lfs, f.getPath()));
+            for (Map.Entry<String, Long> e : readLogEntries(lfs, f.getPath()).entrySet()) {
+                seen.merge(e.getKey(), e.getValue(), Math::max);
+                watermark = Math.max(watermark, e.getValue());
+            }
             batchId = Math.max(batchId, id);
         }
     }
@@ -175,31 +193,43 @@ final class BamMicroBatchStream implements MicroBatchStream {
         }
     }
 
-    private List<String> readBatchLog(FileSystem lfs, long id) throws IOException {
-        return readLogFile(lfs, new Path(logDir, Long.toString(id)));
+    private Map<String, Long> readBatchLog(FileSystem lfs, long id) throws IOException {
+        return readLogEntries(lfs, new Path(logDir, Long.toString(id)));
     }
 
-    private List<String> readLogFile(FileSystem lfs, Path p) throws IOException {
-        List<String> names = new ArrayList<>();
+    /** One log line per file: "encodedName\tmtime" (tab is a control
+     *  character, so an encoded name can never contain one); a line
+     *  without the mtime field (pre-r11 log) restores as -1 = unknown,
+     *  which the age filter never evicts. */
+    private Map<String, Long> readLogEntries(FileSystem lfs, Path p) throws IOException {
+        Map<String, Long> entries = new java.util.LinkedHashMap<>();
         try (BufferedReader r = new BufferedReader(
                 new InputStreamReader(lfs.open(p), StandardCharsets.UTF_8))) {
             String line;
             while ((line = r.readLine()) != null) {
-                if (!line.isEmpty()) {
-                    names.add(decodeName(line));
+                if (line.isEmpty()) {
+                    continue;
+                }
+                int tab = line.indexOf('\t');
+                if (tab < 0) {
+                    entries.put(decodeName(line), -1L);
+                } else {
+                    entries.put(decodeName(line.substring(0, tab)),
+                            Long.parseLong(line.substring(tab + 1)));
                 }
             }
         }
-        return names;
+        return entries;
     }
 
-    private void writeBatchLog(FileSystem lfs, long id, Iterable<String> names)
+    private void writeBatchLog(FileSystem lfs, long id, Map<String, Long> entries)
             throws IOException {
         lfs.mkdirs(logDir);
         Path tmp = new Path(logDir, id + ".tmp");
         try (FSDataOutputStream o = lfs.create(tmp, true)) {
-            for (String n : names) {
-                o.write(encodeName(n).getBytes(StandardCharsets.UTF_8));
+            for (Map.Entry<String, Long> e : entries.entrySet()) {
+                o.write((encodeName(e.getKey()) + "\t" + e.getValue())
+                        .getBytes(StandardCharsets.UTF_8));
                 o.write('\n');
             }
         }
@@ -225,19 +255,36 @@ final class BamMicroBatchStream implements MicroBatchStream {
     @Override
     public Offset latestOffset() {
         try {
-            TreeSet<String> fresh = new TreeSet<>();
-            for (FileStatus f : BamDataSource.BamScan.listBamFiles(fs(), scan.rootPath())) {
+            List<FileStatus> listed = BamDataSource.BamScan.listBamFiles(fs(), scan.rootPath());
+            long newest = watermark;
+            for (FileStatus f : listed) {
+                newest = Math.max(newest, f.getModificationTime());
+            }
+            // age cutoff relative to the NEWEST file seen (the
+            // FileStreamSource convention — immune to clock skew between
+            // the driver and the store)
+            long cutoff = maxAgeMs < 0 ? Long.MIN_VALUE : newest - maxAgeMs;
+            TreeMap<String, Long> fresh = new TreeMap<>();
+            for (FileStatus f : listed) {
                 String name = f.getPath().getName();
-                if (!seen.contains(name)) {
-                    fresh.add(name);
+                if (!seen.containsKey(name) && f.getModificationTime() >= cutoff) {
+                    fresh.put(name, f.getModificationTime());
                 }
+            }
+            watermark = newest;
+            if (maxAgeMs >= 0) {
+                // evict tracked names the listing filter would reject
+                // anyway (recorded mtime below the cutoff) — bounds the
+                // seen map to the age window; -1 (unknown, pre-r11 log)
+                // is never evicted
+                seen.values().removeIf(mt -> mt >= 0 && mt < cutoff);
             }
             if (fresh.isEmpty()) {
                 return new BatchOffset(batchId);
             }
             writeBatchLog(logFs(), batchId + 1, fresh);
             batchId++;
-            seen.addAll(fresh);
+            seen.putAll(fresh);
             return new BatchOffset(batchId);
         } catch (IOException e) {
             throw new UncheckedIOException(e);
@@ -258,7 +305,7 @@ final class BamMicroBatchStream implements MicroBatchStream {
             FileSystem fileSystem = fs();
             List<FileStatus> batch = new ArrayList<>();
             for (long id = a + 1; id <= b; id++) {
-                for (String name : readBatchLog(lfs, id)) {
+                for (String name : readBatchLog(lfs, id).keySet()) {
                     try {
                         batch.add(fileSystem.getFileStatus(
                                 new Path(scan.rootPath(), name)));
@@ -303,12 +350,14 @@ final class BamMicroBatchStream implements MicroBatchStream {
             if (!lfs.exists(logDir) || lfs.exists(compacted)) {
                 return; // already compacted at this bound
             }
-            TreeSet<String> all = new TreeSet<>();
+            TreeMap<String, Long> all = new TreeMap<>();
             List<Path> folded = new ArrayList<>();
             for (FileStatus f : lfs.listStatus(logDir)) {
                 long id = logFileId(f.getPath().getName());
                 if (id >= 0 && id <= bound) {
-                    all.addAll(readLogFile(lfs, f.getPath()));
+                    for (Map.Entry<String, Long> e : readLogEntries(lfs, f.getPath()).entrySet()) {
+                        all.merge(e.getKey(), e.getValue(), Math::max);
+                    }
                     folded.add(f.getPath());
                 }
             }
@@ -317,8 +366,9 @@ final class BamMicroBatchStream implements MicroBatchStream {
             }
             Path tmp = new Path(logDir, bound + ".compact.tmp");
             try (FSDataOutputStream o = lfs.create(tmp, true)) {
-                for (String n : all) {
-                    o.write(encodeName(n).getBytes(StandardCharsets.UTF_8));
+                for (Map.Entry<String, Long> e : all.entrySet()) {
+                    o.write((encodeName(e.getKey()) + "\t" + e.getValue())
+                            .getBytes(StandardCharsets.UTF_8));
                     o.write('\n');
                 }
             }

@@ -160,14 +160,58 @@ def test_log_compaction_folds_committed_batches(spark, tmp_path):
     assert "10.compact" in logs, logs
     assert [n for n in logs if n.isdigit() and int(n) <= 10] == [], logs
     assert {"11", "12"} <= set(logs), logs
-    # the compact file carries all 10 folded names, percent-decoded
+    # the compact file carries all 10 folded names (one
+    # "name\tmtime" line each), percent-decoded
     (compact_path,) = _glob.glob(
         os.path.join(ckpt, "sources", "**", "bam-file-log", "10.compact"), recursive=True
     )
     with open(compact_path) as f:
-        names = {ln.strip() for ln in f if ln.strip()}
+        names = {ln.split("\t")[0] for ln in f if ln.strip()}
     assert names == {f"b{i:02d}.bam" for i in range(10)}
     # restart AFTER compaction: seen restores from compact + per-batch tail
     make_fixture(os.path.join(land, "late.bam"), n=7, block_payload=4096, seed=99)
     _drain(spark, land, ckpt, out)
     assert spark.read.parquet(out).count() == total + 7
+
+
+@needs_jdk
+def test_max_file_age_ignores_old_files(spark, tmp_path):
+    """max_file_age_ms (FileStreamSource's maxFileAge analogue): files
+    older than the newest file minus the age are invisible to the
+    stream — the long-running-ingest knob that also bounds the seen-map
+    memory.  Default (no option) ingests everything regardless of
+    age."""
+    import time
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    old = os.path.join(land, "ancient.bam")
+    make_fixture(old, n=100, block_payload=4096, seed=1)
+    ten_days_ago = time.time() - 10 * 86400
+    os.utime(old, (ten_days_ago, ten_days_ago))
+    make_fixture(os.path.join(land, "fresh.bam"), n=40, block_payload=4096, seed=2)
+
+    # aged stream: only the fresh file
+    ckpt1, out1 = str(tmp_path / "c1"), str(tmp_path / "o1")
+    _drain(spark, land, ckpt1, out1, max_file_age_ms=86_400_000)  # 1 day
+    assert spark.read.parquet(out1).count() == 40
+
+    # default stream over the same dir: both files
+    ckpt2, out2 = str(tmp_path / "c2"), str(tmp_path / "o2")
+    _drain(spark, land, ckpt2, out2)
+    assert spark.read.parquet(out2).count() == 140
+
+    # a new arrival after the aged drain is still picked up incrementally
+    make_fixture(os.path.join(land, "later.bam"), n=7, block_payload=4096, seed=3)
+    _drain(spark, land, ckpt1, out1, max_file_age_ms=86_400_000)
+    assert spark.read.parquet(out1).count() == 47
+
+
+@needs_jdk
+def test_max_file_age_rejects_nonpositive(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    make_fixture(os.path.join(land, "a.bam"), n=10, block_payload=4096, seed=1)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    with pytest.raises(Exception, match="max_file_age_ms must be positive"):
+        _drain(spark, land, ckpt, out, max_file_age_ms=0)
