@@ -86,6 +86,7 @@ def build_parser() -> argparse.ArgumentParser:
         "count-reads",
         "time-load",
         "idxstats",
+        "flagstat",
         "blocks",
     ):
         _add_common(sub.add_parser(name))
@@ -107,6 +108,24 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="also emit a spec-standard BAI index per part file "
         "(JVM writer only) so the output serves indexed interval scans",
+    )
+    p = sub.add_parser(
+        "stream-ingest",
+        help="drain a BAM landing directory into parquet via the Structured "
+        "Streaming source (availableNow trigger; incremental across runs "
+        "through the checkpoint)",
+    )
+    p.add_argument("path", help="landing directory of .bam files")
+    p.add_argument("--out", required=True, help="parquet output directory")
+    p.add_argument("--checkpoint", required=True, help="streaming checkpoint directory")
+    p.add_argument("--split-size", type=int, default=None)
+    p.add_argument(
+        "--max-file-age-ms",
+        type=int,
+        default=None,
+        help="ignore files older than the newest file minus this age and "
+        "bound the seen-file memory to the age window (Spark file-source "
+        "maxFileAge semantics; default: ingest regardless of age)",
     )
     # generic registry access: every operator the engine claims is a named
     # query, and every named query is runnable from the CLI
@@ -188,6 +207,29 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(args.mode)
         print(df._jdf.queryExecution().explainString(mode))
         return
+    if cmd == "stream-ingest":
+        from spark_bam_spark.bam import jvmreader
+
+        if not jvmreader.javac_path():
+            raise SystemExit("stream-ingest needs a JDK (the streaming source is JVM-only)")
+        q = (
+            jvmreader.read_bam_stream(
+                spark,
+                args.path,
+                split_size=args.split_size,
+                max_file_age_ms=args.max_file_age_ms,
+            )
+            .drop("tags")  # parquet sink keeps the report columnar-simple
+            .writeStream.format("parquet")
+            .option("path", args.out)
+            .option("checkpointLocation", args.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.out).count()
+        print(f"drained {args.path} -> {args.out} (total rows now {n})")
+        return
     if cmd == "check-bam":
         df = qa.confusion_matrix(qa.calls(spark, args.path, stride=1))
     elif cmd == "full-check":
@@ -228,6 +270,48 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
                 )
                 .orderBy("rname")
             )
+    elif cmd == "flagstat":
+        # samtools-flagstat-style counters, flag-derived, in ONE scan pass
+        # (a single agg over the pruned flag/ref/mapq columns — at 100 TB
+        # this is a map-side-combined reduction, no shuffle of reads)
+        reads = _reads(
+            spark, args.path, args.split_size, columns="flag,ref_idx,mate_ref_idx,mapq"
+        )
+        fl = F.col("flag")
+
+        def has(bit: int):
+            return fl.bitwiseAND(bit) != 0
+
+        mapped = ~has(0x4)
+        paired = has(0x1)
+        both_mapped = paired & mapped & ~has(0x8)
+        diff_chr = (
+            both_mapped
+            & (F.col("mate_ref_idx") >= 0)
+            & (F.col("mate_ref_idx") != F.col("ref_idx"))
+        )
+
+        def cnt(cond):
+            return F.sum(cond.cast("long"))
+
+        row = reads.agg(
+            cnt(F.lit(True)).alias("total"),
+            cnt(has(0x100)).alias("secondary"),
+            cnt(has(0x800)).alias("supplementary"),
+            cnt(has(0x400)).alias("duplicates"),
+            cnt(mapped).alias("mapped"),
+            cnt(paired).alias("paired_in_sequencing"),
+            cnt(has(0x40)).alias("read1"),
+            cnt(has(0x80)).alias("read2"),
+            cnt(paired & has(0x2) & mapped).alias("properly_paired"),
+            cnt(both_mapped).alias("with_itself_and_mate_mapped"),
+            cnt(paired & mapped & has(0x8)).alias("singletons"),
+            cnt(diff_chr).alias("mate_on_different_chr"),
+            cnt(diff_chr & (F.col("mapq") >= 5)).alias("mate_on_different_chr_mapq5"),
+        ).collect()[0]
+        df = spark.createDataFrame(
+            [(k, int(v)) for k, v in row.asDict().items()], "metric string, n bigint"
+        )
     elif cmd == "blocks":
         df = qa._blocks_df(spark, args.path)
     elif cmd == "index-blocks":

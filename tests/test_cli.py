@@ -169,3 +169,45 @@ def test_reader_flag_forces_python_path(spark, bam_path, capsys, monkeypatch):
     assert reader_choice() == "py"
     cli.run(args, spark)
     assert capsys.readouterr().out.strip().splitlines() == ["n_reads", "2500"]
+
+
+def test_flagstat_counters(spark, bam_path, capsys):
+    """flagstat: one-pass flag-derived counters.  Fixture truths: every
+    read is paired (0x1), unplaced reads carry 0x4|0x1 (mate-unmapped
+    bit unset), placed reads are all mapped primaries."""
+    lines = _run(spark, ["flagstat", bam_path], capsys)
+    assert lines[0] == "metric,n"
+    got = dict(ln.split(",") for ln in lines[1:])
+    total = int(got["total"])
+    assert total == 2500
+    assert int(got["paired_in_sequencing"]) == 2500
+    unmapped = 2500 - int(got["mapped"])
+    assert 0 < unmapped < 200  # ~2% unplaced in the synth fixture
+    assert int(got["secondary"]) == 0
+    assert int(got["properly_paired"]) == 0  # fixture sets no 0x2
+    # unplaced fixture reads have 0x8 unset, so no singletons
+    assert int(got["singletons"]) == 0
+    assert int(got["with_itself_and_mate_mapped"]) == int(got["mapped"])
+
+
+def test_stream_ingest_cli_incremental(spark, tmp_path, capsys):
+    """The stream-ingest subcommand drains a landing dir into parquet;
+    a second run with the same checkpoint adds only new arrivals."""
+    from spark_bam_spark.bam import jvmreader
+    from spark_bam_spark.bam.writer import make_fixture
+
+    if not jvmreader.javac_path():
+        import pytest as _pytest
+
+        _pytest.skip("no JDK")
+    land = str(tmp_path / "landing")
+    import os as _os
+
+    _os.makedirs(land)
+    make_fixture(_os.path.join(land, "a.bam"), n=120, block_payload=4096, seed=1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    lines = _run(spark, ["stream-ingest", land, "--out", out, "--checkpoint", ckpt], capsys)
+    assert "total rows now 120" in lines[-1]
+    make_fixture(_os.path.join(land, "b.bam"), n=30, block_payload=4096, seed=2)
+    lines = _run(spark, ["stream-ingest", land, "--out", out, "--checkpoint", ckpt], capsys)
+    assert "total rows now 150" in lines[-1]

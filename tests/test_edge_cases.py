@@ -126,3 +126,36 @@ def test_corrupt_block_crc_fails_loudly_both_readers(spark_bam, tmp_path):
     for reader in readers:
         with pytest.raises(Exception, match="CRC32"):
             read_bam(spark_bam, bad, split_size=1 << 30, reader=reader).count()
+
+
+def test_corrupt_crc_permissive_salvage_parity(spark_bam, tmp_path):
+    """Permissive mode over a CRC-only corruption (stored CRC flipped:
+    the payload still inflates, ISIZE matches, only the new r11 check
+    objects): both readers salvage the SAME record set — the records
+    before the corrupt block — instead of crashing."""
+    from spark_bam_spark.bam import bgzf, jvmreader
+
+    path = str(tmp_path / "rot.bam")
+    res = write_bam(path, CONTIG_NAMES, CONTIG_LENGTHS, synth_records(1200, seed=11),
+                    block_payload=2048)
+    blocks = sorted(b.start for b in res.blocks)
+    victim = blocks[len(blocks) // 2]
+    with open(path, "r+b") as f:
+        f.seek(victim)
+        head = f.read(bgzf.BGZF_HEADER_LEN)
+        bsize = bgzf.parse_block_header(head)
+        f.seek(victim + bsize - 8)
+        crc_byte = f.read(1)
+        f.seek(victim + bsize - 8)
+        f.write(bytes([crc_byte[0] ^ 0xFF]))
+
+    def rows(df):
+        return sorted(map(tuple, df.select("qname", "flag", "pos").collect()))
+
+    py = spark_bam.read.format("bam").option("split_size", 4096).option(
+        "mode", "permissive").load(path)
+    got_py = rows(py)
+    assert 0 < len(got_py) < 1200
+    if jvmreader.javac_path():
+        jv = jvmreader.read_bam_jvm(spark_bam, path, split_size=4096, mode="permissive")
+        assert rows(jv) == got_py
