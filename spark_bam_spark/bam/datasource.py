@@ -640,6 +640,11 @@ class BamWriter(DataSourceWriter):
                 self.names.append(n)
                 self.lengths.append(int(ln))
         self.block_payload = int(options.get("block_payload", 0xFF00))
+        if not 1 <= self.block_payload <= 0xFF00:
+            # same bound the JVM sink enforces (BamWriteSupport): 0 would
+            # spin the streaming encoder forever, >0xFF00 can overflow a
+            # BGZF block on incompressible data
+            raise ValueError(f"bam write: block_payload must be in [1, {0xFF00}]")
         self.deflate_level = int(options.get("deflate_level", 6))
         if not 0 <= self.deflate_level <= 9:
             raise ValueError("bam write: deflate_level must be in [0, 9]")

@@ -105,17 +105,21 @@ final class BamMicroBatchStream implements MicroBatchStream {
         }
 
         static BatchOffset parse(String json) {
-            StringBuilder digits = new StringBuilder();
-            for (int i = 0; i < json.length(); i++) {
-                char c = json.charAt(i);
-                if (c >= '0' && c <= '9') {
-                    digits.append(c);
-                }
+            // strict: only the {"batchId":N} shape this class writes is
+            // accepted.  A legacy r10 name-set offset (or any corrupt
+            // JSON) must fail the restart loudly — a lenient digit-scrape
+            // would turn it into a garbage batch id and the stream would
+            // run "healthily" forever while ingesting nothing.
+            java.util.regex.Matcher m = java.util.regex.Pattern
+                    .compile("^\\s*\\{\\s*\"batchId\"\\s*:\\s*(\\d+)\\s*\\}\\s*$")
+                    .matcher(json);
+            if (!m.matches()) {
+                throw new IllegalArgumentException(
+                        "bam stream: unrecognized offset " + json + " — expected"
+                                + " {\"batchId\":N}; a checkpoint from the pre-batch-id"
+                                + " offset format must be restarted fresh");
             }
-            if (digits.length() == 0) {
-                throw new IllegalArgumentException("bam stream: bad offset json " + json);
-            }
-            return new BatchOffset(Long.parseLong(digits.toString()));
+            return new BatchOffset(Long.parseLong(m.group(1)));
         }
     }
 

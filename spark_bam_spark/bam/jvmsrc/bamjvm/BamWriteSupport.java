@@ -517,6 +517,15 @@ final class BamWriteSupport {
             // the Python writer's encode_record
             int[] cgWords = null;
             if (nCigar > 0xFFFF) {
+                // placeholder op lengths are 28-bit fields; the Python
+                // writer's struct.pack raises at the same bound — the
+                // twins must fail identically, never wrap the shift
+                if (lSeq > 0xFFFFFFF || refConsumed > 0xFFFFFFF) {
+                    throw new IOException(
+                            "bam write: long-cigar placeholder op length out of 28-bit"
+                                    + " range (l_seq " + lSeq + ", ref consumed "
+                                    + refConsumed + ")");
+                }
                 cgWords = cigar;
                 cigar = new int[] {(lSeq << 4) | 4, ((int) refConsumed << 4) | 3};
                 nCigar = 2;
@@ -723,12 +732,13 @@ final class BamWriteSupport {
             out.write(EOF_BLOCK);
             out.close();
             closed = true;
-            // part names are job-unique (partitionId + write UUID) and the
-            // commit coordinator admits one attempt per partition, so an
-            // existing final path is a real anomaly — fail, never delete
-            // another job's data
+            // part names are job-unique (partitionId + write UUID), so an
+            // existing final path can only be an earlier ATTEMPT of this
+            // same task (crash between rename and task-success ack, or a
+            // speculative twin) — replace it so the retry self-heals;
+            // another job's data can never collide on this name
             if (fs.exists(finalPath)) {
-                throw new IOException("bam write: " + finalPath + " already exists");
+                fs.delete(finalPath, false);
             }
             if (!fs.rename(tmpPath, finalPath)) {
                 throw new IOException("bam write: rename " + tmpPath + " -> " + finalPath + " failed");
@@ -738,6 +748,9 @@ final class BamWriteSupport {
                 Path baiFinal = finalPath.suffix(".bai");
                 try (FSDataOutputStream b = fs.create(baiTmp, true)) {
                     b.write(encodeBai());
+                }
+                if (fs.exists(baiFinal)) {
+                    fs.delete(baiFinal, false);
                 }
                 if (!fs.rename(baiTmp, baiFinal)) {
                     throw new IOException("bam write: rename " + baiTmp + " -> " + baiFinal + " failed");

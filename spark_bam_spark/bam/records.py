@@ -216,9 +216,11 @@ def _walk_tags(
                 break
             p = z + 1
         elif typ == "B":
+            if p + 5 > end:  # subtype byte + int32 count must fit
+                break
             sub = chr(buf[p])
             size = _B_SIZES.get(sub)
-            if size is None or p + 5 > end:
+            if size is None:
                 break
             (cnt,) = struct.unpack_from("<i", buf, p + 1)
             if cnt < 0 or p + 5 + size * cnt > end:

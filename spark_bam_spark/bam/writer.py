@@ -168,6 +168,8 @@ class StreamingBamEncoder:
     ) -> None:
         from spark_bam_spark.bam.bai import BaiAccumulator
 
+        if block_payload < 1:
+            raise ValueError("block_payload must be >= 1 (0 would never flush)")
         self.f = f
         self.bp = block_payload
         self.level = level

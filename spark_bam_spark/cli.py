@@ -227,7 +227,12 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
             .start()
         )
         q.awaitTermination()
-        n = spark.read.parquet(args.out).count()
+        try:
+            n = spark.read.parquet(args.out).count()
+        except Exception:
+            # a drain over an empty landing dir writes no parquet files —
+            # that is a successful no-op, not an error
+            n = 0
         print(f"drained {args.path} -> {args.out} (total rows now {n})")
         return
     if cmd == "check-bam":
@@ -283,7 +288,12 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
             return fl.bitwiseAND(bit) != 0
 
         mapped = ~has(0x4)
-        paired = has(0x1)
+        # samtools excludes secondary (0x100) and supplementary (0x800)
+        # records from every paired-category counter (they appear only in
+        # total/secondary/supplementary/mapped) — multi-mapping aligner
+        # output would otherwise overcount pairs
+        primary = ~has(0x100) & ~has(0x800)
+        paired = primary & has(0x1)
         both_mapped = paired & mapped & ~has(0x8)
         diff_chr = (
             both_mapped
@@ -301,8 +311,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
             cnt(has(0x400)).alias("duplicates"),
             cnt(mapped).alias("mapped"),
             cnt(paired).alias("paired_in_sequencing"),
-            cnt(has(0x40)).alias("read1"),
-            cnt(has(0x80)).alias("read2"),
+            cnt(paired & has(0x40)).alias("read1"),
+            cnt(paired & has(0x80)).alias("read2"),
             cnt(paired & has(0x2) & mapped).alias("properly_paired"),
             cnt(both_mapped).alias("with_itself_and_mate_mapped"),
             cnt(paired & mapped & has(0x8)).alias("singletons"),

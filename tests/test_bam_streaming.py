@@ -215,3 +215,28 @@ def test_max_file_age_rejects_nonpositive(spark, tmp_path):
     ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
     with pytest.raises(Exception, match="max_file_age_ms must be positive"):
         _drain(spark, land, ckpt, out, max_file_age_ms=0)
+
+
+@needs_jdk
+def test_legacy_offset_format_fails_loudly(spark, tmp_path):
+    """A checkpoint holding a pre-batch-id offset (the r10 name-set
+    JSON, or any corrupt shape) must fail the restart with a clear
+    error — a lenient parse would fabricate a garbage batch id and the
+    stream would run forever while ingesting nothing (review r11)."""
+    import glob as _glob
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    make_fixture(os.path.join(land, "a.bam"), n=20, block_payload=4096, seed=1)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(spark, land, ckpt, out)
+    # rewrite the committed offset to the legacy name-set shape
+    (latest,) = sorted(_glob.glob(os.path.join(ckpt, "offsets", "*")))[-1:]
+    with open(latest) as f:
+        payload = f.read().splitlines()
+    payload[-1] = '["a.bam"]'
+    with open(latest, "w") as f:
+        f.write("\n".join(payload))
+    make_fixture(os.path.join(land, "b.bam"), n=5, block_payload=4096, seed=2)
+    with pytest.raises(Exception, match="unrecognized offset|batchId"):
+        _drain(spark, land, ckpt, out)

@@ -211,3 +211,65 @@ def test_stream_ingest_cli_incremental(spark, tmp_path, capsys):
     make_fixture(_os.path.join(land, "b.bam"), n=30, block_payload=4096, seed=2)
     lines = _run(spark, ["stream-ingest", land, "--out", out, "--checkpoint", ckpt], capsys)
     assert "total rows now 150" in lines[-1]
+
+
+def test_flagstat_excludes_secondary_from_paired_metrics(spark, tmp_path, capsys):
+    """samtools excludes secondary/supplementary records from every
+    paired-category counter (they count only under total/secondary/
+    supplementary/mapped) — multi-mapping aligner output must not
+    overcount pairs (review r11)."""
+    from spark_bam_spark.bam.records import BamRecord
+    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES, write_bam
+
+    def rec(i, flag):
+        return BamRecord(qname=f"q{i}", flag=flag, ref_idx=0, pos=100 + i,
+                         mapq=30, cigar=[(0, 4)], mate_ref_idx=0,
+                         mate_pos=200 + i, tlen=100, seq="ACGT",
+                         qual=bytes([30]) * 4, tags={})
+
+    recs = [rec(0, 0x1 | 0x2 | 0x40),          # primary, proper pair, read1
+            rec(1, 0x1 | 0x2 | 0x80),          # primary, proper pair, read2
+            rec(2, 0x1 | 0x2 | 0x40 | 0x100),  # secondary copy of read1
+            rec(3, 0x1 | 0x2 | 0x40 | 0x800)]  # supplementary copy
+    path = str(tmp_path / "sec.bam")
+    write_bam(path, CONTIG_NAMES, CONTIG_LENGTHS, recs)
+    lines = _run(spark, ["flagstat", path], capsys)
+    got = {k: int(v) for k, v in (ln.split(",") for ln in lines[1:])}
+    assert got["total"] == 4
+    assert got["secondary"] == 1 and got["supplementary"] == 1
+    assert got["mapped"] == 4  # mapped includes sec/supp (samtools)
+    assert got["paired_in_sequencing"] == 2  # primaries only
+    assert got["read1"] == 1 and got["read2"] == 1
+    assert got["properly_paired"] == 2
+    assert got["with_itself_and_mate_mapped"] == 2
+
+
+def test_stream_ingest_empty_landing_dir_is_a_noop(spark, tmp_path, capsys):
+    """A drain over an empty landing directory succeeds and reports 0
+    rows instead of crashing on the schemaless parquet sink (review
+    r11)."""
+    from spark_bam_spark.bam import jvmreader
+
+    if not jvmreader.javac_path():
+        pytest.skip("no JDK")
+    import os as _os
+
+    land = str(tmp_path / "landing")
+    _os.makedirs(land)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    lines = _run(spark, ["stream-ingest", land, "--out", out, "--checkpoint", ckpt], capsys)
+    assert "total rows now 0" in lines[-1]
+
+
+def test_write_rejects_zero_block_payload(spark, tmp_path):
+    """block_payload=0 must fail fast in the Python writer (it would
+    spin the streaming encoder forever), same bound as the JVM sink."""
+    from pyspark.sql import Row
+    from spark_bam_spark.bam.reader import write_bam_df
+    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES
+
+    contigs = ",".join(f"{n}:{ln}" for n, ln in zip(CONTIG_NAMES, CONTIG_LENGTHS))
+    df = spark.createDataFrame([Row(qname="x", rname="1", pos=1, seq="AC")]).coalesce(1)
+    with pytest.raises(Exception, match="block_payload must be in"):
+        write_bam_df(df, str(tmp_path / "z"), contigs=contigs,
+                     block_payload=0, writer="py")

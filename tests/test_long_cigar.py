@@ -223,3 +223,36 @@ def test_foreign_tag_types_skipped_not_fatal(spark, tmp_path):
     df = read_bam(spark, path, reader="py")
     row = df.collect()[0]
     assert dict(row["tags"]) == {"XZ": "after"}
+
+
+def test_b_tag_header_at_buffer_end_stops_politely():
+    """A truncated aux region ending exactly after a B tag's 3-byte
+    header must stop the scan, not raise IndexError (review r11)."""
+    import struct
+
+    rec = BamRecord(qname="t", flag=0, ref_idx=0, pos=9, mapq=0, cigar=[(0, 2)],
+                    mate_ref_idx=-1, mate_pos=-1, tlen=0, seq="AC",
+                    qual=bytes([30]) * 2, tags={"AA": "keep"})
+    enc = encode_record(rec)
+    new_body = enc[4:] + b"XIB"  # tag + type byte, nothing after
+    out = struct.pack("<i", len(new_body)) + new_body
+    back, consumed = decode_record(out, 0)
+    assert consumed == len(out)
+    assert back.tags == {"AA": "keep"}
+
+
+@pytest.mark.parametrize(
+    "writer", ["py", pytest.param("jvm", marks=pytest.mark.skipif(not _HAS_JDK, reason="no JDK"))]
+)
+def test_placeholder_over_28bit_ref_consumed_fails_loudly(spark, tmp_path, writer):
+    """A >uint16-op cigar whose reference-consumed length exceeds the
+    28-bit cigar-op length field (2^28-1 = 268,435,455) cannot be
+    represented as a kSmN placeholder — both writers must throw (the
+    Python struct.pack bound and the JVM check are pinned identical),
+    never wrap the value into a corrupt placeholder."""
+    n_ops = 65_537
+    cigar = "4100N" * n_ops  # ref consumed ≈ 268.7M > 2^28-1
+    rows = [Row(qname="x", rname="1", pos=1, cigar=cigar, seq="")]
+    df = spark.createDataFrame(rows).coalesce(1)
+    with pytest.raises(Exception, match="28-bit|struct|out of.*range|requires"):
+        write_bam_df(df, str(tmp_path / "of"), contigs=_CONTIGS, writer=writer)
