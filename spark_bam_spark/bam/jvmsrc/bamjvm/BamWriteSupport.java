@@ -37,12 +37,14 @@ import org.apache.spark.unsafe.types.UTF8String;
  * JVM-side via htsjdk; cited as behavior, not copied — this is an
  * original implementation against the spec and the Spark DSv2 write API).
  *
- * Scale properties the Python writer lacks:
+ * Scale properties (shared with the Python writer since its r11
+ * streaming rework — the remaining JVM advantage is the absence of the
+ * per-row Python boundary):
  * <ul>
  *   <li><b>O(block) memory</b>: records stream into a fixed
  *       {@code block_payload}-byte buffer that is deflated and flushed as
- *       it fills — the Python writer buffers the whole partition's record
- *       list AND its serialized stream before compressing.</li>
+ *       it fills (the Python twin streams through
+ *       writer.py StreamingBamEncoder).</li>
  *   <li><b>Task-retry safe</b>: each task writes
  *       {@code .part-NNNNN-taskid.bam.inprogress} and renames into place
  *       at {@code DataWriter.commit()}, so a speculative or retried task

@@ -107,7 +107,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--bai",
         action="store_true",
         help="also emit a spec-standard BAI index per part file "
-        "(JVM writer only) so the output serves indexed interval scans",
+        "(both writers; input must be coordinate-sorted) so the output "
+        "serves indexed interval scans",
     )
     p = sub.add_parser(
         "stream-ingest",

@@ -641,7 +641,8 @@ def bam_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     against 2× the truth parquet's histogram, so the oracle pins that
     the stream planned BOTH files through the same splitter/decoder as
     the batch scan with no row lost or duplicated.  Offsets checkpoint
-    as the seen-file set, so a restarted query ingests only new files
+    as a monotonic batch id over a compacted file-metadata log, so a
+    restarted query ingests only new files
     (pinned incrementally in tests/test_bam_streaming.py).  The
     reference has no streaming surface; this is the Spark-first
     extension of its batch loadReads (CanLoadBam.scala, behavior
