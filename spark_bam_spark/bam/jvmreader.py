@@ -152,6 +152,7 @@ def read_bam_stream(
     split_size: int | None = None,
     mode: str | None = None,
     max_file_age_ms: int | None = None,
+    max_files_per_batch: int | None = None,
 ) -> DataFrame:
     """Structured Streaming DataFrame over a landing directory of BAM
     files (bamjvm.BamMicroBatchStream): each micro-batch ingests the
@@ -166,7 +167,13 @@ def read_bam_stream(
     window — the knob a months-long ingest over an eternally-growing
     landing zone needs; same documented caveat as Spark's file source
     (a file whose mtime is bumped after eviction is re-ingested).
-    JVM-only (the Python Data Source implements no stream reader)."""
+    ``max_files_per_batch`` (FileStreamSource's maxFilesPerTrigger
+    analogue, default off) caps how many unseen files one micro-batch
+    plans — oldest mtime first — so a burst landing drains as
+    ceil(n/cap) individually-checkpointed batches instead of one giant
+    batch; under ``availableNow`` the source snapshots the backlog at
+    trigger time (SupportsTriggerAvailableNow) and still drains it
+    fully across that many batches."""
     ensure_session(spark)
     reader = spark.readStream.format(FORMAT)
     if split_size is not None:
@@ -175,6 +182,8 @@ def read_bam_stream(
         reader = reader.option("mode", mode)
     if max_file_age_ms is not None:
         reader = reader.option("max_file_age_ms", str(max_file_age_ms))
+    if max_files_per_batch is not None:
+        reader = reader.option("max_files_per_batch", str(max_files_per_batch))
     return reader.load(path)
 
 

@@ -17,6 +17,8 @@ import org.apache.spark.sql.connector.read.InputPartition;
 import org.apache.spark.sql.connector.read.PartitionReaderFactory;
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream;
 import org.apache.spark.sql.connector.read.streaming.Offset;
+import org.apache.spark.sql.connector.read.streaming.ReadLimit;
+import org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow;
 
 /**
  * Structured Streaming source over a landing directory of BAM files:
@@ -54,7 +56,7 @@ import org.apache.spark.sql.connector.read.streaming.Offset;
  * value on the format layer (its batch loadReads is the analogue —
  * load/.../CanLoadBam.scala, cited as behavior).
  */
-final class BamMicroBatchStream implements MicroBatchStream {
+final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvailableNow {
     /** Fold per-batch log entries into one ".compact" file every N
      *  committed batches (FileStreamSource's compactInterval analogue):
      *  a long-lived stream otherwise accumulates one tiny log file per
@@ -73,7 +75,21 @@ final class BamMicroBatchStream implements MicroBatchStream {
     // caveat as FileStreamSource: a file whose mtime is bumped after
     // eviction is re-ingested.
     private final long maxAgeMs;
+    // FileStreamSource's maxFilesPerTrigger analogue (option
+    // max_files_per_batch, default OFF): cap how many unseen files one
+    // micro-batch plans, oldest mtime first (name-tiebreak for
+    // determinism).  A burst landing of 10^4 files then drains as
+    // ceil(n/cap) individually-checkpointed batches instead of one giant
+    // batch whose single failure re-plans everything.  Deferred files
+    // stay un-seen and are picked up by subsequent latestOffset calls.
+    // Caveat (shared with FileStreamSource): combined with
+    // max_file_age_ms, a backlog deferred past the age window is dropped.
+    private final int maxFilesPerBatch;
     private long watermark = Long.MIN_VALUE; // newest mtime ever seen
+    // non-null only under Trigger.AvailableNow: the backlog snapshot
+    // taken at prepareForTriggerAvailableNow (files landing later wait
+    // for the next trigger, so the drain terminates)
+    private TreeMap<String, Long> availableNowSnapshot;
 
     BamMicroBatchStream(BamDataSource.BamScan scan, String checkpointLocation) {
         this.scan = scan;
@@ -83,6 +99,12 @@ final class BamMicroBatchStream implements MicroBatchStream {
         if (age != null && this.maxAgeMs <= 0) {
             throw new IllegalArgumentException(
                     "bam stream: max_file_age_ms must be positive, got " + age);
+        }
+        String cap = scan.rawOption("max_files_per_batch");
+        this.maxFilesPerBatch = cap == null ? -1 : Integer.parseInt(cap);
+        if (cap != null && this.maxFilesPerBatch <= 0) {
+            throw new IllegalArgumentException(
+                    "bam stream: max_files_per_batch must be positive, got " + cap);
         }
         try {
             restoreLog();
@@ -256,35 +278,88 @@ final class BamMicroBatchStream implements MicroBatchStream {
         return new BatchOffset(0);
     }
 
+    /** List the landing dir and return the unseen (age-eligible) files,
+     *  updating the mtime watermark and evicting aged-out seen entries. */
+    private TreeMap<String, Long> listFresh() throws IOException {
+        List<FileStatus> listed = BamDataSource.BamScan.listBamFiles(fs(), scan.rootPath());
+        long newest = watermark;
+        for (FileStatus f : listed) {
+            newest = Math.max(newest, f.getModificationTime());
+        }
+        // age cutoff relative to the NEWEST file seen (the
+        // FileStreamSource convention — immune to clock skew between
+        // the driver and the store)
+        long cutoff = maxAgeMs < 0 ? Long.MIN_VALUE : newest - maxAgeMs;
+        TreeMap<String, Long> fresh = new TreeMap<>();
+        for (FileStatus f : listed) {
+            String name = f.getPath().getName();
+            if (!seen.containsKey(name) && f.getModificationTime() >= cutoff) {
+                fresh.put(name, f.getModificationTime());
+            }
+        }
+        watermark = newest;
+        if (maxAgeMs >= 0) {
+            // evict tracked names the listing filter would reject
+            // anyway (recorded mtime below the cutoff) — bounds the
+            // seen map to the age window; -1 (unknown, pre-r11 log)
+            // is never evicted
+            seen.values().removeIf(mt -> mt >= 0 && mt < cutoff);
+        }
+        return fresh;
+    }
+
+    @Override
+    public void prepareForTriggerAvailableNow() {
+        // Trigger.AvailableNow contract: snapshot the backlog once at
+        // trigger time; latestOffset then serves (capped) batches from
+        // the snapshot and stops advancing when it drains, so the query
+        // terminates even while new files keep landing.
+        try {
+            availableNowSnapshot = listFresh();
+        } catch (IOException e) {
+            throw new UncheckedIOException(e);
+        }
+    }
+
+    @Override
+    public Offset latestOffset(Offset startOffset, ReadLimit limit) {
+        // SupportsAdmissionControl entry point (the per-source
+        // max_files_per_batch option is the read limit; Spark-side
+        // ReadLimit stays allAvailable)
+        return nextBatch();
+    }
+
     @Override
     public Offset latestOffset() {
+        return nextBatch();
+    }
+
+    private Offset nextBatch() {
         try {
-            List<FileStatus> listed = BamDataSource.BamScan.listBamFiles(fs(), scan.rootPath());
-            long newest = watermark;
-            for (FileStatus f : listed) {
-                newest = Math.max(newest, f.getModificationTime());
-            }
-            // age cutoff relative to the NEWEST file seen (the
-            // FileStreamSource convention — immune to clock skew between
-            // the driver and the store)
-            long cutoff = maxAgeMs < 0 ? Long.MIN_VALUE : newest - maxAgeMs;
-            TreeMap<String, Long> fresh = new TreeMap<>();
-            for (FileStatus f : listed) {
-                String name = f.getPath().getName();
-                if (!seen.containsKey(name) && f.getModificationTime() >= cutoff) {
-                    fresh.put(name, f.getModificationTime());
-                }
-            }
-            watermark = newest;
-            if (maxAgeMs >= 0) {
-                // evict tracked names the listing filter would reject
-                // anyway (recorded mtime below the cutoff) — bounds the
-                // seen map to the age window; -1 (unknown, pre-r11 log)
-                // is never evicted
-                seen.values().removeIf(mt -> mt >= 0 && mt < cutoff);
+            TreeMap<String, Long> fresh;
+            if (availableNowSnapshot != null) {
+                // availableNow: serve strictly from the trigger-time
+                // snapshot, minus what earlier batches already took
+                availableNowSnapshot.keySet().removeIf(seen::containsKey);
+                fresh = new TreeMap<>(availableNowSnapshot);
+            } else {
+                fresh = listFresh();
             }
             if (fresh.isEmpty()) {
                 return new BatchOffset(batchId);
+            }
+            if (maxFilesPerBatch > 0 && fresh.size() > maxFilesPerBatch) {
+                // take the cap oldest by (mtime, name); the rest remain
+                // un-seen and form the following batches
+                List<Map.Entry<String, Long>> cand = new ArrayList<>(fresh.entrySet());
+                cand.sort(java.util.Comparator
+                        .comparingLong((Map.Entry<String, Long> e) -> e.getValue())
+                        .thenComparing(Map.Entry::getKey));
+                TreeMap<String, Long> capped = new TreeMap<>();
+                for (int i = 0; i < maxFilesPerBatch; i++) {
+                    capped.put(cand.get(i).getKey(), cand.get(i).getValue());
+                }
+                fresh = capped;
             }
             writeBatchLog(logFs(), batchId + 1, fresh);
             batchId++;
@@ -383,7 +458,12 @@ final class BamMicroBatchStream implements MicroBatchStream {
                 lfs.delete(p, false);
             }
         } catch (IOException e) {
-            // best-effort: leave the per-batch files in place
+            // best-effort: leave the per-batch files in place — but say
+            // so: a persistently failing compaction (e.g. log-dir
+            // permissions) otherwise grows restart-replay cost silently,
+            // one log file per batch forever, with no operator signal.
+            System.err.println("bam stream: log compaction failed (will retry"
+                    + " next interval; per-batch files left in place): " + e);
         }
     }
 

@@ -65,7 +65,10 @@ final class BamPartitionReader implements PartitionReader<InternalRow> {
             if (p + 8 > end) {
                 return -1;
             }
-            int sz = TAG_SIZES[b[p + 3] & 0xFF];
+            int sub = b[p + 3] & 0xFF;
+            // spec §4.2.4.2: legal B subtypes are cCsSiIf only — 'A' is a
+            // standalone type, not an array subtype; stop like _walk_tags
+            int sz = sub == 'A' ? -1 : TAG_SIZES[sub];
             long cnt = Bgzf.i32(b, p + 4);
             if (sz <= 0 || cnt < 0 || p + 8 + sz * cnt > end) {
                 return -1;

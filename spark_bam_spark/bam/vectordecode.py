@@ -47,6 +47,11 @@ for _c, _s in (
 ):
     _TAG_SIZES[_c] = _s
 _TAG_SIZES[0x5A] = -1  # 'Z' handled via NUL scan ('H' likewise; 'B' counted)
+# B-array subtypes are cCsSiIf only (spec §4.2.4.2) — 'A' is a standalone
+# type, never an array subtype; a B tag carrying it stops the scan exactly
+# like the scalar _walk_tags / JVM skipTag
+_B_SUB_SIZES = _TAG_SIZES.copy()
+_B_SUB_SIZES[0x41] = -1
 
 
 def ranges_concat(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -366,7 +371,7 @@ class DecodedBatch:
             # (clamped gathers stay in bounds; the seg_end check rejects
             # any read that strayed past the record's own tag region)
             is_b = typ == 0x42
-            sub_sz = _TAG_SIZES[flat[np.minimum(pp + 3, top)]]
+            sub_sz = _B_SUB_SIZES[flat[np.minimum(pp + 3, top)]]
             cnt = (
                 flat[np.minimum(pp + 4, top)].astype(np.int64)
                 | (flat[np.minimum(pp + 5, top)].astype(np.int64) << 8)

@@ -100,6 +100,14 @@ def write_bam(
     def to_pos(uoff: int) -> Pos:
         import bisect
 
+        # End-of-stream landing on an exact block boundary: report the
+        # next-block form (EOF-marker coffset, offset 0) — the same
+        # representation StreamingBamEncoder and the JVM sink emit, and
+        # what bisect already yields for *interior* boundaries where a
+        # following data block exists.  Keeps BAI voffset spans identical
+        # across all three writers for that corner.
+        if uoff >= len(stream) and uoff % block_payload == 0 and blocks:
+            return Pos(cpos, 0)
         i = bisect.bisect_right(block_ustarts, uoff) - 1
         return Pos(blocks[i].start, uoff - block_ustarts[i])
 

@@ -263,11 +263,20 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
         if pairs:
             df = qa.idxstats_from_index(spark, pairs)
         else:
-            reads = _reads(spark, args.path, args.split_size, columns="rname,flag")
-            unmapped = (F.col("flag").bitwiseAND(0x4) != 0).cast("int")
+            # scan fallback follows the SAME classification the BAI
+            # pseudo-bins use (spec §5.2 / BaiAccumulator.add): a record
+            # with ref_idx<0 OR pos<0 is coordinate-less — '*' row,
+            # unmapped column, regardless of flag 0x4 — so index path
+            # and fallback report identical rows on identical data
+            reads = _reads(spark, args.path, args.split_size, columns="rname,pos,flag")
+            no_coor = F.col("rname").isNull() | (F.col("pos") < 0)
+            unmapped = F.when(no_coor, F.lit(1)).otherwise(
+                (F.col("flag").bitwiseAND(0x4) != 0).cast("int")
+            )
             df = (
                 reads.select(
-                    F.coalesce(F.col("rname"), F.lit("*")).alias("rname"), unmapped.alias("u")
+                    F.when(no_coor, F.lit("*")).otherwise(F.col("rname")).alias("rname"),
+                    unmapped.alias("u"),
                 )
                 .groupBy("rname")
                 .agg(

@@ -240,3 +240,83 @@ def test_legacy_offset_format_fails_loudly(spark, tmp_path):
     make_fixture(os.path.join(land, "b.bam"), n=5, block_payload=4096, seed=2)
     with pytest.raises(Exception, match="unrecognized offset|batchId"):
         _drain(spark, land, ckpt, out)
+
+
+@needs_jdk
+def test_max_files_per_batch_drains_backlog_in_capped_batches(spark, tmp_path):
+    """max_files_per_batch (FileStreamSource's maxFilesPerTrigger
+    analogue): a 40-file burst with cap 3 drains in ONE availableNow
+    run as ceil(40/3)=14 individually-checkpointed micro-batches
+    (SupportsTriggerAvailableNow snapshots the backlog at trigger time)
+    — not one giant batch — with the metadata-log compaction riding
+    along mid-drain (14 > COMPACT_INTERVAL) and the incremental
+    contract intact afterwards."""
+    import glob as _glob
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    n_files, cap = 40, 3
+    for i in range(n_files):
+        make_fixture(os.path.join(land, f"f{i:04d}.bam"), n=5 + i % 3, block_payload=4096, seed=i)
+    total = sum(5 + i % 3 for i in range(n_files))
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(spark, land, ckpt, out, max_files_per_batch=cap)
+    assert spark.read.parquet(out).count() == total
+    # ceil(40/3) = 14 committed micro-batches, each its own offset file
+    offsets = [
+        p
+        for p in _glob.glob(os.path.join(ckpt, "offsets", "*"))
+        if os.path.basename(p).isdigit()
+    ]
+    assert len(offsets) == -(-n_files // cap), sorted(offsets)
+    # per-batch file logs: compaction folded ids <= 10 mid-drain
+    logs = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(
+            os.path.join(ckpt, "sources", "**", "bam-file-log", "*"), recursive=True
+        )
+    )
+    assert "10.compact" in logs, logs
+    assert [n for n in logs if n.isdigit() and int(n) <= 10] == [], logs
+    # every planned batch carried <= cap files: replay each log entry
+    compact = [p for p in _glob.glob(
+        os.path.join(ckpt, "sources", "**", "bam-file-log", "*"), recursive=True
+    ) if os.path.basename(p).isdigit()]
+    for p in compact:
+        with open(p) as f:
+            assert sum(1 for ln in f if ln.strip()) <= cap, p
+    # incremental contract after the capped drain: only the new file
+    make_fixture(os.path.join(land, "late.bam"), n=9, block_payload=4096, seed=99)
+    _drain(spark, land, ckpt, out, max_files_per_batch=cap)
+    assert spark.read.parquet(out).count() == total + 9
+
+
+@needs_jdk
+def test_max_files_per_batch_rows_match_batch_scan(spark, tmp_path):
+    """A capped drain is row-identical to an uncapped batch read of the
+    same directory — the cap changes batch boundaries, never rows."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    for i in range(7):
+        make_fixture(os.path.join(land, f"g{i}.bam"), n=30 + i, block_payload=2048, seed=i)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(spark, land, ckpt, out, max_files_per_batch=2, split_size=8192)
+    got = sorted(
+        map(tuple, spark.read.parquet(out).select("qname", "flag", "rname", "pos").collect())
+    )
+    from spark_bam_spark.bam.reader import read_bam
+
+    want = sorted(
+        map(tuple, read_bam(spark, land).select("qname", "flag", "rname", "pos").collect())
+    )
+    assert got == want
+
+
+@needs_jdk
+def test_max_files_per_batch_rejects_nonpositive(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    make_fixture(os.path.join(land, "a.bam"), n=10, block_payload=4096, seed=1)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    with pytest.raises(Exception, match="max_files_per_batch must be positive"):
+        _drain(spark, land, ckpt, out, max_files_per_batch=0)
