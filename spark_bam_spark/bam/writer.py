@@ -277,6 +277,70 @@ def synth_records(n: int, seed: int = 42, sorted_by_pos: bool = True) -> list[Ba
     return recs
 
 
+def synth_flagstat_records(n: int = 1200, seed: int = 7) -> list[BamRecord]:
+    """Deterministic record set exercising EVERY flag bit samtools
+    flagstat counts — unlike synth_records (whose flags are only
+    0x1/0x4/0x10, leaving most flagstat counters trivially zero):
+    proper pairs (0x2), mate-unmapped singletons (0x8), read1/read2
+    (0x40/0x80), secondary (0x100), duplicates (0x400), supplementary
+    (0x800), mates on a different contig (split by mapq>=5), placed-
+    but-unmapped reads, and coordinate-less reads.  Secondary and
+    supplementary records CARRY pair bits on purpose: samtools excludes
+    them from every paired counter (primary-only semantics — the
+    contract that caught a real defect in the r11 self-review), so the
+    exclusion is observable in the aggregate, not just in unit tests."""
+    rng = random.Random(seed)
+    recs: list[BamRecord] = []
+    for i in range(n):
+        qname = f"fs{i:06d}"
+        seq = "".join(rng.choice("ACGT") for _ in range(20))
+        qual = bytes(rng.randint(10, 40) for _ in range(20))
+        kind = rng.random()
+        if kind < 0.04:  # coordinate-less (ref -1): '*' no-coor class
+            recs.append(BamRecord(
+                qname=qname, flag=0x1 | 0x4 | (0x40 if i % 2 == 0 else 0x80),
+                ref_idx=-1, pos=-1, mapq=0, cigar=[], mate_ref_idx=-1,
+                mate_pos=-1, tlen=0, seq=seq, qual=qual))
+            continue
+        ref = rng.randint(0, len(CONTIG_NAMES) - 1)
+        pos = rng.randint(0, 2_000_000)
+        mapq = rng.randint(0, 60)
+        flag = 0x1 | (0x40 if i % 2 == 0 else 0x80)
+        mate_ref = ref
+        if kind < 0.08:  # placed but unmapped (flag-only mapped counter)
+            flag |= 0x4
+        else:
+            if rng.random() < 0.12:
+                flag |= 0x100  # secondary (pair bits stay set)
+            elif rng.random() < 0.06:
+                flag |= 0x800  # supplementary
+            if rng.random() < 0.1:
+                flag |= 0x400  # PCR/optical duplicate
+            r2 = rng.random()
+            if r2 < 0.08:
+                flag |= 0x8  # mate unmapped -> singleton when primary
+            elif r2 < 0.30:
+                mate_ref = (ref + 1) % len(CONTIG_NAMES)  # cross-contig mate
+            else:
+                flag |= 0x2  # proper pair
+            if rng.random() < 0.5:
+                flag |= 0x10
+        recs.append(BamRecord(
+            qname=qname, flag=flag, ref_idx=ref, pos=pos, mapq=mapq,
+            cigar=[(0, 20)], mate_ref_idx=mate_ref,
+            mate_pos=pos if flag & 0x8 else rng.randint(0, 2_000_000),
+            tlen=rng.randint(-600, 600), seq=seq, qual=qual))
+    recs.sort(key=lambda r: (r.ref_idx if r.ref_idx >= 0 else 1 << 30, r.pos))
+    return recs
+
+
+def make_flagstat_fixture(path: str, n: int = 1200, block_payload: int = 4096,
+                          seed: int = 7) -> WriteResult:
+    """Write the flag-rich flagstat fixture (see synth_flagstat_records)."""
+    recs = synth_flagstat_records(n, seed=seed)
+    return write_bam(path, CONTIG_NAMES, CONTIG_LENGTHS, recs, block_payload=block_payload)
+
+
 def make_fixture(path: str, n: int = 2500, block_payload: int = 4096, seed: int = 42) -> WriteResult:
     """Write a deterministic block-unaligned BAM (≈2.bam: 2500 reads,
     LoadBAMTest.scala:23-27) with full sidecar ground truth."""

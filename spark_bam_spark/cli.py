@@ -287,48 +287,14 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
             )
     elif cmd == "flagstat":
         # samtools-flagstat-style counters, flag-derived, in ONE scan pass
-        # (a single agg over the pruned flag/ref/mapq columns — at 100 TB
-        # this is a map-side-combined reduction, no shuffle of reads)
+        # (operators/qa.flagstat_agg: a single map-side-combined agg over
+        # the pruned flag/ref/mapq columns — at 100 TB no shuffle of
+        # reads); the registry twin bam_flagstat hash-checks the same
+        # operator against a generator-derived oracle
         reads = _reads(
             spark, args.path, args.split_size, columns="flag,ref_idx,mate_ref_idx,mapq"
         )
-        fl = F.col("flag")
-
-        def has(bit: int):
-            return fl.bitwiseAND(bit) != 0
-
-        mapped = ~has(0x4)
-        # samtools excludes secondary (0x100) and supplementary (0x800)
-        # records from every paired-category counter (they appear only in
-        # total/secondary/supplementary/mapped) — multi-mapping aligner
-        # output would otherwise overcount pairs
-        primary = ~has(0x100) & ~has(0x800)
-        paired = primary & has(0x1)
-        both_mapped = paired & mapped & ~has(0x8)
-        diff_chr = (
-            both_mapped
-            & (F.col("mate_ref_idx") >= 0)
-            & (F.col("mate_ref_idx") != F.col("ref_idx"))
-        )
-
-        def cnt(cond):
-            return F.sum(cond.cast("long"))
-
-        row = reads.agg(
-            cnt(F.lit(True)).alias("total"),
-            cnt(has(0x100)).alias("secondary"),
-            cnt(has(0x800)).alias("supplementary"),
-            cnt(has(0x400)).alias("duplicates"),
-            cnt(mapped).alias("mapped"),
-            cnt(paired).alias("paired_in_sequencing"),
-            cnt(paired & has(0x40)).alias("read1"),
-            cnt(paired & has(0x80)).alias("read2"),
-            cnt(paired & has(0x2) & mapped).alias("properly_paired"),
-            cnt(both_mapped).alias("with_itself_and_mate_mapped"),
-            cnt(paired & mapped & has(0x8)).alias("singletons"),
-            cnt(diff_chr).alias("mate_on_different_chr"),
-            cnt(diff_chr & (F.col("mapq") >= 5)).alias("mate_on_different_chr_mapq5"),
-        ).collect()[0]
+        row = qa.flagstat_agg(reads).collect()[0]
         df = spark.createDataFrame(
             [(k, int(v)) for k, v in row.asDict().items()], "metric string, n bigint"
         )

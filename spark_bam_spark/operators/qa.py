@@ -391,6 +391,52 @@ def idxstats_from_index(spark: SparkSession, pairs: list[tuple[str, str]]) -> Da
     )
 
 
+def flagstat_agg(reads: DataFrame) -> DataFrame:
+    """samtools-flagstat counters as ONE map-side-combined aggregation
+    over the pruned flag/ref/mapq columns — a single narrow scan, no
+    shuffle of reads, at any corpus size.  One wide row out (13 BIGINT
+    columns); the CLI melts it to metric/n lines, the registry query
+    hash-checks it directly.
+
+    samtools semantics: secondary (0x100) and supplementary (0x800)
+    records are excluded from every paired-category counter (they appear
+    only in total/secondary/supplementary/mapped/duplicates) — multi-
+    mapping aligner output would otherwise overcount pairs."""
+    fl = F.col("flag")
+
+    def has(bit: int):
+        return fl.bitwiseAND(bit) != 0
+
+    mapped = ~has(0x4)
+    primary = ~has(0x100) & ~has(0x800)
+    paired = primary & has(0x1)
+    both_mapped = paired & mapped & ~has(0x8)
+    diff_chr = (
+        both_mapped
+        & (F.col("mate_ref_idx") >= 0)
+        & (F.col("mate_ref_idx") != F.col("ref_idx"))
+    )
+
+    def cnt(cond):
+        return F.sum(cond.cast("long"))
+
+    return reads.agg(
+        cnt(F.lit(True)).alias("total"),
+        cnt(has(0x100)).alias("secondary"),
+        cnt(has(0x800)).alias("supplementary"),
+        cnt(has(0x400)).alias("duplicates"),
+        cnt(mapped).alias("mapped"),
+        cnt(paired).alias("paired_in_sequencing"),
+        cnt(paired & has(0x40)).alias("read1"),
+        cnt(paired & has(0x80)).alias("read2"),
+        cnt(paired & has(0x2) & mapped).alias("properly_paired"),
+        cnt(both_mapped).alias("with_itself_and_mate_mapped"),
+        cnt(paired & mapped & has(0x8)).alias("singletons"),
+        cnt(diff_chr).alias("mate_on_different_chr"),
+        cnt(diff_chr & (F.col("mapq") >= 5)).alias("mate_on_different_chr_mapq5"),
+    )
+
+
 def sorted_range_repartition(reads: DataFrame, n: int = 8) -> DataFrame:
     """W3 sortedRepartition (IndexedRecordPositions.scala:27-31): range-
     partition by Pos so each partition owns a disjoint, ordered key range

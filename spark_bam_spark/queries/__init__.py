@@ -213,36 +213,22 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r11 (the 22 r9/r10 entries — the read/write default-flip cohort,
-    # the blocks-consumer cohort, and the three plan-changed perf queries
-    # — ALL went hash-green in CORRECTNESS_r10 and are cleared per
-    # convention, freeing the r11 window to drain the two oldest
-    # evidence vintages: r4 [18 queries] + r5 [28] = 46 of 50 slots).
+    # r12 (the 4 r11 entries — bam_stream_ingest, bam_rewrite_roundtrip,
+    # bam_rewrite_roundtrip_py, bam_scan_reads — ALL went hash-green in
+    # CORRECTNESS_r11 and are cleared per convention; with bam_flagstat
+    # new this round, the r12 window drains r6 [27 queries] + the oldest
+    # r7 entries in the remaining slots).
     #
-    # r11 entries are capped at 4 so that drain still fits: each is the
-    # REPRESENTATIVE query for one code path that changed this round;
-    # twins sharing the identical changed path keep their r10 evidence
-    # plus the differential pytest coverage that pins both languages
-    # byte-identical.
-    #
-    # Streaming offsets reworked (BamMicroBatchStream.java: full
-    # name-set JSON -> batch-id metadata log, compacted every 10
-    # committed batches):
+    # Streaming source gained max_files_per_batch (maxFilesPerTrigger
+    # analogue) + SupportsTriggerAvailableNow snapshot semantics — the
+    # batch-planning code changed even though the uncapped default path
+    # is behavior-identical (pinned by the capped-drain tests):
     "bam_stream_ingest",
-    # JVM write path: job-unique part names (append no longer clobbers),
-    # int32 range checks, §4.2.2 CG emission — represents the _jvm twin
-    # and the bai-consumers (bam_sort_rewrite,
-    # bam_rewrite_indexed_pushdown, bam_idxstats_from_index), all
-    # r10-green on the same sink:
-    "bam_rewrite_roundtrip",
-    # Python write path: BAI emission ported (bai=true now works on both
-    # writers), O(block) streaming encoder, job-unique part names:
-    "bam_rewrite_roundtrip_py",
-    # Both readers gained the spec §4.2.2 CG-tag long-cigar fallback
-    # (n_cigar_op uint16 overflow), structural foreign-tag skipping, and
-    # BGZF footer-CRC32 validation — all inert on the healthy fixture
-    # (differential tests pin them) but the scan code changed;
-    # represents the _jvm/_py scan twins:
+    # Both the JVM skipTag and the vectorized tag scan now STOP on a B
+    # aux array with illegal subtype 'A' (spec §4.2.4.2) instead of
+    # structurally skipping it — inert on spec-conforming files
+    # (3-decoder parity pinned by tests/test_advice_r12.py) but the scan
+    # code changed; represents the _jvm/_py scan twins:
     "bam_scan_reads",
 )
 

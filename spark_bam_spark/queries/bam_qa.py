@@ -754,6 +754,76 @@ def bam_idxstats_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLAGSTAT_FIXTURE = "/tmp/spark_bam_spark_fixture/flagstat1k.bam"
+_FLAGSTAT_TRUTH_PQ = f"{_FIXTURES_DIR}/flagstat1k_truth.parquet"
+
+
+def _flagstat_fixture_path() -> str:
+    if not os.path.exists(_FLAGSTAT_FIXTURE):
+        os.makedirs(os.path.dirname(_FLAGSTAT_FIXTURE), exist_ok=True)
+        from spark_bam_spark.bam.writer import make_flagstat_fixture
+
+        make_flagstat_fixture(_FLAGSTAT_FIXTURE)
+    return _FLAGSTAT_FIXTURE
+
+
+@register(
+    "bam_flagstat",
+    doc="A2 flagstat: samtools-flagstat counters in one map-side-combined scan agg",
+    oracle=f"""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS total,
+      CAST(SUM(CASE WHEN flag & 256 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS secondary,
+      CAST(SUM(CASE WHEN flag & 2048 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS supplementary,
+      CAST(SUM(CASE WHEN flag & 1024 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS duplicates,
+      CAST(SUM(CASE WHEN flag & 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS mapped,
+      CAST(SUM(CASE WHEN flag & 2304 = 0 AND flag & 1 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS paired_in_sequencing,
+      CAST(SUM(CASE WHEN flag & 2304 = 0 AND flag & 1 != 0 AND flag & 64 != 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS read1,
+      CAST(SUM(CASE WHEN flag & 2304 = 0 AND flag & 1 != 0 AND flag & 128 != 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS read2,
+      CAST(SUM(CASE WHEN flag & 2304 = 0 AND flag & 1 != 0 AND flag & 2 != 0
+        AND flag & 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS properly_paired,
+      CAST(SUM(CASE WHEN flag & 2304 = 0 AND flag & 1 != 0 AND flag & 4 = 0
+        AND flag & 8 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS with_itself_and_mate_mapped,
+      CAST(SUM(CASE WHEN flag & 2304 = 0 AND flag & 1 != 0 AND flag & 4 = 0
+        AND flag & 8 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+      CAST(SUM(CASE WHEN flag & 2304 = 0 AND flag & 1 != 0 AND flag & 4 = 0
+        AND flag & 8 = 0 AND mate_ref_idx >= 0 AND mate_ref_idx != ref_idx
+        THEN 1 ELSE 0 END) AS BIGINT) AS mate_on_different_chr,
+      CAST(SUM(CASE WHEN flag & 2304 = 0 AND flag & 1 != 0 AND flag & 4 = 0
+        AND flag & 8 = 0 AND mate_ref_idx >= 0 AND mate_ref_idx != ref_idx
+        AND mapq >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS mate_on_different_chr_mapq5
+    FROM read_parquet('{_FLAGSTAT_TRUTH_PQ}')
+    """,
+)
+def bam_flagstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/§2.11 ``samtools flagstat`` as a registry-checked aggregate
+    (the CLI subcommand melts this same operator,
+    operators/qa.flagstat_agg): thirteen flag-derived counters in ONE
+    map-side-combined agg over a pruned flag/ref/mapq scan — no shuffle
+    of reads at any corpus size.  Runs on the flag-RICH fixture
+    (synth_flagstat_records: secondary/supplementary records carrying
+    pair bits, cross-contig mates, singletons, duplicates, placed-but-
+    unmapped and coordinate-less reads), so samtools' primary-only
+    exclusion — which caught a real defect in the r11 self-review — is
+    observable in the hashed counters, not just in unit tests.  The
+    oracle derives every counter from the generator's own record dump
+    (flag & 2304 = secondary|supplementary).  (Reference has flags
+    histograms, FullCheck.scala; flagstat itself is samtools parity.)"""
+    from spark_bam_spark.bam.reader import read_bam
+    from spark_bam_spark.operators.qa import flagstat_agg
+
+    reads = read_bam(
+        spark,
+        _flagstat_fixture_path(),
+        split_size=16384,
+        columns="flag,ref_idx,mate_ref_idx,mapq",
+    )
+    return flagstat_agg(reads)
+
+
 @register(
     "bam_rewrite_roundtrip_py",
     doc="S18 writer sink, Python Data Source implementation pinned (datasource.py BamWriter)",

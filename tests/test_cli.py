@@ -273,3 +273,21 @@ def test_write_rejects_zero_block_payload(spark, tmp_path):
     with pytest.raises(Exception, match="block_payload must be in"):
         write_bam_df(df, str(tmp_path / "z"), contigs=contigs,
                      block_payload=0, writer="py")
+
+
+def test_flagstat_cli_matches_registry_query(spark, capsys):
+    """CLI flagstat and the registry's bam_flagstat share one operator
+    (operators/qa.flagstat_agg): the CLI's melted metric/n lines over
+    the flag-rich fixture equal the registry query's wide row."""
+    from spark_bam_spark.queries import load_all
+    from spark_bam_spark.queries.bam_qa import _flagstat_fixture_path
+
+    lines = _run(spark, ["flagstat", _flagstat_fixture_path()], capsys)
+    assert lines[0] == "metric,n"
+    cli_vals = {ln.split(",")[0]: int(ln.split(",")[1]) for ln in lines[1:]}
+    (row,) = load_all()["bam_flagstat"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert cli_vals == {k: int(v) for k, v in row.asDict().items()}
+    # the flag-rich fixture makes the primary-only exclusion observable
+    assert cli_vals["secondary"] > 0 and cli_vals["supplementary"] > 0
+    assert cli_vals["paired_in_sequencing"] < cli_vals["total"]
+    assert cli_vals["singletons"] > 0 and cli_vals["mate_on_different_chr"] > 0

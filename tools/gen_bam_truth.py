@@ -125,9 +125,37 @@ def main() -> None:
         ),
     )
     pq.write_table(aggs, os.path.join(out_dir, "qa_scan_aggs.parquet"))
+
+    # flagstat fixture truth: the flag-rich record set straight from the
+    # generator (synth_flagstat_records — decoder-independent), so the
+    # oracle can DERIVE every samtools-flagstat counter in SQL while the
+    # Spark side computes it through writer -> BGZF -> scan -> agg.
+    from spark_bam_spark.bam.writer import synth_flagstat_records
+
+    fs_recs = synth_flagstat_records()
+    fs_truth = pa.table(
+        {
+            "qname": [r.qname for r in fs_recs],
+            "flag": [r.flag for r in fs_recs],
+            "ref_idx": [r.ref_idx for r in fs_recs],
+            "mate_ref_idx": [r.mate_ref_idx for r in fs_recs],
+            "mapq": [r.mapq for r in fs_recs],
+        },
+        schema=pa.schema(
+            [
+                ("qname", pa.string()),
+                ("flag", pa.int32()),
+                ("ref_idx", pa.int32()),
+                ("mate_ref_idx", pa.int32()),
+                ("mapq", pa.int32()),
+            ]
+        ),
+    )
+    pq.write_table(fs_truth, os.path.join(out_dir, "flagstat1k_truth.parquet"))
     print(
         f"wrote {truth.num_rows} truth rows, {blocks.num_rows} block rows, "
-        f"{aggs.num_rows} scan-agg rows to {out_dir}"
+        f"{aggs.num_rows} scan-agg rows, {fs_truth.num_rows} flagstat rows "
+        f"to {out_dir}"
     )
 
 
