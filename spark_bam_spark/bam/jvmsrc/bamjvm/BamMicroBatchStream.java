@@ -15,10 +15,14 @@ import org.apache.hadoop.fs.FileSystem;
 import org.apache.hadoop.fs.Path;
 import org.apache.spark.sql.connector.read.InputPartition;
 import org.apache.spark.sql.connector.read.PartitionReaderFactory;
+import org.apache.spark.sql.connector.read.streaming.CompositeReadLimit;
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream;
 import org.apache.spark.sql.connector.read.streaming.Offset;
 import org.apache.spark.sql.connector.read.streaming.ReadLimit;
+import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles;
 import org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow;
+import org.slf4j.Logger;
+import org.slf4j.LoggerFactory;
 
 /**
  * Structured Streaming source over a landing directory of BAM files:
@@ -63,6 +67,8 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
      *  batch and restart replays all of them. */
     static final int COMPACT_INTERVAL = 10;
 
+    private static final Logger LOG = LoggerFactory.getLogger(BamMicroBatchStream.class);
+
     private final BamDataSource.BamScan scan;
     private final Path logDir;
     private long batchId; // highest batch with a log entry (0 = none)
@@ -95,13 +101,23 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
         this.scan = scan;
         this.logDir = new Path(checkpointLocation, "bam-file-log");
         String age = scan.rawOption("max_file_age_ms");
-        this.maxAgeMs = age == null ? -1 : Long.parseLong(age);
+        try {
+            this.maxAgeMs = age == null ? -1 : Long.parseLong(age);
+        } catch (NumberFormatException e) {
+            throw new IllegalArgumentException(
+                    "bam stream: max_file_age_ms must be a positive integer, got " + age);
+        }
         if (age != null && this.maxAgeMs <= 0) {
             throw new IllegalArgumentException(
                     "bam stream: max_file_age_ms must be positive, got " + age);
         }
         String cap = scan.rawOption("max_files_per_batch");
-        this.maxFilesPerBatch = cap == null ? -1 : Integer.parseInt(cap);
+        try {
+            this.maxFilesPerBatch = cap == null ? -1 : Integer.parseInt(cap);
+        } catch (NumberFormatException e) {
+            throw new IllegalArgumentException(
+                    "bam stream: max_files_per_batch must be a positive integer, got " + cap);
+        }
         if (cap != null && this.maxFilesPerBatch <= 0) {
             throw new IllegalArgumentException(
                     "bam stream: max_files_per_batch must be positive, got " + cap);
@@ -322,19 +338,57 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
     }
 
     @Override
+    public ReadLimit getDefaultReadLimit() {
+        // Publish the per-source option through the SupportsAdmissionControl
+        // contract so Spark's engine (and its composing triggers) see the
+        // cap as a first-class ReadLimit instead of a side-channel; Spark
+        // hands this back into latestOffset(start, limit).
+        return maxFilesPerBatch > 0
+                ? ReadLimit.maxFiles(maxFilesPerBatch)
+                : ReadLimit.allAvailable();
+    }
+
+    /** The smallest maxFiles bound a ReadLimit carries: ReadMaxFiles
+     *  directly, the min over a CompositeReadLimit's members, -1 when the
+     *  limit imposes no file-count bound (allAvailable / rows / bytes —
+     *  rows and bytes are meaningless pre-scan for whole-file admission,
+     *  the same stance as FileStreamSource). */
+    private static int readLimitMaxFiles(ReadLimit limit) {
+        if (limit instanceof ReadMaxFiles) {
+            return ((ReadMaxFiles) limit).maxFiles();
+        }
+        if (limit instanceof CompositeReadLimit) {
+            int min = -1;
+            for (ReadLimit inner : ((CompositeReadLimit) limit).getReadLimits()) {
+                int m = readLimitMaxFiles(inner);
+                if (m > 0) {
+                    min = min < 0 ? m : Math.min(min, m);
+                }
+            }
+            return min;
+        }
+        return -1;
+    }
+
+    @Override
     public Offset latestOffset(Offset startOffset, ReadLimit limit) {
-        // SupportsAdmissionControl entry point (the per-source
-        // max_files_per_batch option is the read limit; Spark-side
-        // ReadLimit stays allAvailable)
-        return nextBatch();
+        // SupportsAdmissionControl entry point: honor BOTH the Spark-side
+        // ReadLimit (normally our own getDefaultReadLimit echoed back, but
+        // the engine may compose or substitute) and the source option —
+        // the effective cap is the min of whichever are set.
+        int sparkCap = readLimitMaxFiles(limit);
+        int cap = maxFilesPerBatch > 0 && sparkCap > 0
+                ? Math.min(maxFilesPerBatch, sparkCap)
+                : Math.max(maxFilesPerBatch, sparkCap);
+        return nextBatch(cap);
     }
 
     @Override
     public Offset latestOffset() {
-        return nextBatch();
+        return nextBatch(maxFilesPerBatch);
     }
 
-    private Offset nextBatch() {
+    private Offset nextBatch(int cap) {
         try {
             TreeMap<String, Long> fresh;
             if (availableNowSnapshot != null) {
@@ -348,7 +402,7 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
             if (fresh.isEmpty()) {
                 return new BatchOffset(batchId);
             }
-            if (maxFilesPerBatch > 0 && fresh.size() > maxFilesPerBatch) {
+            if (cap > 0 && fresh.size() > cap) {
                 // take the cap oldest by (mtime, name); the rest remain
                 // un-seen and form the following batches
                 List<Map.Entry<String, Long>> cand = new ArrayList<>(fresh.entrySet());
@@ -356,7 +410,7 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
                         .comparingLong((Map.Entry<String, Long> e) -> e.getValue())
                         .thenComparing(Map.Entry::getKey));
                 TreeMap<String, Long> capped = new TreeMap<>();
-                for (int i = 0; i < maxFilesPerBatch; i++) {
+                for (int i = 0; i < cap; i++) {
                     capped.put(cand.get(i).getKey(), cand.get(i).getValue());
                 }
                 fresh = capped;
@@ -462,8 +516,10 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
             // so: a persistently failing compaction (e.g. log-dir
             // permissions) otherwise grows restart-replay cost silently,
             // one log file per batch forever, with no operator signal.
-            System.err.println("bam stream: log compaction failed (will retry"
-                    + " next interval; per-batch files left in place): " + e);
+            // Through slf4j (Spark's own logging), not stderr, so the
+            // warning obeys the deployment's log configuration.
+            LOG.warn("bam stream: log compaction failed (will retry next"
+                    + " interval; per-batch files left in place)", e);
         }
     }
 

@@ -213,23 +213,16 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r12 (the 4 r11 entries — bam_stream_ingest, bam_rewrite_roundtrip,
-    # bam_rewrite_roundtrip_py, bam_scan_reads — ALL went hash-green in
-    # CORRECTNESS_r11 and are cleared per convention; with bam_flagstat
-    # new this round, the r12 window drains r6 [27 queries] + the oldest
-    # r7 entries in the remaining slots).
+    # r13 (the 2 r12 entries — bam_stream_ingest, bam_scan_reads — both
+    # went hash-green in CORRECTNESS_r12 and are cleared per convention,
+    # so this round's window drains the full r7 vintage [26 queries] plus
+    # the oldest r8 entries).
     #
-    # Streaming source gained max_files_per_batch (maxFilesPerTrigger
-    # analogue) + SupportsTriggerAvailableNow snapshot semantics — the
-    # batch-planning code changed even though the uncapped default path
-    # is behavior-identical (pinned by the capped-drain tests):
+    # latestOffset(Offset, ReadLimit) now honors a Spark-side
+    # ReadLimit.maxFiles() (min with the max_files_per_batch option) —
+    # the batch-admission code changed even though the unlimited default
+    # path is behavior-identical (pinned by the ReadLimit tests):
     "bam_stream_ingest",
-    # Both the JVM skipTag and the vectorized tag scan now STOP on a B
-    # aux array with illegal subtype 'A' (spec §4.2.4.2) instead of
-    # structurally skipping it — inert on spec-conforming files
-    # (3-decoder parity pinned by tests/test_advice_r12.py) but the scan
-    # code changed; represents the _jvm/_py scan twins:
-    "bam_scan_reads",
 )
 
 

@@ -758,12 +758,21 @@ _FLAGSTAT_FIXTURE = "/tmp/spark_bam_spark_fixture/flagstat1k.bam"
 _FLAGSTAT_TRUTH_PQ = f"{_FIXTURES_DIR}/flagstat1k_truth.parquet"
 
 
+# Bump when make_flagstat_fixture / synth_flagstat_records changes so a
+# cached /tmp BAM regenerates instead of being silently reused against a
+# regenerated truth parquet (same convention as _FIXTURE_GEN_VERSION).
+_FLAGSTAT_GEN_VERSION = 1
+
+
 def _flagstat_fixture_path() -> str:
-    if not os.path.exists(_FLAGSTAT_FIXTURE):
+    marker = f"{_FLAGSTAT_FIXTURE}.genv{_FLAGSTAT_GEN_VERSION}"
+    if not (os.path.exists(_FLAGSTAT_FIXTURE) and os.path.exists(marker)):
         os.makedirs(os.path.dirname(_FLAGSTAT_FIXTURE), exist_ok=True)
         from spark_bam_spark.bam.writer import make_flagstat_fixture
 
         make_flagstat_fixture(_FLAGSTAT_FIXTURE)
+        with open(marker, "w"):
+            pass
     return _FLAGSTAT_FIXTURE
 
 

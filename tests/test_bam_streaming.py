@@ -320,3 +320,139 @@ def test_max_files_per_batch_rejects_nonpositive(spark, tmp_path):
     ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
     with pytest.raises(Exception, match="max_files_per_batch must be positive"):
         _drain(spark, land, ckpt, out, max_files_per_batch=0)
+
+
+@needs_jdk
+def test_max_files_per_batch_rejects_non_numeric(spark, tmp_path):
+    """A non-numeric cap fails with the option-named error, not a bare
+    NumberFormatException (r12 ADVICE)."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    make_fixture(os.path.join(land, "a.bam"), n=10, block_payload=4096, seed=1)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    with pytest.raises(Exception, match="max_files_per_batch must be a positive integer"):
+        _drain(spark, land, ckpt, out, max_files_per_batch="three")
+    with pytest.raises(Exception, match="max_file_age_ms must be a positive integer"):
+        _drain(spark, land, ckpt, out, max_file_age_ms="soon")
+
+
+@needs_jdk
+def test_max_files_per_batch_caps_under_non_snapshot_trigger(spark, tmp_path):
+    """The capped path WITHOUT the availableNow snapshot (listFresh per
+    batch): Trigger.Once runs exactly one micro-batch and never calls
+    prepareForTriggerAvailableNow, so with cap 2 over 5 landed files each
+    Once run ingests the 2 oldest unseen files — 2, then 2, then 1."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    sizes = [5, 6, 7, 8, 9]
+    for i, n in enumerate(sizes):
+        p = os.path.join(land, f"f{i}.bam")
+        make_fixture(p, n=n, block_payload=4096, seed=i)
+        os.utime(p, (1000 + i, 1000 + i))  # strictly increasing mtimes
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def once():
+        q = (
+            jvmreader.read_bam_stream(spark, land, max_files_per_batch=2)
+            .select("qname", "flag", "rname", "pos")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    once()
+    assert spark.read.parquet(out).count() == sizes[0] + sizes[1]  # oldest 2
+    once()
+    assert spark.read.parquet(out).count() == sum(sizes[:4])
+    once()
+    assert spark.read.parquet(out).count() == sum(sizes)
+
+
+def _jvm_stream(spark, land: str, ckpt: str, **opts):
+    """Construct the JVM micro-batch stream directly (the same
+    TableProvider -> ScanBuilder -> toMicroBatchStream path Spark's
+    engine takes) so a test can drive latestOffset with an arbitrary
+    Spark-side ReadLimit — the engine itself only passes the source's
+    own getDefaultReadLimit back."""
+    jvmreader.ensure_session(spark)
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    provider = jvm.bamjvm.BamDataSource()
+    hm = jvm.java.util.HashMap()
+    hm.put("path", land)
+    for k, v in opts.items():
+        hm.put(k, str(v))
+    cism = jvm.org.apache.spark.sql.util.CaseInsensitiveStringMap(hm)
+    schema = provider.inferSchema(cism)
+    transforms = gw.new_array(jvm.org.apache.spark.sql.connector.expressions.Transform, 0)
+    table = provider.getTable(schema, transforms, hm)
+    scan = table.newScanBuilder(cism).build()
+    return scan.toMicroBatchStream(ckpt), jvm, gw
+
+
+def _batch_log_files(ckpt: str, batch_id: int) -> list[str]:
+    with open(os.path.join(ckpt, "bam-file-log", str(batch_id))) as f:
+        return [ln.split("\t")[0] for ln in f if ln.strip()]
+
+
+def _land_five(land: str) -> None:
+    os.makedirs(land)
+    for i in range(5):
+        p = os.path.join(land, f"f{i}.bam")
+        make_fixture(p, n=5 + i, block_payload=4096, seed=i)
+        os.utime(p, (1000 + i, 1000 + i))
+
+
+@needs_jdk
+def test_spark_side_read_limit_caps_batch_without_option(spark, tmp_path):
+    """latestOffset(start, ReadLimit.maxFiles(N)) honors the Spark-side
+    admission-control limit even when the max_files_per_batch option is
+    NOT set (r12 verdict order #5): each capped call admits the N oldest
+    unseen files; an allAvailable call then takes the rest."""
+    land, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    _land_five(land)
+    mbs, jvm, _ = _jvm_stream(spark, land, ckpt)
+    RL = jvm.org.apache.spark.sql.connector.read.streaming.ReadLimit
+    # without the option, the source's own default limit is allAvailable
+    assert "All Available" in mbs.getDefaultReadLimit().toString()
+    off = mbs.initialOffset()
+    off = mbs.latestOffset(off, RL.maxFiles(2))
+    assert _batch_log_files(ckpt, 1) == ["f0.bam", "f1.bam"]  # oldest 2
+    off = mbs.latestOffset(off, RL.maxFiles(2))
+    assert _batch_log_files(ckpt, 2) == ["f2.bam", "f3.bam"]
+    off = mbs.latestOffset(off, RL.allAvailable())
+    assert _batch_log_files(ckpt, 3) == ["f4.bam"]
+    assert off.json() == '{"batchId":3}'
+
+
+@needs_jdk
+def test_spark_side_read_limit_composes_min_with_option(spark, tmp_path):
+    """When BOTH the option and a Spark-side limit are set the effective
+    cap is their min; the option also surfaces as the source's
+    getDefaultReadLimit (the DSv2 admission-control contract, so the
+    engine echoes it back through latestOffset)."""
+    land, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    _land_five(land)
+    mbs, jvm, gw = _jvm_stream(spark, land, ckpt, max_files_per_batch=3)
+    RL = jvm.org.apache.spark.sql.connector.read.streaming.ReadLimit
+    assert "3" in mbs.getDefaultReadLimit().toString()  # MaxFiles: 3
+    off = mbs.initialOffset()
+    off = mbs.latestOffset(off, RL.maxFiles(2))  # min(3, 2) = 2
+    assert _batch_log_files(ckpt, 1) == ["f0.bam", "f1.bam"]
+    off = mbs.latestOffset(off, RL.maxFiles(10))  # min(3, 10) = 3
+    assert _batch_log_files(ckpt, 2) == ["f2.bam", "f3.bam", "f4.bam"]
+    # composite limits (e.g. availableNow wrapping): the maxFiles member
+    # inside a CompositeReadLimit binds
+    late = os.path.join(land, "late.bam")
+    make_fixture(late, n=4, block_payload=4096, seed=9)
+    os.utime(late, (1010, 1010))
+    limits = gw.new_array(
+        jvm.org.apache.spark.sql.connector.read.streaming.ReadLimit, 2
+    )
+    limits[0] = RL.maxFiles(1)
+    limits[1] = RL.maxRows(10_000)
+    off = mbs.latestOffset(off, RL.compositeLimit(limits))  # min(3, 1) = 1
+    assert _batch_log_files(ckpt, 3) == ["late.bam"]

@@ -61,6 +61,32 @@ def test_idxstats_index_path_matches_scan(spark, bam_path, tmp_path, capsys):
     assert idx_lines == scan_lines
 
 
+def test_idxstats_path_parity_on_flag_rich_fixture(spark, tmp_path, capsys):
+    """The same index-vs-scan parity pin on the flag-RICH fixture
+    (synth_flagstat_records: placed-but-unmapped reads, coordinate-less
+    records, secondary/supplementary with pair bits) — the data where the
+    no-coor/'*' classification the r12 fix touched (cli.run idxstats
+    fallback) actually matters; qa2500's flags are only 0x1/0x4/0x10."""
+    import shutil
+
+    from spark_bam_spark.operators import qa
+    from spark_bam_spark.queries.bam_qa import _flagstat_fixture_path
+
+    bam = _flagstat_fixture_path()
+    assert qa.bai_sidecar_pairs(bam), "flagstat fixture should ship a .bai sidecar"
+    idx_lines = _run(spark, ["idxstats", bam], capsys)
+    # the fixture genuinely exercises the corner: a '*' row exists and
+    # carries every coordinate-less record, unmapped column
+    star = [ln for ln in idx_lines if ln.startswith("*,")]
+    assert star and star[0].split(",")[1] == "0", star
+
+    noidx = str(tmp_path / "noindex_flagrich.bam")
+    shutil.copyfile(bam, noidx)
+    assert qa.bai_sidecar_pairs(noidx) == []
+    scan_lines = _run(spark, ["idxstats", noidx], capsys)
+    assert idx_lines == scan_lines
+
+
 def test_compute_splits_csv_out(spark, bam_path, tmp_path, capsys):
     out = str(tmp_path / "splits")
     _run(spark, ["compute-splits", bam_path, "--split-size", "16384", "--out", out], capsys)
