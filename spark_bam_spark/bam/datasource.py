@@ -31,6 +31,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -240,7 +241,17 @@ class BamReader(DataSourceReader):
             with open(p, "rb") as f:
                 return parse_header(f)
 
-        paths_all = _bam_paths(self.path)
+        # explicit file list (INTERNAL, set by the streaming twin so a
+        # micro-batch plans exactly its own files): JSON array of full
+        # paths; overrides the directory listing
+        files_json = options.get("files_json")
+        if files_json:
+            import json as _json
+
+            self._paths: list[str] = _json.loads(files_json)
+        else:
+            self._paths = _bam_paths(self.path)
+        paths_all = self._paths
         if len(paths_all) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -375,7 +386,7 @@ class BamReader(DataSourceReader):
     # -- planning ----------------------------------------------------------
     def partitions(self) -> list[BamSplit]:
         splits: list[BamSplit] = []
-        paths = _bam_paths(self.path)
+        paths = self._paths
         split_size = self._effective_split_size(paths)
         for p in paths:
             size = os.path.getsize(p)
@@ -405,7 +416,7 @@ class BamReader(DataSourceReader):
                 ):
                     continue
                 splits.append(BamSplit(p, s, e))
-        return splits or [BamSplit(_bam_paths(self.path)[0], 0, 0)]
+        return splits or [BamSplit(self._paths[0], 0, 0)]
 
     # -- execution ---------------------------------------------------------
     def read(self, split: BamSplit) -> Iterator[pa.RecordBatch]:
@@ -791,6 +802,10 @@ class BamDataSource(DataSource):
     def reader(self, schema: StructType) -> BamReader:
         return BamReader(dict(self.options))
 
+    def streamReader(self, schema: StructType) -> "BamStreamReader":
+        # spark.readStream.format("bam").load(dir) — see BamStreamReader
+        return BamStreamReader(dict(self.options))
+
     def writer(self, schema: StructType, overwrite: bool) -> BamWriter:
         if overwrite:
             # runs on the driver: df.write.mode("overwrite") replaces the
@@ -801,6 +816,81 @@ class BamDataSource(DataSource):
             if out and os.path.isdir(out):
                 shutil.rmtree(out, ignore_errors=True)
         return BamWriter(dict(self.options), schema)
+
+
+class BamStreamReader(DataSourceStreamReader):
+    """Structured Streaming twin of :class:`BamReader` — the no-JDK
+    fallback for the landing-dir ingest source and the differential
+    oracle the tests run against the JVM source
+    (bamjvm/BamMicroBatchStream): each micro-batch ingests the ``.bam``
+    files that appeared since the last batch, planned and decoded by the
+    SAME BamReader machinery as the batch scan, so a drained stream is
+    row-identical to a batch read of the same directory.
+
+    DESIGN ASYMMETRY, deliberate and documented (COVERAGE.md §2.9): this
+    twin uses SELF-DESCRIBING name-set offsets — the checkpointed offset
+    is the sorted list of every file name ever admitted, so
+    ``partitions(start, end)`` is a pure set difference and restart
+    replay needs no side state.  That is O(total files) offset JSON per
+    trigger: correct at test/fallback scale, wrong for a 10^5–10^6-file
+    landing zone — which is why the JVM source instead checkpoints an
+    O(1) batch id backed by a compacted metadata log and carries the
+    admission-control surface (max_file_age_ms, max_files_per_batch,
+    ReadLimit, availableNow snapshots).  The twin intentionally does NOT
+    duplicate that machinery: its job is row parity, not scale parity.
+
+    Files are ingested whole once they appear (the lister only matches
+    ``*.bam``; this engine's writer lands ``.inprogress`` temp names and
+    renames on commit, so torn files are never visible); a file deleted
+    between listing and planning or reading is skipped, not fatal —
+    the JVM source's behavior.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.options = dict(options)
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bam stream source requires a path")
+        # monotonic within a run: a file deleted after admission stays in
+        # the offset, so offsets never shrink between triggers
+        self._known: set[str] = set()
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        self._known |= {os.path.basename(p) for p in _bam_paths(self.path)}
+        return {"files": sorted(self._known)}
+
+    def partitions(self, start: dict, end: dict) -> list[BamSplit]:
+        new = sorted(set(end["files"]) - set(start["files"]))
+        root_is_dir = os.path.isdir(self.path)
+        paths = [os.path.join(self.path, n) if root_is_dir else self.path for n in new]
+        paths = [p for p in paths if os.path.exists(p)]  # deleted since listing
+        if not paths:
+            return []
+        import json as _json
+
+        # one batch-scoped BamReader: same header parse, adaptive split
+        # sizing, and range packing as the batch read of exactly these files
+        return BamReader({**self.options, "files_json": _json.dumps(paths)}).partitions()
+
+    def read(self, partition: BamSplit) -> Iterator[pa.RecordBatch]:
+        # executor side: the planning-time reader instance is NOT shipped
+        # with the partition (the read function closes over a separate
+        # instance created once at query start), so rebuild the decode
+        # state per partition from options — one header parse per split
+        import json as _json
+
+        try:
+            reader = BamReader({**self.options, "files_json": _json.dumps([partition.path])})
+        except FileNotFoundError:
+            return  # deleted between planning and read: skip (JVM parity)
+        yield from reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        # offsets are self-describing; nothing to clean up
+        pass
 
 
 class BgzfBlocksDataSource(DataSource):

@@ -107,6 +107,37 @@ def read_bam(
     return rdr.load(path)
 
 
+def read_bam_stream_py(
+    spark: SparkSession,
+    path: str,
+    split_size: int | None = None,
+    columns: str | None = None,
+    mode: str | None = None,
+    **py_only_options,
+) -> DataFrame:
+    """Structured Streaming DataFrame over a landing directory via the
+    PYTHON source (datasource.BamStreamReader) — the no-JDK fallback and
+    the differential oracle the tests run against the JVM streaming
+    source (jvmreader.read_bam_stream).  Same rows, same decoder; see
+    BamStreamReader's docstring for the deliberate offset-format
+    asymmetry (self-describing name-set offsets vs the JVM source's O(1)
+    batch id + compacted log).  Note: the Python Data Source API has no
+    SupportsTriggerAvailableNow, so ``trigger(availableNow=True)`` falls
+    back to single-batch execution (Spark logs a warning) — the drain
+    semantics for a quiescent landing dir are the same."""
+    if mode is not None and mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
+    from spark_bam_spark.bam.datasource import register
+
+    register(spark)
+    rdr = spark.readStream.format("bam")
+    opts = {"split_size": split_size, "columns": columns, "mode": mode, **py_only_options}
+    for k, v in opts.items():
+        if v is not None:
+            rdr = rdr.option(k, str(v))
+    return rdr.load(path)
+
+
 def writer_choice() -> str:
     """'jvm' | 'py' — the env override wins; otherwise jvm when buildable.
 

@@ -223,6 +223,11 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # the batch-admission code changed even though the unlimited default
     # path is behavior-identical (pinned by the ReadLimit tests):
     "bam_stream_ingest",
+    # The Python source gained a streaming reader (BamStreamReader); its
+    # BATCH planner now resolves paths through self._paths (files_json
+    # hook) — behavior-identical for directory/file loads, but the
+    # planning code changed; represents the reader="py"-pinned queries:
+    "bam_scan_reads_py",
 )
 
 

@@ -428,6 +428,84 @@ def test_spark_side_read_limit_caps_batch_without_option(spark, tmp_path):
     assert off.json() == '{"batchId":3}'
 
 
+def _drain_py(spark, land: str, ckpt: str, out: str, **opts) -> None:
+    from spark_bam_spark.bam.reader import read_bam_stream_py
+
+    q = (
+        read_bam_stream_py(spark, land, **opts)
+        .select("qname", "flag", "rname", "pos")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_python_stream_twin_incremental_and_matches_batch(spark, tmp_path):
+    """The Python streaming twin (datasource.BamStreamReader, the no-JDK
+    fallback): a drain ingests every file present, a second drain with
+    the same checkpoint ingests ONLY the file that landed in between
+    (name-set offsets restored from the checkpoint), and the final rows
+    are identical to a batch read of the directory."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    make_fixture(os.path.join(land, "a.bam"), n=400, block_payload=4096, seed=1)
+    make_fixture(os.path.join(land, "b.bam"), n=300, block_payload=2048, seed=2)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain_py(spark, land, ckpt, out, split_size=8192)
+    assert spark.read.parquet(out).count() == 700
+    make_fixture(os.path.join(land, "c.bam"), n=200, block_payload=4096, seed=3)
+    _drain_py(spark, land, ckpt, out, split_size=8192)
+    assert spark.read.parquet(out).count() == 900  # +200, not +900
+
+    from spark_bam_spark.bam.reader import read_bam
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(tuple, read_bam(spark, land).select("qname", "flag", "rname", "pos").collect())
+    )
+    assert got == want
+
+
+def test_python_stream_twin_offsets_are_self_describing(spark, tmp_path):
+    """The documented asymmetry pin (COVERAGE.md §2.9): the Python twin's
+    checkpointed offsets carry the admitted file NAMES (replay is a pure
+    set difference, no side log), unlike the JVM source's O(1) batch id —
+    deliberate, because the twin's job is row parity, not scale parity."""
+    import glob as _glob
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    make_fixture(os.path.join(land, "a.bam"), n=50, block_payload=4096, seed=1)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain_py(spark, land, ckpt, out)
+    offset_files = _glob.glob(os.path.join(ckpt, "offsets", "*"))
+    assert offset_files
+    assert any("a.bam" in open(p).read() for p in offset_files)
+
+
+@needs_jdk
+def test_python_stream_twin_matches_jvm_stream(spark, tmp_path):
+    """Differential oracle: the SAME landing dir drained by the JVM
+    streaming source and by the Python twin yields identical row sets —
+    the r11/r12 verdicts' missing cross-language check for the
+    streaming surface."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    make_fixture(os.path.join(land, "a.bam"), n=350, block_payload=2048, seed=11)
+    make_fixture(os.path.join(land, "b.bam"), n=150, block_payload=4096, seed=12)
+    jvm_ckpt, jvm_out = str(tmp_path / "jc"), str(tmp_path / "jo")
+    py_ckpt, py_out = str(tmp_path / "pc"), str(tmp_path / "po")
+    _drain(spark, land, jvm_ckpt, jvm_out, split_size=8192)
+    _drain_py(spark, land, py_ckpt, py_out, split_size=8192)
+    jv = sorted(map(tuple, spark.read.parquet(jvm_out).collect()))
+    py = sorted(map(tuple, spark.read.parquet(py_out).collect()))
+    assert jv == py
+    assert len(jv) == 500
+
+
 @needs_jdk
 def test_spark_side_read_limit_composes_min_with_option(spark, tmp_path):
     """When BOTH the option and a Spark-side limit are set the effective
