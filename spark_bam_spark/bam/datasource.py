@@ -859,7 +859,12 @@ class BamStreamReader(DataSourceStreamReader):
         return {"files": []}
 
     def latestOffset(self) -> dict:
-        self._known |= {os.path.basename(p) for p in _bam_paths(self.path)}
+        # exists-check so a not-yet-created landing root (or a root file
+        # that vanished) admits nothing instead of a phantom name that
+        # would sit in every future offset
+        self._known |= {
+            os.path.basename(p) for p in _bam_paths(self.path) if os.path.exists(p)
+        }
         return {"files": sorted(self._known)}
 
     def partitions(self, start: dict, end: dict) -> list[BamSplit]:
@@ -964,6 +969,40 @@ class BgzfBlocksReader(DataSourceReader):
                 cpos += bsize
 
 
+def _mirror_includes_for_streaming_runner(spark) -> None:
+    """Make addPyFile'd includes visible to the Python STREAMING source
+    runner.  pyspark 4.1's PythonStreamingSourceRunner announces its
+    spark-files dir to the worker as ``<SparkFiles root>/streaming_job``
+    (a hardcoded jobArtifactUUID in PythonStreamingSourceRunner.init),
+    but ``addPyFile`` lands includes in the root itself — so the runner's
+    ``setup_spark_files`` adds sys.path entries that don't exist and
+    unpickling the DataSource dies with ModuleNotFoundError whenever the
+    driver's cwd doesn't already make the package importable.  Batch
+    planning workers are unaffected (no jobArtifactUUID).  Mirroring the
+    include files into the subdir the runner announces fixes streaming
+    reads for foreign-cwd drivers (e.g. the external verification
+    driver)."""
+    sc = spark.sparkContext
+    includes = list(getattr(sc, "_python_includes", None) or [])
+    if not includes:
+        return
+    try:
+        from pyspark.core.files import SparkFiles
+
+        root = SparkFiles.getRootDirectory()
+    except Exception:
+        return  # non-classic session: nothing to mirror
+    import shutil
+
+    sub = os.path.join(root, "streaming_job")
+    os.makedirs(sub, exist_ok=True)
+    for name in includes:
+        src, dst = os.path.join(root, name), os.path.join(sub, name)
+        if os.path.exists(src) and not os.path.exists(dst):
+            shutil.copy(src, dst)
+
+
 def register(spark) -> None:
     spark.dataSource.register(BamDataSource)
     spark.dataSource.register(BgzfBlocksDataSource)
+    _mirror_includes_for_streaming_runner(spark)

@@ -677,6 +677,56 @@ def bam_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bam_stream_ingest_py",
+    doc="Streaming landing-dir ingest via the PYTHON stream reader (no-JDK fallback path pinned)",
+    oracle=f"""
+    SELECT flag, CAST(COUNT(*) * 2 AS BIGINT) AS n_reads
+    FROM read_parquet('{_TRUTH_PQ}')
+    GROUP BY flag
+    """,
+)
+def bam_stream_ingest_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same landing-dir drain as ``bam_stream_ingest`` with the Python
+    streaming source PINNED (datasource.BamStreamReader) — keeps the
+    no-JDK fallback's streaming path under driver-grade hash evidence
+    every round, the ``bam_scan_reads_py`` / ``bam_rewrite_roundtrip_py``
+    pattern applied to §2.9.  Two fixture copies land, the stream drains
+    them into parquet, and the per-flag histogram must hash-match 2× the
+    truth parquet — pinning that the twin planned both files through the
+    same BamReader splitter/decoder with no row lost or duplicated.
+    (The Python DS API lacks SupportsTriggerAvailableNow, so the
+    availableNow trigger falls back to single-batch execution — same
+    drain for a quiescent dir; see BamStreamReader for the documented
+    offset-format asymmetry vs the JVM source.)"""
+    import os
+    import shutil
+
+    from spark_bam_spark.bam.reader import read_bam_stream_py
+
+    land = _fresh_rewrite_dir()
+    os.makedirs(land, exist_ok=True)
+    ckpt = os.path.join(land, "_ckpt")
+    out = os.path.join(land, "_out")
+    fx = _fixture_path()
+    shutil.copy(fx, os.path.join(land, "a.bam"))
+    shutil.copy(fx, os.path.join(land, "b.bam"))
+    q = (
+        read_bam_stream_py(spark, land, split_size=16384, columns="flag")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .groupBy("flag")
+        .agg(F.count("*").cast("bigint").alias("n_reads"))
+    )
+
+
+@register(
     "bam_idxstats_from_index",
     doc="samtools idxstats from the BAI metadata pseudo-bin alone — O(index), no data scan",
     oracle=f"""

@@ -469,6 +469,32 @@ def test_python_stream_twin_incremental_and_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_runner_includes_mirrored(spark):
+    """register() mirrors addPyFile'd includes into the
+    ``<SparkFiles root>/streaming_job`` subdir — the dir pyspark 4.1's
+    PythonStreamingSourceRunner (hardcoded jobArtifactUUID) announces to
+    its worker as the spark-files root.  Without the mirror, a driver
+    whose cwd doesn't make spark_bam_spark importable (the external
+    verification driver) dies unpickling the DataSource with
+    ModuleNotFoundError on every Python streaming read; pytest's
+    repo-root cwd masks the failure, hence this structural pin."""
+    from pyspark.core.files import SparkFiles
+
+    from spark_bam_spark.bam.datasource import register
+
+    register(spark)
+    includes = list(getattr(spark.sparkContext, "_python_includes", None) or [])
+    assert includes, "session factory should have shipped the package zip"
+    root = SparkFiles.getRootDirectory()
+    mirrored = [
+        name
+        for name in includes
+        if os.path.exists(os.path.join(root, name))
+        and os.path.exists(os.path.join(root, "streaming_job", name))
+    ]
+    assert mirrored, f"no includes mirrored into streaming_job/ (includes: {includes})"
+
+
 def test_python_stream_twin_offsets_are_self_describing(spark, tmp_path):
     """The documented asymmetry pin (COVERAGE.md §2.9): the Python twin's
     checkpointed offsets carry the admitted file NAMES (replay is a pure
