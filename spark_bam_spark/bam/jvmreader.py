@@ -153,6 +153,7 @@ def read_bam_stream(
     mode: str | None = None,
     max_file_age_ms: int | None = None,
     max_files_per_batch: int | None = None,
+    max_bytes_per_batch: int | None = None,
 ) -> DataFrame:
     """Structured Streaming DataFrame over a landing directory of BAM
     files (bamjvm.BamMicroBatchStream): each micro-batch ingests the
@@ -173,7 +174,14 @@ def read_bam_stream(
     ceil(n/cap) individually-checkpointed batches instead of one giant
     batch; under ``availableNow`` the source snapshots the backlog at
     trigger time (SupportsTriggerAvailableNow) and still drains it
-    fully across that many batches."""
+    fully across that many batches.  ``max_bytes_per_batch``
+    (maxBytesPerTrigger analogue, default off) caps a micro-batch's
+    total input VOLUME instead — the knob for bursts of few huge files;
+    strict with a progress guarantee (only a single file that alone
+    exceeds the budget overshoots, riding alone).  Both caps compose
+    (min semantics), and both also surface through Spark's
+    SupportsAdmissionControl contract as the source's default
+    ReadLimit."""
     ensure_session(spark)
     reader = spark.readStream.format(FORMAT)
     if split_size is not None:
@@ -184,6 +192,8 @@ def read_bam_stream(
         reader = reader.option("max_file_age_ms", str(max_file_age_ms))
     if max_files_per_batch is not None:
         reader = reader.option("max_files_per_batch", str(max_files_per_batch))
+    if max_bytes_per_batch is not None:
+        reader = reader.option("max_bytes_per_batch", str(max_bytes_per_batch))
     return reader.load(path)
 
 

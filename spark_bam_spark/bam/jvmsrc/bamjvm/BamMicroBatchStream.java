@@ -19,6 +19,7 @@ import org.apache.spark.sql.connector.read.streaming.CompositeReadLimit;
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream;
 import org.apache.spark.sql.connector.read.streaming.Offset;
 import org.apache.spark.sql.connector.read.streaming.ReadLimit;
+import org.apache.spark.sql.connector.read.streaming.ReadMaxBytes;
 import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles;
 import org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow;
 import org.slf4j.Logger;
@@ -91,11 +92,21 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
     // Caveat (shared with FileStreamSource): combined with
     // max_file_age_ms, a backlog deferred past the age window is dropped.
     private final int maxFilesPerBatch;
+    // FileStreamSource's maxBytesPerTrigger analogue (option
+    // max_bytes_per_batch, default OFF): cap a micro-batch's total INPUT
+    // VOLUME, oldest (mtime, name) first — the knob that matters when a
+    // burst is few huge files rather than many small ones.  Strict with
+    // a progress guarantee: a batch never exceeds the budget unless a
+    // SINGLE file alone does (that file is admitted by itself, so the
+    // stream always advances).  Mutually composable with
+    // max_files_per_batch (both caps apply).
+    private final long maxBytesPerBatch;
     private long watermark = Long.MIN_VALUE; // newest mtime ever seen
     // non-null only under Trigger.AvailableNow: the backlog snapshot
-    // taken at prepareForTriggerAvailableNow (files landing later wait
-    // for the next trigger, so the drain terminates)
-    private TreeMap<String, Long> availableNowSnapshot;
+    // (name -> {mtime, size}) taken at prepareForTriggerAvailableNow
+    // (files landing later wait for the next trigger, so the drain
+    // terminates)
+    private TreeMap<String, long[]> availableNowSnapshot;
 
     BamMicroBatchStream(BamDataSource.BamScan scan, String checkpointLocation) {
         this.scan = scan;
@@ -121,6 +132,17 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
         if (cap != null && this.maxFilesPerBatch <= 0) {
             throw new IllegalArgumentException(
                     "bam stream: max_files_per_batch must be positive, got " + cap);
+        }
+        String bytesCap = scan.rawOption("max_bytes_per_batch");
+        try {
+            this.maxBytesPerBatch = bytesCap == null ? -1 : Long.parseLong(bytesCap);
+        } catch (NumberFormatException e) {
+            throw new IllegalArgumentException(
+                    "bam stream: max_bytes_per_batch must be a positive integer, got " + bytesCap);
+        }
+        if (bytesCap != null && this.maxBytesPerBatch <= 0) {
+            throw new IllegalArgumentException(
+                    "bam stream: max_bytes_per_batch must be positive, got " + bytesCap);
         }
         try {
             restoreLog();
@@ -294,9 +316,10 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
         return new BatchOffset(0);
     }
 
-    /** List the landing dir and return the unseen (age-eligible) files,
-     *  updating the mtime watermark and evicting aged-out seen entries. */
-    private TreeMap<String, Long> listFresh() throws IOException {
+    /** List the landing dir and return the unseen (age-eligible) files
+     *  as name -> {mtime, size}, updating the mtime watermark and
+     *  evicting aged-out seen entries. */
+    private TreeMap<String, long[]> listFresh() throws IOException {
         List<FileStatus> listed = BamDataSource.BamScan.listBamFiles(fs(), scan.rootPath());
         long newest = watermark;
         for (FileStatus f : listed) {
@@ -306,11 +329,11 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
         // FileStreamSource convention — immune to clock skew between
         // the driver and the store)
         long cutoff = maxAgeMs < 0 ? Long.MIN_VALUE : newest - maxAgeMs;
-        TreeMap<String, Long> fresh = new TreeMap<>();
+        TreeMap<String, long[]> fresh = new TreeMap<>();
         for (FileStatus f : listed) {
             String name = f.getPath().getName();
             if (!seen.containsKey(name) && f.getModificationTime() >= cutoff) {
-                fresh.put(name, f.getModificationTime());
+                fresh.put(name, new long[] {f.getModificationTime(), f.getLen()});
             }
         }
         watermark = newest;
@@ -339,13 +362,24 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
 
     @Override
     public ReadLimit getDefaultReadLimit() {
-        // Publish the per-source option through the SupportsAdmissionControl
+        // Publish the per-source options through the SupportsAdmissionControl
         // contract so Spark's engine (and its composing triggers) see the
-        // cap as a first-class ReadLimit instead of a side-channel; Spark
+        // caps as first-class ReadLimits instead of a side-channel; Spark
         // hands this back into latestOffset(start, limit).
-        return maxFilesPerBatch > 0
-                ? ReadLimit.maxFiles(maxFilesPerBatch)
-                : ReadLimit.allAvailable();
+        boolean files = maxFilesPerBatch > 0;
+        boolean bytes = maxBytesPerBatch > 0;
+        if (files && bytes) {
+            return ReadLimit.compositeLimit(new ReadLimit[] {
+                ReadLimit.maxFiles(maxFilesPerBatch), ReadLimit.maxBytes(maxBytesPerBatch),
+            });
+        }
+        if (files) {
+            return ReadLimit.maxFiles(maxFilesPerBatch);
+        }
+        if (bytes) {
+            return ReadLimit.maxBytes(maxBytesPerBatch);
+        }
+        return ReadLimit.allAvailable();
     }
 
     /** The smallest maxFiles bound a ReadLimit carries: ReadMaxFiles
@@ -370,27 +404,50 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
         return -1;
     }
 
+    /** Byte twin of {@link #readLimitMaxFiles}: ReadMaxBytes directly,
+     *  min over a CompositeReadLimit's members, -1 when unbounded. */
+    private static long readLimitMaxBytes(ReadLimit limit) {
+        if (limit instanceof ReadMaxBytes) {
+            return ((ReadMaxBytes) limit).maxBytes();
+        }
+        if (limit instanceof CompositeReadLimit) {
+            long min = -1;
+            for (ReadLimit inner : ((CompositeReadLimit) limit).getReadLimits()) {
+                long m = readLimitMaxBytes(inner);
+                if (m > 0) {
+                    min = min < 0 ? m : Math.min(min, m);
+                }
+            }
+            return min;
+        }
+        return -1;
+    }
+
     @Override
     public Offset latestOffset(Offset startOffset, ReadLimit limit) {
         // SupportsAdmissionControl entry point: honor BOTH the Spark-side
         // ReadLimit (normally our own getDefaultReadLimit echoed back, but
-        // the engine may compose or substitute) and the source option —
-        // the effective cap is the min of whichever are set.
-        int sparkCap = readLimitMaxFiles(limit);
-        int cap = maxFilesPerBatch > 0 && sparkCap > 0
-                ? Math.min(maxFilesPerBatch, sparkCap)
-                : Math.max(maxFilesPerBatch, sparkCap);
-        return nextBatch(cap);
+        // the engine may compose or substitute) and the source options —
+        // the effective caps are the min of whichever are set.
+        int sparkFiles = readLimitMaxFiles(limit);
+        int capFiles = maxFilesPerBatch > 0 && sparkFiles > 0
+                ? Math.min(maxFilesPerBatch, sparkFiles)
+                : Math.max(maxFilesPerBatch, sparkFiles);
+        long sparkBytes = readLimitMaxBytes(limit);
+        long capBytes = maxBytesPerBatch > 0 && sparkBytes > 0
+                ? Math.min(maxBytesPerBatch, sparkBytes)
+                : Math.max(maxBytesPerBatch, sparkBytes);
+        return nextBatch(capFiles, capBytes);
     }
 
     @Override
     public Offset latestOffset() {
-        return nextBatch(maxFilesPerBatch);
+        return nextBatch(maxFilesPerBatch, maxBytesPerBatch);
     }
 
-    private Offset nextBatch(int cap) {
+    private Offset nextBatch(int capFiles, long capBytes) {
         try {
-            TreeMap<String, Long> fresh;
+            TreeMap<String, long[]> fresh;
             if (availableNowSnapshot != null) {
                 // availableNow: serve strictly from the trigger-time
                 // snapshot, minus what earlier batches already took
@@ -402,22 +459,42 @@ final class BamMicroBatchStream implements MicroBatchStream, SupportsTriggerAvai
             if (fresh.isEmpty()) {
                 return new BatchOffset(batchId);
             }
-            if (cap > 0 && fresh.size() > cap) {
-                // take the cap oldest by (mtime, name); the rest remain
-                // un-seen and form the following batches
-                List<Map.Entry<String, Long>> cand = new ArrayList<>(fresh.entrySet());
+            long totalBytes = 0;
+            for (long[] v : fresh.values()) {
+                totalBytes += v[1];
+            }
+            if ((capFiles > 0 && fresh.size() > capFiles)
+                    || (capBytes > 0 && totalBytes > capBytes)) {
+                // admit the oldest by (mtime, name) until either cap
+                // binds; the rest remain un-seen and form the following
+                // batches.  Byte cap is strict with a progress
+                // guarantee: only a file that alone exceeds the budget
+                // may overshoot, and it rides alone.
+                List<Map.Entry<String, long[]>> cand = new ArrayList<>(fresh.entrySet());
                 cand.sort(java.util.Comparator
-                        .comparingLong((Map.Entry<String, Long> e) -> e.getValue())
+                        .comparingLong((Map.Entry<String, long[]> e) -> e.getValue()[0])
                         .thenComparing(Map.Entry::getKey));
-                TreeMap<String, Long> capped = new TreeMap<>();
-                for (int i = 0; i < cap; i++) {
-                    capped.put(cand.get(i).getKey(), cand.get(i).getValue());
+                TreeMap<String, long[]> capped = new TreeMap<>();
+                long bytes = 0;
+                for (Map.Entry<String, long[]> e : cand) {
+                    if (capFiles > 0 && capped.size() >= capFiles) {
+                        break;
+                    }
+                    if (capBytes > 0 && !capped.isEmpty() && bytes + e.getValue()[1] > capBytes) {
+                        break;
+                    }
+                    capped.put(e.getKey(), e.getValue());
+                    bytes += e.getValue()[1];
                 }
                 fresh = capped;
             }
-            writeBatchLog(logFs(), batchId + 1, fresh);
+            Map<String, Long> mtimes = new java.util.LinkedHashMap<>();
+            for (Map.Entry<String, long[]> e : fresh.entrySet()) {
+                mtimes.put(e.getKey(), e.getValue()[0]);
+            }
+            writeBatchLog(logFs(), batchId + 1, mtimes);
             batchId++;
-            seen.putAll(fresh);
+            seen.putAll(mtimes);
             return new BatchOffset(batchId);
         } catch (IOException e) {
             throw new UncheckedIOException(e);

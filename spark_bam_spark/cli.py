@@ -128,6 +128,22 @@ def build_parser() -> argparse.ArgumentParser:
         "bound the seen-file memory to the age window (Spark file-source "
         "maxFileAge semantics; default: ingest regardless of age)",
     )
+    p.add_argument(
+        "--max-files-per-batch",
+        type=int,
+        default=None,
+        help="cap how many unseen files one micro-batch plans, oldest "
+        "first (maxFilesPerTrigger semantics; a burst drains as several "
+        "checkpointed batches; default: unlimited)",
+    )
+    p.add_argument(
+        "--max-bytes-per-batch",
+        type=int,
+        default=None,
+        help="cap a micro-batch's total input bytes, oldest files first "
+        "(maxBytesPerTrigger semantics; a lone over-budget file still "
+        "rides alone so the stream advances; default: unlimited)",
+    )
     # generic registry access: every operator the engine claims is a named
     # query, and every named query is runnable from the CLI
     p = sub.add_parser("list-queries", help="list the operator/query registry")
@@ -219,6 +235,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
                 args.path,
                 split_size=args.split_size,
                 max_file_age_ms=args.max_file_age_ms,
+                max_files_per_batch=args.max_files_per_batch,
+                max_bytes_per_batch=args.max_bytes_per_batch,
             )
             .drop("tags")  # parquet sink keeps the report columnar-simple
             .writeStream.format("parquet")

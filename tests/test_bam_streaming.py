@@ -428,6 +428,115 @@ def test_spark_side_read_limit_caps_batch_without_option(spark, tmp_path):
     assert off.json() == '{"batchId":3}'
 
 
+@needs_jdk
+def test_max_bytes_per_batch_drains_in_byte_bounded_batches(spark, tmp_path):
+    """max_bytes_per_batch (FileStreamSource's maxBytesPerTrigger
+    analogue): an availableNow drain of 6 files under a budget of ~2
+    files' bytes splits into batches whose byte sums never exceed the
+    budget (strict, progress-guaranteed), oldest (mtime, name) first,
+    with row totals intact."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    sizes = {}
+    for i in range(6):
+        p = os.path.join(land, f"f{i}.bam")
+        make_fixture(p, n=40, block_payload=2048, seed=i)
+        os.utime(p, (1000 + i, 1000 + i))
+        sizes[f"f{i}.bam"] = os.path.getsize(p)
+    budget = sizes["f0.bam"] + sizes["f1.bam"] + 10  # ~2 files per batch
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(spark, land, ckpt, out, max_bytes_per_batch=budget)
+    assert spark.read.parquet(out).count() == 40 * 6
+    # every committed batch's byte sum is within budget
+    import glob as _glob
+
+    logs = [
+        p
+        for p in _glob.glob(
+            os.path.join(ckpt, "sources", "**", "bam-file-log", "*"), recursive=True
+        )
+        if os.path.basename(p).isdigit()
+    ]
+    assert len(logs) >= 3, logs  # 6 files / ~2 per batch
+    for p in logs:
+        with open(p) as f:
+            names = [ln.split("\t")[0] for ln in f if ln.strip()]
+        assert sum(sizes[n] for n in names) <= budget, (p, names)
+
+
+@needs_jdk
+def test_max_bytes_per_batch_oversize_file_rides_alone(spark, tmp_path):
+    """Progress guarantee: a single file larger than the byte budget is
+    still admitted — alone — instead of deadlocking the stream."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    big = os.path.join(land, "big.bam")
+    make_fixture(big, n=400, block_payload=2048, seed=1)
+    os.utime(big, (1000, 1000))
+    small = os.path.join(land, "small.bam")
+    make_fixture(small, n=20, block_payload=2048, seed=2)
+    os.utime(small, (1001, 1001))
+    budget = os.path.getsize(small) + 16  # smaller than big.bam
+    assert os.path.getsize(big) > budget
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(spark, land, ckpt, out, max_bytes_per_batch=budget)
+    assert spark.read.parquet(out).count() == 420
+    # big.bam (oldest) rode alone in batch 1; small.bam followed
+    assert _batch_log_files(os.path.join(_src_log_dir(ckpt)), 1) == ["big.bam"]
+    assert _batch_log_files(os.path.join(_src_log_dir(ckpt)), 2) == ["small.bam"]
+
+
+def _src_log_dir(ckpt: str) -> str:
+    """The source's bam-file-log dir under a writeStream checkpoint."""
+    import glob as _glob
+
+    hits = _glob.glob(os.path.join(ckpt, "sources", "**", "bam-file-log"), recursive=True)
+    assert hits, f"no bam-file-log under {ckpt}"
+    return os.path.dirname(hits[0])
+
+
+@needs_jdk
+def test_spark_side_read_limit_max_bytes(spark, tmp_path):
+    """latestOffset honors a Spark-side ReadLimit.maxBytes without the
+    option, and min-composes it with the option when both are set."""
+    land, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    _land_five(land)
+    sizes = {n: os.path.getsize(os.path.join(land, n)) for n in os.listdir(land)}
+    mbs, jvm, gw = _jvm_stream(spark, land, ckpt)
+    RL = jvm.org.apache.spark.sql.connector.read.streaming.ReadLimit
+    off = mbs.initialOffset()
+    two = sizes["f0.bam"] + sizes["f1.bam"] + 1
+    off = mbs.latestOffset(off, RL.maxBytes(two))
+    assert _batch_log_files(ckpt, 1) == ["f0.bam", "f1.bam"]
+    off = mbs.latestOffset(off, RL.allAvailable())
+    assert _batch_log_files(ckpt, 2) == ["f2.bam", "f3.bam", "f4.bam"]
+
+    # min-composition: option bytes budget admits 2, Spark's files cap 1
+    land2, ckpt2 = str(tmp_path / "landing2"), str(tmp_path / "ckpt2")
+    _land_five(land2)
+    mbs2, jvm2, _ = _jvm_stream(spark, land2, ckpt2, max_bytes_per_batch=two)
+    RL2 = jvm2.org.apache.spark.sql.connector.read.streaming.ReadLimit
+    assert "MaxBytes" in mbs2.getDefaultReadLimit().toString().replace(" ", "")\
+        or "bytes" in mbs2.getDefaultReadLimit().toString().lower()
+    off2 = mbs2.initialOffset()
+    off2 = mbs2.latestOffset(off2, RL2.maxFiles(1))  # files cap binds
+    assert _batch_log_files(ckpt2, 1) == ["f0.bam"]
+    off2 = mbs2.latestOffset(off2, RL2.allAvailable())  # option budget binds
+    assert len(_batch_log_files(ckpt2, 2)) <= 2
+
+
+@needs_jdk
+def test_max_bytes_per_batch_rejects_bad_values(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    make_fixture(os.path.join(land, "a.bam"), n=10, block_payload=4096, seed=1)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    with pytest.raises(Exception, match="max_bytes_per_batch must be positive"):
+        _drain(spark, land, ckpt, out, max_bytes_per_batch=0)
+    with pytest.raises(Exception, match="max_bytes_per_batch must be a positive integer"):
+        _drain(spark, land, ckpt, out, max_bytes_per_batch="lots")
+
+
 def _drain_py(spark, land: str, ckpt: str, out: str, **opts) -> None:
     from spark_bam_spark.bam.reader import read_bam_stream_py
 

@@ -237,6 +237,16 @@ def test_stream_ingest_cli_incremental(spark, tmp_path, capsys):
     make_fixture(_os.path.join(land, "b.bam"), n=30, block_payload=4096, seed=2)
     lines = _run(spark, ["stream-ingest", land, "--out", out, "--checkpoint", ckpt], capsys)
     assert "total rows now 150" in lines[-1]
+    # admission-control flags parse and thread through to the source
+    make_fixture(_os.path.join(land, "c.bam"), n=10, block_payload=4096, seed=3)
+    make_fixture(_os.path.join(land, "d.bam"), n=10, block_payload=4096, seed=4)
+    lines = _run(
+        spark,
+        ["stream-ingest", land, "--out", out, "--checkpoint", ckpt,
+         "--max-files-per-batch", "1", "--max-bytes-per-batch", str(1 << 30)],
+        capsys,
+    )
+    assert "total rows now 170" in lines[-1]
 
 
 def test_flagstat_excludes_secondary_from_paired_metrics(spark, tmp_path, capsys):
