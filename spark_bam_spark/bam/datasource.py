@@ -852,8 +852,16 @@ class BamStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("bam stream source requires a path")
         # monotonic within a run: a file deleted after admission stays in
-        # the offset, so offsets never shrink between triggers
+        # the offset, so offsets never shrink between triggers.  Across a
+        # RESTART the set reseeds from the replayed batch's checkpointed
+        # offsets (see partitions()); the residual corner — every batch
+        # committed, an admitted file deleted, a NEW file landing later
+        # under the same name — re-ingests that name (the JVM source's
+        # side log dedups it; this twin deliberately keeps no side state).
         self._known: set[str] = set()
+        # executor-side per-path reader cache (header parse memoization);
+        # bounded so an eternally-landing stream can't grow it forever
+        self._readers: dict[str, BamReader] = {}
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -868,29 +876,53 @@ class BamStreamReader(DataSourceStreamReader):
         return {"files": sorted(self._known)}
 
     def partitions(self, start: dict, end: dict) -> list[BamSplit]:
+        # reseed the monotonic set from the checkpointed offsets: on a
+        # restart that replays an uncommitted batch, this runs before the
+        # next latestOffset, so names admitted in prior runs stay in the
+        # offset even if their files were deleted since
+        self._known |= set(start["files"]) | set(end["files"])
         new = sorted(set(end["files"]) - set(start["files"]))
         root_is_dir = os.path.isdir(self.path)
         paths = [os.path.join(self.path, n) if root_is_dir else self.path for n in new]
-        paths = [p for p in paths if os.path.exists(p)]  # deleted since listing
-        if not paths:
-            return []
         import json as _json
 
         # one batch-scoped BamReader: same header parse, adaptive split
-        # sizing, and range packing as the batch read of exactly these files
-        return BamReader({**self.options, "files_json": _json.dumps(paths)}).partitions()
+        # sizing, and range packing as the batch read of exactly these
+        # files.  A file can vanish between the exists() filter and the
+        # header parse / getsize inside BamReader — re-filter and retry
+        # (bounded) instead of failing the micro-batch, the JVM source's
+        # planInputPartitions behavior.
+        for _ in range(len(paths) + 1):
+            paths = [p for p in paths if os.path.exists(p)]
+            if not paths:
+                return []
+            try:
+                return BamReader(
+                    {**self.options, "files_json": _json.dumps(paths)}
+                ).partitions()
+            except FileNotFoundError:
+                continue
+        return []
 
     def read(self, partition: BamSplit) -> Iterator[pa.RecordBatch]:
         # executor side: the planning-time reader instance is NOT shipped
         # with the partition (the read function closes over a separate
-        # instance created once at query start), so rebuild the decode
-        # state per partition from options — one header parse per split
+        # instance created once per worker), so rebuild the decode state
+        # from options — memoized per path, one header parse per file per
+        # worker instead of per split
         import json as _json
 
-        try:
-            reader = BamReader({**self.options, "files_json": _json.dumps([partition.path])})
-        except FileNotFoundError:
-            return  # deleted between planning and read: skip (JVM parity)
+        reader = self._readers.get(partition.path)
+        if reader is None:
+            try:
+                reader = BamReader(
+                    {**self.options, "files_json": _json.dumps([partition.path])}
+                )
+            except FileNotFoundError:
+                return  # deleted between planning and read: skip (JVM parity)
+            if len(self._readers) >= 64:
+                self._readers.pop(next(iter(self._readers)))
+            self._readers[partition.path] = reader
         yield from reader.read(partition)
 
     def commit(self, end: dict) -> None:
@@ -998,8 +1030,12 @@ def _mirror_includes_for_streaming_runner(spark) -> None:
     os.makedirs(sub, exist_ok=True)
     for name in includes:
         src, dst = os.path.join(root, name), os.path.join(sub, name)
-        if os.path.exists(src) and not os.path.exists(dst):
-            shutil.copy(src, dst)
+        if os.path.exists(src) and (
+            not os.path.exists(dst) or os.path.getmtime(src) > os.path.getmtime(dst)
+        ):
+            # copy2 preserves mtime so the staleness check stays sound
+            # when the same include name is re-shipped with new content
+            shutil.copy2(src, dst)
 
 
 def register(spark) -> None:

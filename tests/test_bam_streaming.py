@@ -578,6 +578,39 @@ def test_python_stream_twin_incremental_and_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_python_stream_twin_restart_replay_reseeds_known(spark, tmp_path):
+    """Review r13 fix: partitions(start, end) reseeds the monotonic
+    name set from the checkpointed offsets, so a restart that replays an
+    uncommitted batch keeps previously-admitted names in every later
+    offset even if their files were deleted since — no re-ingest of a
+    same-named late arrival after the replay."""
+    from spark_bam_spark.bam.datasource import BamStreamReader
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    make_fixture(os.path.join(land, "a.bam"), n=20, block_payload=4096, seed=1)
+    make_fixture(os.path.join(land, "b.bam"), n=20, block_payload=4096, seed=2)
+    r = BamStreamReader({"path": land, "split_size": "65536"})
+    # fresh instance = restart; replay the checkpointed uncommitted batch
+    parts = r.partitions({"files": []}, {"files": ["a.bam"]})
+    assert parts and all(p.path.endswith("a.bam") for p in parts)
+    os.remove(os.path.join(land, "a.bam"))  # deleted after the old run
+    off = r.latestOffset()
+    assert off["files"] == ["a.bam", "b.bam"]  # monotonic across replay
+
+
+def test_python_stream_twin_partitions_tolerates_vanished_files(spark, tmp_path):
+    """Review r13 fix: a batch whose files vanished between listing and
+    planning yields an empty batch instead of failing the query (the JVM
+    source's planInputPartitions behavior)."""
+    from spark_bam_spark.bam.datasource import BamStreamReader
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    r = BamStreamReader({"path": land})
+    assert r.partitions({"files": []}, {"files": ["ghost.bam"]}) == []
+
+
 def test_streaming_runner_includes_mirrored(spark):
     """register() mirrors addPyFile'd includes into the
     ``<SparkFiles root>/streaming_job`` subdir — the dir pyspark 4.1's
