@@ -227,10 +227,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
     if cmd == "stream-ingest":
         from spark_bam_spark.bam import jvmreader
 
-        if not jvmreader.javac_path():
-            raise SystemExit("stream-ingest needs a JDK (the streaming source is JVM-only)")
-        q = (
-            jvmreader.read_bam_stream(
+        if jvmreader.javac_path():
+            stream = jvmreader.read_bam_stream(
                 spark,
                 args.path,
                 split_size=args.split_size,
@@ -238,7 +236,30 @@ def run(args: argparse.Namespace, spark: SparkSession) -> None:
                 max_files_per_batch=args.max_files_per_batch,
                 max_bytes_per_batch=args.max_bytes_per_batch,
             )
-            .drop("tags")  # parquet sink keeps the report columnar-simple
+        else:
+            # no-JDK fallback: the Python streaming twin drains the same
+            # rows; its deliberately simpler design carries none of the
+            # admission-control knobs, so reject them loudly rather than
+            # silently ingest unbounded batches
+            knobs = [
+                name
+                for name, v in (
+                    ("--max-file-age-ms", args.max_file_age_ms),
+                    ("--max-files-per-batch", args.max_files_per_batch),
+                    ("--max-bytes-per-batch", args.max_bytes_per_batch),
+                )
+                if v is not None
+            ]
+            if knobs:
+                raise SystemExit(
+                    f"stream-ingest: {', '.join(knobs)} need the JVM source "
+                    "(no JDK found; the Python fallback has no admission control)"
+                )
+            from spark_bam_spark.bam.reader import read_bam_stream_py
+
+            stream = read_bam_stream_py(spark, args.path, split_size=args.split_size)
+        q = (
+            stream.drop("tags")  # parquet sink keeps the report columnar-simple
             .writeStream.format("parquet")
             .option("path", args.out)
             .option("checkpointLocation", args.checkpoint)

@@ -526,6 +526,58 @@ def test_spark_side_read_limit_max_bytes(spark, tmp_path):
 
 
 @needs_jdk
+def test_admission_control_invariants_randomized(spark, tmp_path):
+    """Randomized pin of the admission-control invariants across caps
+    (seeded, 6 scenarios): batches drain OLDEST (mtime, name) first;
+    every batch obeys both caps (bytes may overshoot only as a
+    singleton); the union of batch logs equals the landed set exactly
+    once.  Admission never parses content, so junk bytes suffice."""
+    import random
+
+    rng = random.Random(1307)
+    for case in range(6):
+        land = str(tmp_path / f"land{case}")
+        ckpt = str(tmp_path / f"ckpt{case}")
+        os.makedirs(land)
+        n = rng.randint(3, 12)
+        sizes = {}
+        for i in range(n):
+            name = f"f{i:03d}.bam"
+            sz = rng.randint(10, 5000)
+            with open(os.path.join(land, name), "wb") as f:
+                f.write(b"\0" * sz)
+            os.utime(os.path.join(land, name), (1000 + i, 1000 + i))
+            sizes[name] = sz
+        cap_files = rng.choice([0, 1, 2, 3])  # 0 = off
+        cap_bytes = rng.choice([0, 1500, 4000, 8000])
+        opts = {}
+        if cap_files:
+            opts["max_files_per_batch"] = cap_files
+        if cap_bytes:
+            opts["max_bytes_per_batch"] = cap_bytes
+        mbs, _jvm_unused, _ = _jvm_stream(spark, land, ckpt, **opts)
+        off = mbs.initialOffset()
+        admitted: list[list[str]] = []
+        for _ in range(n + 2):  # cap-files=1 needs n batches
+            nxt = mbs.latestOffset(off, mbs.getDefaultReadLimit())
+            if nxt.json() == off.json():
+                break
+            off = nxt
+            admitted.append(_batch_log_files(ckpt, len(admitted) + 1))
+        flat = [nm for batch in admitted for nm in batch]
+        assert sorted(flat) == sorted(sizes), (case, opts)  # exactly once
+        assert flat == sorted(sizes), (case, opts)  # oldest-first = name order here
+        for batch in admitted:
+            if cap_files:
+                assert len(batch) <= cap_files, (case, opts, batch)
+            if cap_bytes:
+                total = sum(sizes[nm] for nm in batch)
+                assert total <= cap_bytes or len(batch) == 1, (case, opts, batch)
+        if not cap_files and not cap_bytes:
+            assert len(admitted) == 1  # uncapped: one batch takes all
+
+
+@needs_jdk
 def test_max_bytes_per_batch_rejects_bad_values(spark, tmp_path):
     land = str(tmp_path / "landing")
     os.makedirs(land)

@@ -249,6 +249,31 @@ def test_stream_ingest_cli_incremental(spark, tmp_path, capsys):
     assert "total rows now 170" in lines[-1]
 
 
+def test_stream_ingest_cli_python_fallback(spark, tmp_path, capsys, monkeypatch):
+    """Without a JDK the subcommand drains through the Python streaming
+    twin instead of refusing; admission-control flags (JVM-only knobs)
+    are rejected loudly rather than silently ignored."""
+    import os as _os
+
+    from spark_bam_spark.bam import jvmreader
+    from spark_bam_spark.bam.writer import make_fixture
+
+    monkeypatch.setattr(jvmreader, "javac_path", lambda: None)
+    land = str(tmp_path / "landing")
+    _os.makedirs(land)
+    make_fixture(_os.path.join(land, "a.bam"), n=60, block_payload=4096, seed=5)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    lines = _run(spark, ["stream-ingest", land, "--out", out, "--checkpoint", ckpt], capsys)
+    assert "total rows now 60" in lines[-1]
+    with pytest.raises(SystemExit, match="max-files-per-batch.*JVM source"):
+        _run(
+            spark,
+            ["stream-ingest", land, "--out", out, "--checkpoint", ckpt,
+             "--max-files-per-batch", "2"],
+            capsys,
+        )
+
+
 def test_flagstat_excludes_secondary_from_paired_metrics(spark, tmp_path, capsys):
     """samtools excludes secondary/supplementary records from every
     paired-category counter (they count only under total/secondary/
