@@ -107,6 +107,50 @@ def read_bam(
     return rdr.load(path)
 
 
+def read_bam_stream(
+    spark: SparkSession,
+    path: str,
+    split_size: int | None = None,
+    mode: str | None = None,
+    reader: str | None = None,
+    max_file_age_ms: int | None = None,
+    max_files_per_batch: int | None = None,
+    max_bytes_per_batch: int | None = None,
+    **py_only_options,
+) -> DataFrame:
+    """Streaming DataFrame over a BAM landing directory via the default
+    (JVM-first) path — the streaming mirror of :func:`read_bam`'s
+    dispatch.  The JVM source (jvmreader.read_bam_stream) is the scale
+    path: O(1) checkpointed offsets over a compacted metadata log plus
+    the admission-control surface (``max_file_age_ms``,
+    ``max_files_per_batch``, ``max_bytes_per_batch``, Spark ReadLimits).
+    The Python twin (:func:`read_bam_stream_py`) is the no-JDK fallback
+    with none of those knobs — requesting one under ``reader="py"`` (or
+    with no JDK available) raises instead of silently ignoring it."""
+    admission = {
+        "max_file_age_ms": max_file_age_ms,
+        "max_files_per_batch": max_files_per_batch,
+        "max_bytes_per_batch": max_bytes_per_batch,
+    }
+    choice = reader or ("py" if py_only_options else reader_choice())
+    wanted = sorted(k for k, v in admission.items() if v is not None)
+    if choice == "jvm":
+        if py_only_options:
+            raise ValueError(
+                f"options {sorted(py_only_options)} are Python-source-only and "
+                "cannot be combined with reader='jvm'"
+            )
+        from spark_bam_spark.bam.jvmreader import read_bam_stream as _jvm_stream
+
+        return _jvm_stream(spark, path, split_size=split_size, mode=mode, **admission)
+    if wanted:
+        raise ValueError(
+            f"options {wanted} need the JVM streaming source "
+            f"(resolved reader={choice!r}; the Python twin has no admission control)"
+        )
+    return read_bam_stream_py(spark, path, split_size=split_size, mode=mode, **py_only_options)
+
+
 def read_bam_stream_py(
     spark: SparkSession,
     path: str,

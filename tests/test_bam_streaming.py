@@ -630,6 +630,38 @@ def test_python_stream_twin_incremental_and_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_read_bam_stream_dispatch(spark, tmp_path):
+    """reader.read_bam_stream mirrors read_bam's jvm/py dispatch for
+    streams: default follows reader_choice(), reader='py' pins the twin,
+    and admission-control options on the Python path raise instead of
+    being silently ignored."""
+    from spark_bam_spark.bam import reader as reader_mod
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    make_fixture(os.path.join(land, "a.bam"), n=25, block_payload=4096, seed=1)
+
+    with pytest.raises(ValueError, match="max_files_per_batch.*JVM streaming source"):
+        reader_mod.read_bam_stream(spark, land, reader="py", max_files_per_batch=2)
+
+    df_py = reader_mod.read_bam_stream(spark, land, reader="py")
+    assert df_py.isStreaming
+    if _HAS_JDK:
+        df_jvm = reader_mod.read_bam_stream(spark, land, max_files_per_batch=2)
+        assert df_jvm.isStreaming
+        ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+        q = (
+            df_jvm.select("qname", "flag", "rname", "pos")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert spark.read.parquet(out).count() == 25
+
+
 def test_python_stream_twin_restart_replay_reseeds_known(spark, tmp_path):
     """Review r13 fix: partitions(start, end) reseeds the monotonic
     name set from the checkpointed offsets, so a restart that replays an
