@@ -120,6 +120,38 @@ def bam_scan_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bam_byte_range_scan",
+    doc="P3 byte-range split filter: the ranges grammar prunes byte windows before planning",
+    oracle=f"""
+    SELECT qname, rname, pos, block_pos
+    FROM read_parquet('{_TRUTH_PQ}')
+    WHERE block_pos < 32768 OR (block_pos >= 98304 AND block_pos < 131072)
+    """,
+)
+def bam_byte_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 under driver-hash evidence (previously pytest-only): the CLI
+    ByteRanges grammar (``0-32k,96k-128k`` — k/m/g suffixes, open ends)
+    restricts the scan to byte windows BEFORE planning, so only splits
+    intersecting a range are ever created.  With split_size 16384 the
+    split boundaries align with the range bounds, the kept splits tile
+    the ranges exactly, and the split-ownership rule (a record belongs
+    to the split containing its start) makes the emitted set precisely
+    the records whose containing-block start (block_pos) falls inside a
+    range — which is the derived oracle over the generator's truth
+    parquet.  (Reference: ByteRanges argument threaded through
+    compute-splits/check-bam, cli/.../ByteRanges.scala behavior.)"""
+    from spark_bam_spark.bam.reader import read_bam
+
+    return read_bam(
+        spark,
+        _fixture_path(),
+        split_size=16384,
+        columns="qname,rname,pos,block_pos",
+        ranges="0-32k,96k-128k",
+    )
+
+
+@register(
     "bam_scan_reads_jvm",
     doc="S3 loadBam via the JVM DataSourceV2 twin: split-parallel scan, no Python boundary",
     oracle=f"""
