@@ -327,6 +327,88 @@ def index_records(reads: DataFrame, out_dir: str) -> None:
     )
 
 
+def find_starts(spark: SparkSession, bam_path: str, probes: list[int]) -> DataFrame:
+    """P8 FindBlockStart + P9 FindRecordStart as a distributed probe
+    surface: for each byte offset, the next BGZF block start at/after it
+    (FindBlockStart.scala:8-37) and the first record start at/after that
+    block (FindRecordStart.scala:30-63) — the two sync primitives every
+    split boundary resolution composes.  One task per probe batch; the
+    per-worker block LRU (S14) absorbs the overlapping windows exactly
+    like the checker sweep does.
+
+    Scale shape: probes are data-parallel and independent; each resolves
+    against a bounded byte window (≤2 BGZF blocks scanned for the block
+    start, a few blocks inflated for the record start), so cost is
+    O(probes), never O(file)."""
+    import bisect
+
+    import numpy as np
+
+    path = bam_path
+    probe_df = spark.createDataFrame(
+        [(int(p),) for p in probes], "probe long"
+    ).repartition(max(1, min(16, len(probes) // 16)))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_bam_spark.bam import bgzf
+        from spark_bam_spark.bam.checker import find_record_start
+        from spark_bam_spark.bam.header import parse_header
+
+        with open(path, "rb") as f:
+            info = parse_header(f).info()
+        for pdf in batches:
+            out = {"probe": [], "block_start": [], "rec_block_pos": [], "rec_offset": []}
+            for p in pdf["probe"].astype(np.int64):
+                p = int(p)
+                with open(path, "rb") as f:
+                    f.seek(p)
+                    raw = f.read(bgzf.MAX_BLOCK_SIZE * 2)
+                rel = bgzf.find_block_start(raw, 0)
+                if rel is None:
+                    continue  # no block at/after probe (past EOF window)
+                bstart = p + rel
+                # inflate a bounded lookahead window, tracking the
+                # (block start, uncompressed start) map so the found
+                # uncompressed offset converts back to a virtual position
+                starts: list[int] = []
+                ustarts: list[int] = []
+                parts: list[bytes] = []
+                s, total = bstart, 0
+                for _ in range(_LOOKAHEAD_BLOCKS):
+                    data, nxt = _cached_block(path, s)
+                    if not data:
+                        break
+                    starts.append(s)
+                    ustarts.append(total)
+                    parts.append(data)
+                    total += len(data)
+                    if nxt < 0:
+                        break
+                    s = nxt
+                if not parts:
+                    continue
+                u = find_record_start(b"".join(parts), 0, info)
+                if u is None:
+                    continue
+                i = bisect.bisect_right(ustarts, u) - 1
+                out["probe"].append(p)
+                out["block_start"].append(bstart)
+                out["rec_block_pos"].append(starts[i])
+                out["rec_offset"].append(u - ustarts[i])
+            yield pd.DataFrame(
+                {
+                    "probe": pd.Series(out["probe"], dtype="int64"),
+                    "block_start": pd.Series(out["block_start"], dtype="int64"),
+                    "rec_block_pos": pd.Series(out["rec_block_pos"], dtype="int64"),
+                    "rec_offset": pd.Series(out["rec_offset"], dtype="int32"),
+                }
+            )
+
+    return probe_df.mapInPandas(
+        gen, schema="probe long, block_start long, rec_block_pos long, rec_offset int"
+    )
+
+
 def bai_sidecar_pairs(path: str) -> list[tuple[str, str]]:
     """(bam, bai) pairs when EVERY data file under ``path`` carries a
     spec §5.2 ``.bai`` sidecar (a single indexed file, or a rewrite

@@ -151,6 +151,102 @@ def bam_byte_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# P8/P9 probe grid: a coarse stride across the whole fixture plus a
+# prime-step fine grid over the first 50 KiB so probes land mid-block,
+# mid-record, and exactly on block starts.  Static constants (the fixture
+# bytes are frozen — the committed truth parquet pins them), baked into
+# both the engine call and the oracle SQL below.
+_PROBE_GRID: tuple[int, ...] = tuple(
+    sorted(set(range(0, 360001, 1500)) | set(range(1, 50000, 257)))
+)
+_PROBES_SQL = ", ".join(f"({p})" for p in _PROBE_GRID)
+
+
+@register(
+    "bam_find_starts",
+    doc="P8 FindBlockStart + P9 FindRecordStart: sync from arbitrary byte offsets",
+    oracle=f"""
+    WITH probes(probe) AS (VALUES {_PROBES_SQL}),
+    nb AS (
+      SELECT p.probe,
+             (SELECT min(b.start) FROM read_parquet('{_BLOCKS_PQ}') b
+              WHERE b.start >= p.probe) AS block_start
+      FROM probes p
+    )
+    SELECT CAST(nb.probe AS BIGINT) AS probe,
+           nb.block_start,
+           r.block_pos AS rec_block_pos,
+           r."offset" AS rec_offset
+    FROM nb, LATERAL (
+      SELECT t.block_pos, t."offset"
+      FROM read_parquet('{_TRUTH_PQ}') t
+      WHERE t.block_pos >= nb.block_start
+      ORDER BY t.block_pos, t."offset"
+      LIMIT 1
+    ) r
+    """,
+)
+def bam_find_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+P9 under driver-hash evidence (previously pytest-only): for
+    each probe byte offset, the engine scans forward for the next offset
+    where consecutive BGZF headers chain (FindBlockStart.scala:8-37) and
+    then for the first uncompressed offset where the eager record
+    checker passes (FindRecordStart.scala:30-63) — the exact composition
+    every split boundary resolution runs.  The derived oracle recomputes
+    both answers relationally from the generator sidecars: the next
+    block start is MIN(start ≥ probe) over the blocks table, and the
+    record start is the (block_pos, offset)-minimal truth record at or
+    after that block.  A hash match therefore pins that the byte-level
+    sync primitives agree with set-level relational semantics at ~440
+    adversarial offsets (mid-block, mid-record, exact block starts)."""
+    from spark_bam_spark.operators.qa import find_starts
+
+    return find_starts(spark, _fixture_path(), list(_PROBE_GRID))
+
+
+@register(
+    "bam_index_blocks_sink",
+    doc="S16 index-blocks sink: distributed block-metadata sidecar, written then read back",
+    oracle=f"""
+    SELECT start, compressed_size, uncompressed_size
+    FROM read_parquet('{_BLOCKS_PQ}')
+    """,
+)
+def bam_index_blocks_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 under driver-hash evidence (previously pytest-only): run the
+    distributed index-blocks sink (IndexBlocks.scala:10-50 — one CSV
+    part per partition, not the reference's single-node loop), then read
+    the sidecar back and hash it against the generator's own blocks
+    parquet.  Pins the whole write→read round trip, not just the scan."""
+    from spark_bam_spark.operators.qa import index_blocks
+
+    out = "/tmp/spark_bam_spark_fixture/idx_blocks_sink"
+    index_blocks(spark, _fixture_path(), out)
+    return spark.read.csv(
+        out, schema="start long, compressed_size long, uncompressed_size long"
+    )
+
+
+@register(
+    "bam_index_records_sink",
+    doc="S17 index-records sink: record virtual-position sidecar, written then read back",
+    oracle=f"""
+    SELECT block_pos, "offset" AS offset
+    FROM read_parquet('{_TRUTH_PQ}')
+    """,
+)
+def bam_index_records_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 under driver-hash evidence (previously pytest-only): write
+    every record's virtual position (block_pos, offset) through the
+    distributed index-records sink (IndexRecords.scala:13-178), read the
+    sidecar back, and hash against the truth parquet's positions."""
+    from spark_bam_spark.operators.qa import index_records
+
+    out = "/tmp/spark_bam_spark_fixture/idx_records_sink"
+    index_records(_reads(spark, columns="block_pos,offset"), out)
+    return spark.read.csv(out, schema="block_pos long, offset int")
+
+
 @register(
     "bam_scan_reads_jvm",
     doc="S3 loadBam via the JVM DataSourceV2 twin: split-parallel scan, no Python boundary",

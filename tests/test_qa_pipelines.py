@@ -120,6 +120,30 @@ def test_index_sidecar_sinks_roundtrip(spark_bam, bam, tmp_path):
     assert got_recs == want_recs
 
 
+def test_find_starts_matches_sidecars(spark_bam, bam):
+    # P8+P9: next-block / next-record sync from arbitrary byte offsets
+    # must agree with the set-level answer derived from the sidecars —
+    # probe exact block starts, one byte either side, and a coarse grid.
+    block_starts = sorted(b.start for b in bam.blocks)
+    last = block_starts[-1]
+    probes = sorted(
+        {0, 1, last}
+        | set(range(0, last, 997))
+        | {s for s in block_starts[:20]}
+        | {s - 1 for s in block_starts[1:20]}
+        | {s + 1 for s in block_starts[:20]}
+    )
+    got = {
+        r.probe: (r.block_start, r.rec_block_pos, r.rec_offset)
+        for r in qa.find_starts(spark_bam, bam.path, probes).collect()
+    }
+    recs = sorted((p.block_pos, p.offset) for p in bam.record_positions)
+    for p in probes:
+        want_block = min(s for s in block_starts if s >= p)
+        want_rec = min(r for r in recs if r[0] >= want_block)
+        assert got[p] == (want_block, want_rec[0], want_rec[1]), p
+
+
 def test_upstream_checker_is_strictly_weaker(spark_bam, bam):
     calls = qa.calls(spark_bam, bam.path, stride=1)
     # any position eager accepts, upstream must accept (fewer checks)
