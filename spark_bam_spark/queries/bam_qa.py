@@ -248,6 +248,227 @@ def bam_index_records_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bam_metadata_stream",
+    doc="S13 MetadataStream: header-only block walk, payloads never inflated",
+    oracle=f"""
+    SELECT start, compressed_size, uncompressed_size
+    FROM read_parquet('{_BLOCKS_PQ}')
+    """,
+)
+def bam_metadata_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 under driver-hash evidence (previously pytest-only): the
+    header-only block walk (MetadataStream.scala:16-57 — seek to each
+    BSIZE, read the ISIZE footer, never inflate) run as a distributed
+    task per file, hashed against the generator's blocks parquet.  The
+    blocks DataSource (S9) re-implements this walk split-parallel; this
+    query pins the sequential primitive itself."""
+    import pandas as pd
+
+    paths = spark.createDataFrame([(_fixture_path(),)], "path string")
+
+    def gen(batches):
+        from spark_bam_spark.bam import bgzf
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                with open(p, "rb") as f:
+                    ms = list(bgzf.metadata_stream(f))
+                yield pd.DataFrame(
+                    {
+                        "start": pd.Series([m.start for m in ms], dtype="int64"),
+                        "compressed_size": pd.Series(
+                            [m.compressed_size for m in ms], dtype="int64"
+                        ),
+                        "uncompressed_size": pd.Series(
+                            [m.uncompressed_size for m in ms], dtype="int64"
+                        ),
+                    }
+                )
+
+    return paths.mapInPandas(
+        gen, schema="start long, compressed_size long, uncompressed_size long"
+    )
+
+
+@register(
+    "bam_pack_ranges",
+    doc="O4 cappedCostGroups: cost-capped bin-packing of candidate byte ranges",
+    oracle=f"""
+    WITH RECURSIVE used AS (
+      SELECT lo, hi, row_number() OVER (ORDER BY lo) AS rn
+      FROM (
+        SELECT start AS lo, start + compressed_size AS hi,
+               row_number() OVER (ORDER BY start) AS brn
+        FROM read_parquet('{_BLOCKS_PQ}')
+      )
+      WHERE (brn - 1) % 3 = 0
+    ),
+    packed AS (
+      SELECT rn, lo, hi, 1 AS gid, hi - lo AS cost FROM used WHERE rn = 1
+      UNION ALL
+      SELECT u.rn, u.lo, u.hi,
+             CASE WHEN p.cost + (u.hi - u.lo) > 16384 THEN p.gid + 1 ELSE p.gid END AS gid,
+             CASE WHEN p.cost + (u.hi - u.lo) > 16384 THEN u.hi - u.lo
+                  ELSE p.cost + (u.hi - u.lo) END AS cost
+      FROM packed p JOIN used u ON u.rn = p.rn + 1
+    )
+    SELECT gid,
+           CAST(count(*) AS BIGINT) AS n_ranges,
+           CAST(sum(hi - lo) AS BIGINT) AS total_bytes,
+           min(lo) AS min_lo,
+           max(hi) AS max_hi
+    FROM packed
+    GROUP BY gid
+    """,
+)
+def bam_pack_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 under driver-hash evidence (previously pytest-only): the
+    greedy cost-capped grouping the indexed scan uses to pack candidate
+    byte ranges into volume-balanced partitions (cappedCostGroups,
+    Intervals.scala:110-117).  Input: every 3rd block's compressed span
+    (disjoint, non-adjacent — exercises the no-merge path), split_size
+    49152 at the default 3.0 compression ratio = a 16384-byte compressed
+    cap (~5 ranges per group).  The derived oracle re-implements the
+    greedy independently as a DuckDB recursive CTE over the blocks
+    parquet, so group boundaries, per-group range counts, byte totals
+    and extents must all agree."""
+    from spark_bam_spark.bam import bgzf
+    from spark_bam_spark.bam.datasource import pack_ranges
+
+    with open(_fixture_path(), "rb") as f:
+        metas = list(bgzf.metadata_stream(f))
+    ranges = [
+        (m.start, m.start + m.compressed_size)
+        for i, m in enumerate(metas)
+        if i % 3 == 0
+    ]
+    groups = pack_ranges(ranges, split_size=49152, compression_ratio=3.0)
+    rows = [(gid, lo, hi) for gid, grp in enumerate(groups, 1) for lo, hi in grp]
+    return (
+        spark.createDataFrame(rows, "gid int, lo long, hi long")
+        .groupBy("gid")
+        .agg(
+            F.count("*").alias("n_ranges"),
+            F.sum(F.col("hi") - F.col("lo")).alias("total_bytes"),
+            F.min("lo").alias("min_lo"),
+            F.max("hi").alias("max_hi"),
+        )
+    )
+
+
+@register(
+    "bam_reads_dispatch",
+    doc="S1 loadReads dispatch: same records through the .sam and .bam paths, unioned",
+    oracle=f"""
+    SELECT rname,
+           CAST(2 * count(*) AS BIGINT) AS n_reads,
+           CAST(2 * sum(flag) AS BIGINT) AS sum_flag,
+           CAST(2 * sum(pos) AS BIGINT) AS sum_pos
+    FROM read_parquet('{_TRUTH_PQ}')
+    GROUP BY rname
+    """,
+)
+def bam_reads_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 under driver-hash evidence (previously pytest-only): the
+    extension dispatcher (CanLoadBam.scala:249-283) routes the SAME 2500
+    logical records through BOTH decode paths — the text SAM scan and
+    the binary BAM scan — and the union is hashed against exactly 2× the
+    truth parquet per contig.  A dispatch bug (wrong path, dropped or
+    double-routed extension) or any cross-format decode divergence in
+    flag/pos/rname breaks the hash."""
+    from spark_bam_spark.bam.sam import load_reads
+
+    cols = ["qname", "flag", "rname", "pos"]
+    bam = load_reads(spark, _fixture_path()).select(*cols)
+    sam = load_reads(spark, _sam_fixture_path()).select(*cols)
+    return (
+        bam.unionByName(sam)
+        .groupBy("rname")
+        .agg(
+            F.count("*").alias("n_reads"),
+            F.sum("flag").cast("long").alias("sum_flag"),
+            F.sum("pos").cast("long").alias("sum_pos"),
+        )
+    )
+
+
+@register(
+    "bam_sorted_layout",
+    doc="W3+O5 sortedRepartition: disjoint ordered per-partition key ranges, verified",
+    oracle="""
+    SELECT CAST(2500 AS BIGINT) AS total_rows,
+           CAST(0 AS BIGINT) AS range_overlaps,
+           CAST(0 AS BIGINT) AS sort_violations
+    """,
+    oracle_kind="invariant",
+)
+def bam_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+O5 under driver evidence (previously pytest-only): range-
+    repartition the fixture reads by Pos (IndexedRecordPositions.scala:
+    27-31) and VERIFY the layout contract the indexed checker's
+    per-partition sorted structure relies on — every partition holds a
+    disjoint key range (range_overlaps = 0 across partition [min,max]
+    extents) and rows arrive sorted within each partition
+    (sort_violations = 0), with no row lost (total_rows = 2500).
+    Invariant-grade oracle: the partition BOUNDS come from Spark's range
+    sampler and are not derivable relationally, but the contract is
+    deterministic and fully checked engine-side."""
+    import pandas as pd
+
+    from spark_bam_spark.operators.qa import sorted_range_repartition
+
+    df = sorted_range_repartition(_reads(spark, columns="block_pos,offset"), n=8)
+
+    def per_partition(batches):
+        import numpy as np
+
+        n = 0
+        viol = 0
+        mn = None
+        mx = None
+        prev = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            k = (pdf["block_pos"].to_numpy(np.int64) << 16) | pdf[
+                "offset"
+            ].to_numpy(np.int64)
+            n += len(k)
+            viol += int((np.diff(k) < 0).sum())
+            if prev is not None and k[0] < prev:
+                viol += 1
+            prev = int(k[-1])
+            lo, hi = int(k.min()), int(k.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        yield pd.DataFrame(
+            {
+                "n": pd.Series([n], dtype="int64"),
+                "min_key": pd.Series([-1 if mn is None else mn], dtype="int64"),
+                "max_key": pd.Series([-1 if mx is None else mx], dtype="int64"),
+                "viol": pd.Series([viol], dtype="int64"),
+            }
+        )
+
+    from pyspark.sql import Window
+
+    per = df.mapInPandas(
+        per_partition, schema="n long, min_key long, max_key long, viol long"
+    ).filter(F.col("n") > 0)
+    w = Window.orderBy("min_key")
+    return (
+        per.withColumn("prev_max", F.lag("max_key").over(w))
+        .agg(
+            F.sum("n").alias("total_rows"),
+            F.sum(
+                F.when(F.col("prev_max") >= F.col("min_key"), 1).otherwise(0)
+            ).cast("long").alias("range_overlaps"),
+            F.sum("viol").alias("sort_violations"),
+        )
+    )
+
+
+@register(
     "bam_scan_reads_jvm",
     doc="S3 loadBam via the JVM DataSourceV2 twin: split-parallel scan, no Python boundary",
     oracle=f"""
