@@ -247,6 +247,131 @@ def bam_index_records_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.csv(out, schema="block_pos long, offset int")
 
 
+# S8/S11 probe intervals: (ref_idx, rname, beg, end) — ref_idx for the
+# engine's query_chunks, rname for the oracle's truth join (header order
+# '1','2','3').  Chosen to cross 16 KiB linear windows, hit single bases,
+# whole contigs, sparse gaps, and the region past the last placed record.
+_BAI_INTERVALS: tuple[tuple[int, str, int, int], ...] = (
+    (0, "1", 0, 16384),
+    (0, "1", 3511, 3608),
+    (0, "1", 500000, 540000),
+    (0, "1", 0, 249_250_621),
+    (0, "1", 2_000_000, 2_100_000),
+    (1, "2", 2060, 2061),
+    (1, "2", 1_000_000, 1_016_384),
+    (2, "3", 0, 8192),
+    (2, "3", 150_000, 150_001),
+    (2, "3", 1_999_581, 1_999_659),
+)
+_BAI_INTERVALS_SQL = ", ".join(
+    f"({iid}, '{rname}', {beg}, {end})"
+    for iid, (_, rname, beg, end) in enumerate(_BAI_INTERVALS, 1)
+)
+
+
+@register(
+    "bai_query_chunks",
+    doc="S8 getIntervalChunks + S11 BAI reader: interval → merged chunk list from the index",
+    oracle=f"""
+    WITH file_order AS (
+      SELECT rname, pos, end_pos,
+             (block_pos << 16) + "offset" AS v0,
+             row_number() OVER (ORDER BY block_pos, "offset") AS rn
+      FROM read_parquet('{_TRUTH_PQ}')
+    ),
+    seq AS (
+      SELECT *, lead(v0) OVER (ORDER BY rn) AS v1 FROM file_order
+    ),
+    binned AS (
+      SELECT rname, pos, greatest(end_pos, pos + 1) AS gend, v0, v1, rn,
+             CASE
+               WHEN (pos >> 14) = ((greatest(end_pos, pos + 1) - 1) >> 14)
+                 THEN 4681 + (pos >> 14)
+               WHEN (pos >> 17) = ((greatest(end_pos, pos + 1) - 1) >> 17)
+                 THEN 585 + (pos >> 17)
+               WHEN (pos >> 20) = ((greatest(end_pos, pos + 1) - 1) >> 20)
+                 THEN 73 + (pos >> 20)
+               WHEN (pos >> 23) = ((greatest(end_pos, pos + 1) - 1) >> 23)
+                 THEN 9 + (pos >> 23)
+               WHEN (pos >> 26) = ((greatest(end_pos, pos + 1) - 1) >> 26)
+                 THEN 1 + (pos >> 26)
+               ELSE 0
+             END AS bin
+      FROM seq
+      WHERE pos >= 0
+    ),
+    chunks AS (
+      SELECT rname, bin, min(v0) AS cstart, max(v1) AS cend
+      FROM (
+        SELECT *, rn - row_number() OVER (PARTITION BY rname, bin ORDER BY rn) AS isl
+        FROM binned
+      )
+      GROUP BY rname, bin, isl
+    ),
+    intervals(iid, rname, beg, iend) AS (VALUES {_BAI_INTERVALS_SQL}),
+    ivl AS (
+      SELECT i.*,
+             COALESCE((SELECT min(p.v0) FROM binned p
+                       WHERE p.rname = i.rname
+                         AND (p.pos >> 14) <= (i.beg >> 14)
+                         AND ((p.gend - 1) >> 14) >= (i.beg >> 14)), 0) AS min_off
+      FROM intervals i
+    ),
+    cand AS (
+      SELECT i.iid, c.cstart, c.cend
+      FROM ivl i JOIN chunks c ON c.rname = i.rname
+      WHERE (c.bin = 0
+        OR c.bin BETWEEN 1 + (i.beg >> 26) AND 1 + ((i.iend - 1) >> 26)
+        OR c.bin BETWEEN 9 + (i.beg >> 23) AND 9 + ((i.iend - 1) >> 23)
+        OR c.bin BETWEEN 73 + (i.beg >> 20) AND 73 + ((i.iend - 1) >> 20)
+        OR c.bin BETWEEN 585 + (i.beg >> 17) AND 585 + ((i.iend - 1) >> 17)
+        OR c.bin BETWEEN 4681 + (i.beg >> 14) AND 4681 + ((i.iend - 1) >> 14))
+      AND (c.cend > i.min_off OR i.min_off = 0)
+    ),
+    ord AS (
+      SELECT iid, cstart, cend,
+             max(cend) OVER (PARTITION BY iid ORDER BY cstart, cend
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM cand
+    ),
+    isl AS (
+      SELECT iid, cstart, cend,
+             sum(CASE WHEN pmax IS NULL OR cstart > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY iid ORDER BY cstart, cend) AS island
+      FROM ord
+    )
+    SELECT CAST(iid AS INTEGER) AS iid,
+           min(cstart) AS chunk_start,
+           max(cend) AS chunk_end
+    FROM isl
+    GROUP BY iid, island
+    """,
+)
+def bai_query_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+S11 under driver-hash evidence (previously pytest-only): parse
+    the fixture's spec §5.2 BAI sidecar (Read.scala:14-114) and plan
+    chunk lists for 10 probe intervals (getIntevalChunks,
+    Intervals.scala:171-207) — overlapping bins' chunks, floored by the
+    16 KiB linear index, sorted and merged.  The derived oracle rebuilds
+    the ENTIRE pipeline relationally from the truth parquet alone: spec
+    §5.3 reg2bin as a CASE over coordinate shifts, chunk construction as
+    gaps-and-islands over file order (adjacent-merge ⟺ consecutive
+    global row numbers, because each record's end voffset is the next
+    record's start), reg2bins membership as per-level BETWEEN windows,
+    the linear-index floor as MIN(v0) over records covering the
+    interval's first window, and cross-bin merging as a running-max
+    island scan.  A hash match pins writer → binary index → parser →
+    query planner end-to-end against pure relational semantics."""
+    from spark_bam_spark.bam.bai import parse_bai, query_chunks
+
+    idx = parse_bai(_fixture_path() + ".bai")
+    rows = []
+    for iid, (ref_idx, _rname, beg, end) in enumerate(_BAI_INTERVALS, 1):
+        for c in query_chunks(idx, ref_idx, beg, end):
+            rows.append((iid, c.start, c.end))
+    return spark.createDataFrame(rows, "iid int, chunk_start long, chunk_end long")
+
+
 @register(
     "bam_metadata_stream",
     doc="S13 MetadataStream: header-only block walk, payloads never inflated",
