@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from spark_bam_spark import functions as bf
 from spark_bam_spark.queries import register
+from spark_bam_spark.queries.bam_qa import _TRUTH_PQ
 from spark_bam_spark.tables import table
 
 
@@ -172,3 +173,48 @@ def array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getItem(0)
         .alias("first_token"),
     ).orderBy("doc_id")
+
+
+@register(
+    "scalar_fn_suite",
+    tags=("scalar", "bam"),
+    oracle=f"""
+    SELECT CAST(sum(block_pos * 3.0 + "offset") AS DOUBLE) AS sum_approx_distance,
+           CAST(sum(CASE WHEN regexp_matches(qname, '^[!-?A-~]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_names,
+           CAST(sum(CASE WHEN (pos & 15) <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_ops,
+           printf('%.1f', CAST(max(block_pos) AS DOUBLE) / 1024) || 'K' AS fmt_max_bp,
+           printf('%.1f', CAST(count(*) AS DOUBLE) / 1024) || 'K' AS fmt_n
+    FROM read_parquet('{_TRUTH_PQ}')
+    """,
+)
+def scalar_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining §2.8 scalars under driver-hash evidence (previously
+    scan-internal/pytest-only): pos_distance (Pos.scala:17-22, ratio 3.0
+    from file start so every term is an exact integer in DOUBLE — the
+    sum is order-independent), is_valid_read_name (Checker.scala:11-16
+    alphabet over every fixture qname), is_valid_cigar_op_int
+    (eager/Checker.scala:104 nibble rule, driven with the pos column so
+    the -1 no-coor rows exercise the invalid branch), and format_bytes
+    (CheckerApp.scala:157-159) on two aggregate values chosen away from
+    decimal-rounding half-cases (the oracle re-renders them with
+    printf)."""
+    from spark_bam_spark import functions as bf
+    from spark_bam_spark.queries.bam_qa import _reads
+
+    reads = _reads(spark, columns="qname,block_pos,offset,pos")
+    agg = reads.agg(
+        F.sum(
+            bf.pos_distance(F.lit(0), F.lit(0), F.col("block_pos"), F.col("offset"))
+        ).alias("sum_approx_distance"),
+        F.sum(bf.is_valid_read_name("qname").cast("long")).alias("n_valid_names"),
+        F.sum(bf.is_valid_cigar_op_int("pos").cast("long")).alias("n_valid_ops"),
+        F.max("block_pos").alias("max_bp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "sum_approx_distance",
+        "n_valid_names",
+        "n_valid_ops",
+        bf.format_bytes(F.col("max_bp")).alias("fmt_max_bp"),
+        bf.format_bytes(F.col("n")).alias("fmt_n"),
+    )
