@@ -344,7 +344,6 @@ def find_starts(spark: SparkSession, bam_path: str, probes: list[int]) -> DataFr
 
     import numpy as np
 
-    path = bam_path
     probe_df = spark.createDataFrame(
         [(int(p),) for p in probes], "probe long"
     ).repartition(max(1, min(16, len(probes) // 16)))
@@ -354,47 +353,40 @@ def find_starts(spark: SparkSession, bam_path: str, probes: list[int]) -> DataFr
         from spark_bam_spark.bam.checker import find_record_start
         from spark_bam_spark.bam.header import parse_header
 
-        with open(path, "rb") as f:
+        with open(bam_path, "rb") as f:
             info = parse_header(f).info()
         for pdf in batches:
             out = {"probe": [], "block_start": [], "rec_block_pos": [], "rec_offset": []}
-            for p in pdf["probe"].astype(np.int64):
-                p = int(p)
-                with open(path, "rb") as f:
+            with open(bam_path, "rb") as f:
+                for p in pdf["probe"].astype(np.int64):
+                    p = int(p)
                     f.seek(p)
                     raw = f.read(bgzf.MAX_BLOCK_SIZE * 2)
-                rel = bgzf.find_block_start(raw, 0)
-                if rel is None:
-                    continue  # no block at/after probe (past EOF window)
-                bstart = p + rel
-                # inflate a bounded lookahead window, tracking the
-                # (block start, uncompressed start) map so the found
-                # uncompressed offset converts back to a virtual position
-                starts: list[int] = []
-                ustarts: list[int] = []
-                parts: list[bytes] = []
-                s, total = bstart, 0
-                for _ in range(_LOOKAHEAD_BLOCKS):
-                    data, nxt = _cached_block(path, s)
-                    if not data:
-                        break
-                    starts.append(s)
-                    ustarts.append(total)
-                    parts.append(data)
-                    total += len(data)
-                    if nxt < 0:
-                        break
-                    s = nxt
-                if not parts:
-                    continue
-                u = find_record_start(b"".join(parts), 0, info)
-                if u is None:
-                    continue
-                i = bisect.bisect_right(ustarts, u) - 1
-                out["probe"].append(p)
-                out["block_start"].append(bstart)
-                out["rec_block_pos"].append(starts[i])
-                out["rec_offset"].append(u - ustarts[i])
+                    rel = bgzf.find_block_start(raw, 0)
+                    if rel is None:
+                        continue  # no block at/after probe (past EOF window)
+                    bstart = p + rel
+                    # inflate a lookahead window, widening (doubling up to
+                    # 256 blocks) until a record start lands inside it, so
+                    # the result matches the relational answer even when
+                    # several consecutive blocks hold no record start
+                    u = None
+                    n_blocks = _LOOKAHEAD_BLOCKS
+                    while True:
+                        flat, ustarts, starts = _window_with_bounds(bam_path, bstart, n_blocks)
+                        if not flat:
+                            break
+                        u = find_record_start(flat, 0, info)
+                        if u is not None or len(starts) < n_blocks or n_blocks >= 256:
+                            break
+                        n_blocks *= 2
+                    if u is None:
+                        continue
+                    i = bisect.bisect_right(ustarts, u) - 1
+                    out["probe"].append(p)
+                    out["block_start"].append(bstart)
+                    out["rec_block_pos"].append(starts[i])
+                    out["rec_offset"].append(u - ustarts[i])
             yield pd.DataFrame(
                 {
                     "probe": pd.Series(out["probe"], dtype="int64"),

@@ -196,9 +196,12 @@ def bam_find_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both answers relationally from the generator sidecars: the next
     block start is MIN(start ≥ probe) over the blocks table, and the
     record start is the (block_pos, offset)-minimal truth record at or
-    after that block.  A hash match therefore pins that the byte-level
-    sync primitives agree with set-level relational semantics at ~440
-    adversarial offsets (mid-block, mid-record, exact block starts)."""
+    after that block (the engine widens its inflate window until a
+    record start lands inside it, so both sides answer the same
+    unbounded question).  A hash match therefore pins that the
+    byte-level sync primitives agree with set-level relational semantics
+    at ~440 adversarial offsets (mid-block, mid-record, exact block
+    starts)."""
     from spark_bam_spark.operators.qa import find_starts
 
     return find_starts(spark, _fixture_path(), list(_PROBE_GRID))
@@ -217,10 +220,12 @@ def bam_index_blocks_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed index-blocks sink (IndexBlocks.scala:10-50 — one CSV
     part per partition, not the reference's single-node loop), then read
     the sidecar back and hash it against the generator's own blocks
-    parquet.  Pins the whole write→read round trip, not just the scan."""
+    parquet.  Pins the whole write→read round trip, not just the scan.
+    Per-call scratch dir (never a fixed /tmp path): concurrent sessions
+    sharing one dir would race on overwrite/rescan."""
     from spark_bam_spark.operators.qa import index_blocks
 
-    out = "/tmp/spark_bam_spark_fixture/idx_blocks_sink"
+    out = _fresh_rewrite_dir()
     index_blocks(spark, _fixture_path(), out)
     return spark.read.csv(
         out, schema="start long, compressed_size long, uncompressed_size long"
@@ -239,10 +244,11 @@ def bam_index_records_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S17 under driver-hash evidence (previously pytest-only): write
     every record's virtual position (block_pos, offset) through the
     distributed index-records sink (IndexRecords.scala:13-178), read the
-    sidecar back, and hash against the truth parquet's positions."""
+    sidecar back, and hash against the truth parquet's positions.
+    Per-call scratch dir, same rationale as bam_index_blocks_sink."""
     from spark_bam_spark.operators.qa import index_records
 
-    out = "/tmp/spark_bam_spark_fixture/idx_records_sink"
+    out = _fresh_rewrite_dir()
     index_records(_reads(spark, columns="block_pos,offset"), out)
     return spark.read.csv(out, schema="block_pos long, offset int")
 
@@ -456,7 +462,11 @@ def bam_pack_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap (~5 ranges per group).  The derived oracle re-implements the
     greedy independently as a DuckDB recursive CTE over the blocks
     parquet, so group boundaries, per-group range counts, byte totals
-    and extents must all agree."""
+    and extents must all agree.  The CTE models only the paths this
+    input can reach: no merging (the every-3rd selection leaves 2-block
+    gaps) and no oversize cap-cutting (every fixture block's ~2.9 KiB
+    span is far below the 16384 cap) — pack_ranges' merge and cut
+    branches are pinned separately in test_bam_datasource.py."""
     from spark_bam_spark.bam import bgzf
     from spark_bam_spark.bam.datasource import pack_ranges
 

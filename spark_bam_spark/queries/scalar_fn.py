@@ -197,8 +197,11 @@ def scalar_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the -1 no-coor rows exercise the invalid branch), and format_bytes
     (CheckerApp.scala:157-159) on two aggregate values chosen away from
     decimal-rounding half-cases (the oracle re-renders them with
-    printf)."""
-    from spark_bam_spark import functions as bf
+    printf).  The printf re-rendering additionally assumes both values
+    stay in format_bytes' K branch below 1024000 (format_number would
+    insert a thousands comma above that, and flip to the M branch at
+    1<<20, neither of which printf mirrors) — true of the frozen fixture
+    (353.6K, 2.4K) and re-checked by the hash every round."""
     from spark_bam_spark.queries.bam_qa import _reads
 
     reads = _reads(spark, columns="qname,block_pos,offset,pos")

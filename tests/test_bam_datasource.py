@@ -185,6 +185,25 @@ def test_permissive_mode_salvages_corrupt_file(spark_bam, bam, tmp_path):
         spark_bam.read.format("bam").option("split_size", 4096).load(corrupt).count()
 
 
+def test_pack_ranges_merge_and_cut_branches():
+    """O4 cappedCostGroups unit pins for the two branches the
+    bam_pack_ranges oracle deliberately does not model: overlapping/
+    adjacent candidate ranges merge before packing, and a range larger
+    than the cap is cut into cap-sized pieces that each ride alone."""
+    from spark_bam_spark.bam.datasource import pack_ranges
+
+    # cap = 300/3.0 = 100 compressed bytes
+    # overlap (0,50)+(40,90) and adjacency (90,120) merge into (0,120),
+    # which exceeds the cap and is cut at it; the 20-byte remainder then
+    # packs with (200,260) under the cap, and (300,340) overflows out
+    groups = pack_ranges([(0, 50), (40, 90), (90, 120), (200, 260), (300, 340)], 300)
+    assert groups == [[(0, 100)], [(100, 120), (200, 260)], [(300, 340)]]
+
+    # an oversize range mid-stream flushes the open group first
+    groups = pack_ranges([(0, 60), (100, 350), (400, 430)], 300)
+    assert groups == [[(0, 60)], [(100, 200)], [(200, 300)], [(300, 350), (400, 430)]]
+
+
 def test_cost_packed_indexed_partitions_balanced(spark_bam, tmp_path):
     """O4 cappedCostGroups: on a SKEWED interval query (all matching data
     clustered in one region of the file), packed partitions must track
