@@ -340,8 +340,6 @@ def find_starts(spark: SparkSession, bam_path: str, probes: list[int]) -> DataFr
     against a bounded byte window (≤2 BGZF blocks scanned for the block
     start, a few blocks inflated for the record start), so cost is
     O(probes), never O(file)."""
-    import bisect
-
     import numpy as np
 
     probe_df = spark.createDataFrame(
@@ -351,10 +349,12 @@ def find_starts(spark: SparkSession, bam_path: str, probes: list[int]) -> DataFr
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spark_bam_spark.bam import bgzf
         from spark_bam_spark.bam.checker import find_record_start
+        from spark_bam_spark.bam.datasource import _Window
         from spark_bam_spark.bam.header import parse_header
 
         with open(bam_path, "rb") as f:
-            info = parse_header(f).info()
+            hdr = parse_header(f)
+        info = hdr.info()
         for pdf in batches:
             out = {"probe": [], "block_start": [], "rec_block_pos": [], "rec_offset": []}
             with open(bam_path, "rb") as f:
@@ -366,27 +366,24 @@ def find_starts(spark: SparkSession, bam_path: str, probes: list[int]) -> DataFr
                     if rel is None:
                         continue  # no block at/after probe (past EOF window)
                     bstart = p + rel
-                    # inflate a lookahead window, widening (doubling up to
-                    # 256 blocks) until a record start lands inside it, so
-                    # the result matches the relational answer even when
-                    # several consecutive blocks hold no record start
-                    u = None
-                    n_blocks = _LOOKAHEAD_BLOCKS
-                    while True:
-                        flat, ustarts, starts = _window_with_bounds(bam_path, bstart, n_blocks)
-                        if not flat:
-                            break
-                        u = find_record_start(flat, 0, info)
-                        if u is not None or len(starts) < n_blocks or n_blocks >= 256:
-                            break
-                        n_blocks *= 2
-                    if u is None:
+                    # record sync exactly as the scan path does it
+                    # (datasource.py BamReader.read): a lazily-extended
+                    # uncompressed window with the ensure callback, so a
+                    # presumptive record spanning the window edge grows
+                    # the window instead of being blindly accepted, and
+                    # mid-record EOF is rejected
+                    win = _Window(f, bstart, hdr)
+                    if win.empty:
                         continue
-                    i = bisect.bisect_right(ustarts, u) - 1
+                    win.ensure(4 * MAX_BLOCK_SIZE)
+                    u = find_record_start(win.buf, 0, info, ensure=win.ensure)
+                    if u is None or u >= win.base_len():
+                        continue  # no record at/after this block (file tail)
+                    pos = win.to_pos(u)
                     out["probe"].append(p)
                     out["block_start"].append(bstart)
-                    out["rec_block_pos"].append(starts[i])
-                    out["rec_offset"].append(u - ustarts[i])
+                    out["rec_block_pos"].append(pos.block_pos)
+                    out["rec_offset"].append(pos.offset)
             yield pd.DataFrame(
                 {
                     "probe": pd.Series(out["probe"], dtype="int64"),

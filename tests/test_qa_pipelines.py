@@ -144,6 +144,43 @@ def test_find_starts_matches_sidecars(spark_bam, bam):
         assert got[p] == (want_block, want_rec[0], want_rec[1]), p
 
 
+def test_find_starts_widens_past_multi_block_record(spark_bam, tmp_path):
+    # A record spanning many tiny blocks leaves >4 consecutive blocks
+    # with no record start; find_starts must widen its inflate window
+    # (the fixed 4-block lookahead would return no row) and still agree
+    # with the sidecar-derived answer.
+    from spark_bam_spark.bam.records import BamRecord
+    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES, write_bam
+
+    def rec(i, seq_len):
+        return BamRecord(
+            qname=f"w{i:03d}", flag=0x1, ref_idx=0, pos=100 * i, mapq=30,
+            cigar=[(0, seq_len)], mate_ref_idx=0, mate_pos=100 * i + 10,
+            tlen=200, seq="A" * seq_len, qual=bytes([30] * seq_len))
+
+    # 5000bp record ≈ 7.5 KiB serialized → spans ~15 blocks at 512B payload
+    recs = [rec(0, 60), rec(1, 5000), rec(2, 60), rec(3, 60)]
+    path = str(tmp_path / "wide.bam")
+    res = write_bam(path, CONTIG_NAMES, CONTIG_LENGTHS, recs, block_payload=512)
+
+    block_starts = sorted(b.start for b in res.blocks)
+    rec_pos = sorted((p.block_pos, p.offset) for p in res.record_positions)
+    # probe inside the long record's span: after its start block, before
+    # the next record start — the first window there holds no record
+    long_start_block = rec_pos[1][0]
+    next_rec_block = rec_pos[2][0]
+    assert sum(1 for s in block_starts if long_start_block < s < next_rec_block) > 4
+    probes = [long_start_block + 1, rec_pos[1][0], 0]
+    got = {
+        r.probe: (r.block_start, r.rec_block_pos, r.rec_offset)
+        for r in qa.find_starts(spark_bam, path, probes).collect()
+    }
+    for p in probes:
+        want_block = min(s for s in block_starts if s >= p)
+        want_rec = min(r for r in rec_pos if r[0] >= want_block)
+        assert got[p] == (want_block, want_rec[0], want_rec[1]), p
+
+
 def test_upstream_checker_is_strictly_weaker(spark_bam, bam):
     calls = qa.calls(spark_bam, bam.path, stride=1)
     # any position eager accepts, upstream must accept (fewer checks)
