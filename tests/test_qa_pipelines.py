@@ -181,6 +181,36 @@ def test_find_starts_widens_past_multi_block_record(spark_bam, tmp_path):
         assert got[p] == (want_block, want_rec[0], want_rec[1]), p
 
 
+def test_find_starts_randomized_fixtures(spark_bam, tmp_path):
+    # Differential sweep over randomized fixture geometries: varied
+    # record counts, block payloads, and seeds; every probe must agree
+    # with the sidecar-derived relational answer.
+    import random
+
+    from spark_bam_spark.bam.writer import make_fixture
+
+    rng = random.Random(1307)
+    for n, payload in ((80, 512), (150, 1024), (300, 2048)):
+        seed = rng.randrange(10_000)
+        path = str(tmp_path / f"r{n}_{payload}.bam")
+        res = make_fixture(path, n=n, block_payload=payload, seed=seed)
+        block_starts = sorted(b.start for b in res.blocks)
+        rec_pos = sorted((p.block_pos, p.offset) for p in res.record_positions)
+        last = block_starts[-1]
+        probes = sorted({rng.randrange(last + 1) for _ in range(25)} | {0, last})
+        got = {
+            r.probe: (r.block_start, r.rec_block_pos, r.rec_offset)
+            for r in qa.find_starts(spark_bam, path, probes).collect()
+        }
+        for p in probes:
+            want_block = min(s for s in block_starts if s >= p)
+            want = min((r for r in rec_pos if r[0] >= want_block), default=None)
+            if want is None:
+                assert p not in got or got[p][0] == want_block
+                continue
+            assert got[p] == (want_block, want[0], want[1]), (n, payload, seed, p)
+
+
 def test_upstream_checker_is_strictly_weaker(spark_bam, bam):
     calls = qa.calls(spark_bam, bam.path, stride=1)
     # any position eager accepts, upstream must accept (fewer checks)
