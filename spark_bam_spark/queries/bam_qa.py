@@ -547,7 +547,9 @@ def bam_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sort_violations = 0), with no row lost (total_rows = 2500).
     Invariant-grade oracle: the partition BOUNDS come from Spark's range
     sampler and are not derivable relationally, but the contract is
-    deterministic and fully checked engine-side."""
+    deterministic and fully checked engine-side.  The final unpartitioned
+    window/agg runs over AT MOST 8 rows (one per partition, after the
+    mapInPandas reduction) — the data itself is never single-partitioned."""
     import pandas as pd
 
     from spark_bam_spark.operators.qa import sorted_range_repartition
