@@ -54,6 +54,37 @@ def test_query_chunks_cover_all_matching_records(bam):
         assert any(c.start <= v < c.end for c in chunks), f"record at {p} not covered"
 
 
+def test_query_chunks_randomized_coverage(tmp_path):
+    # Property sweep over randomized fixtures and intervals: planned
+    # chunks are always sorted and disjoint, and every record whose
+    # alignment overlaps the interval lies inside some chunk (the BAI
+    # contract — false positives allowed, false negatives never).
+    import random
+
+    from spark_bam_spark.bam.writer import synth_records
+
+    rng = random.Random(5821)
+    for n, payload in ((150, 1024), (400, 4096), (700, 2048)):
+        seed = rng.randrange(10_000)
+        path = str(tmp_path / f"c{n}_{payload}.bam")
+        res = make_fixture(path, n=n, block_payload=payload, seed=seed)
+        idx = parse_bai(path + ".bai")
+        recs = synth_records(n, seed=seed)
+        for _ in range(20):
+            ref = rng.randrange(3)
+            beg = rng.randrange(0, 2_000_000)
+            end = beg + rng.choice((1, 100, 16_384, 200_000, 2_000_000))
+            chunks = query_chunks(idx, ref, beg, end)
+            for a, b in zip(chunks, chunks[1:]):
+                assert a.end <= b.start, (n, seed, ref, beg, end)
+            for r, p in zip(recs, res.record_positions):
+                if r.ref_idx == ref and r.pos < end and max(r.end_pos, r.pos + 1) > beg:
+                    v = p.to_voffset()
+                    assert any(
+                        c.start <= v < c.end for c in chunks
+                    ), (n, seed, ref, beg, end, r.qname)
+
+
 def test_bai_pushdown_matches_full_scan(spark, bam):
     register(spark)
     full = (
