@@ -67,12 +67,18 @@ def _fixture_path() -> str:
 
 
 def _sam_fixture_path() -> str:
-    if not os.path.exists(_SAM_FIXTURE):
+    # genv marker like _fixture_path/_flagstat_fixture_path (r12 ADVICE
+    # pattern): existence alone would silently reuse a stale /tmp SAM
+    # after a generator change while the truth parquet regenerates
+    marker = f"{_SAM_FIXTURE}.genv{_FIXTURE_GEN_VERSION}"
+    if not (os.path.exists(_SAM_FIXTURE) and os.path.exists(marker)):
         _fixture_path()
         from spark_bam_spark.bam.sam import write_sam
         from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES, synth_records
 
         write_sam(_SAM_FIXTURE, CONTIG_NAMES, CONTIG_LENGTHS, synth_records(2500))
+        with open(marker, "w"):
+            pass
     return _SAM_FIXTURE
 
 
