@@ -1458,6 +1458,21 @@ def bam_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIG_FIXTURE = "/tmp/spark_bam_spark_fixture/scan50k.bam"
 
 
+def _big_fixture_path() -> str:
+    # genv marker like _fixture_path (r12 ADVICE pattern): a stale /tmp
+    # fixture after a generator change would hash-fail loudly against the
+    # regenerated committed truth — a false red the marker prevents
+    marker = f"{_BIG_FIXTURE}.genv{_FIXTURE_GEN_VERSION}"
+    if not (os.path.exists(_BIG_FIXTURE) and os.path.exists(marker)):
+        os.makedirs(os.path.dirname(_BIG_FIXTURE), exist_ok=True)
+        from spark_bam_spark.bam.writer import make_fixture
+
+        make_fixture(_BIG_FIXTURE, n=50000, block_payload=0xFF00)
+        with open(marker, "w"):
+            pass
+    return _BIG_FIXTURE
+
+
 @register(
     "bam_scan_50k",
     doc="S3 at throughput scale: 50k-record scan with full decode",
@@ -1467,11 +1482,7 @@ _BIG_FIXTURE = "/tmp/spark_bam_spark_fixture/scan50k.bam"
 def bam_scan_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-layer throughput probe: enough records that decode (not
     task overhead) dominates; counts every field decoded."""
-    if not os.path.exists(_BIG_FIXTURE):
-        os.makedirs(os.path.dirname(_BIG_FIXTURE), exist_ok=True)
-        from spark_bam_spark.bam.writer import make_fixture
-
-        make_fixture(_BIG_FIXTURE, n=50000, block_payload=0xFF00)
+    _big_fixture_path()
     from spark_bam_spark.bam.reader import read_bam, reader_choice
 
     key = (id(spark), _BIG_FIXTURE, 262144, None, reader_choice())
@@ -1535,14 +1546,12 @@ def bam_scan_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     work, and the ~0.9 s wall on local[32] is dominated by fixed Spark
     task/Arrow overhead, not decode. At cluster scale (reused workers,
     bigger files) the per-core decode rate is the binding constant."""
-    if not os.path.exists(_HUGE_FIXTURE):
+    marker = f"{_HUGE_FIXTURE}.genv{_FIXTURE_GEN_VERSION}"
+    if not (os.path.exists(_HUGE_FIXTURE) and os.path.exists(marker)):
         # reuse the 50k fixture as the tile source
-        if not os.path.exists(_BIG_FIXTURE):
-            os.makedirs(os.path.dirname(_BIG_FIXTURE), exist_ok=True)
-            from spark_bam_spark.bam.writer import make_fixture
-
-            make_fixture(_BIG_FIXTURE, n=50000, block_payload=0xFF00)
-        _tile_bam(_BIG_FIXTURE, _HUGE_FIXTURE, tiles=20)
+        _tile_bam(_big_fixture_path(), _HUGE_FIXTURE, tiles=20)
+        with open(marker, "w"):
+            pass
     from spark_bam_spark.bam.reader import read_bam, reader_choice
 
     key = (id(spark), _HUGE_FIXTURE, 1 << 22, None, reader_choice())
@@ -1624,9 +1633,12 @@ def _multi_fixture_paths() -> list[str]:
 
     paths = []
     for path, n, seed in _MULTI_FIXTURES:
-        if not os.path.exists(path):
+        marker = f"{path}.genv{_FIXTURE_GEN_VERSION}"
+        if not (os.path.exists(path) and os.path.exists(marker)):
             os.makedirs(os.path.dirname(path), exist_ok=True)
             make_fixture(path, n=n, block_payload=4096, seed=seed)
+            with open(marker, "w"):
+                pass
         paths.append(path)
     return paths
 
