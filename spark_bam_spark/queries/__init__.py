@@ -213,21 +213,11 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r13 (the 2 r12 entries — bam_stream_ingest, bam_scan_reads — both
-    # went hash-green in CORRECTNESS_r12 and are cleared per convention,
-    # so this round's window drains the full r7 vintage [26 queries] plus
-    # the oldest r8 entries).
-    #
-    # latestOffset(Offset, ReadLimit) now honors a Spark-side
-    # ReadLimit.maxFiles() (min with the max_files_per_batch option) —
-    # the batch-admission code changed even though the unlimited default
-    # path is behavior-identical (pinned by the ReadLimit tests):
-    "bam_stream_ingest",
-    # The Python source gained a streaming reader (BamStreamReader); its
-    # BATCH planner now resolves paths through self._paths (files_json
-    # hook) — behavior-identical for directory/file loads, but the
-    # planning code changed; represents the reader="py"-pinned queries:
-    "bam_scan_reads_py",
+    # r14: the 2 r13 entries — bam_stream_ingest, bam_scan_reads_py —
+    # both went hash-green in CORRECTNESS_r13 and are cleared per
+    # convention, so this round's window drains the full r8 vintage
+    # (31 queries, each pre-verified at sf0.1 by the r13 judge) plus the
+    # 19 oldest r10 entries.
 )
 
 
