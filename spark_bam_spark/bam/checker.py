@@ -271,11 +271,21 @@ def find_record_start(
 ) -> int | None:
     """Probe successive offsets until the eager predicate passes
     (FindRecordStart.scala:30-63). ``ensure`` is threaded to the checker
-    so candidate records spanning the window edge extend it."""
-    limit = min(len(buf), from_off + max_search)
-    for cand in range(from_off, limit + 1):
+    so candidate records spanning the window edge extend it.
+
+    The candidate horizon is recomputed from ``len(buf)`` every
+    iteration (r13 ADVICE): with a growable window, the checker's own
+    ``ensure`` calls extend ``buf`` as candidates approach its edge, so
+    the walk continues past the caller's pre-ensured span all the way to
+    ``from_off + max_search`` or true EOF — the same unbounded-up-to-
+    max_search question the DuckDB oracle answers.  With an immutable
+    ``bytes`` buffer (no ``ensure``) ``len(buf)`` never changes and the
+    behavior is identical to the historical fixed-limit loop."""
+    cand = from_off
+    while cand <= min(len(buf), from_off + max_search):
         if check_record_start(buf, cand, hdr, reads_to_check, max_read_size, ensure=ensure):
             return cand
+        cand += 1
     return None
 
 

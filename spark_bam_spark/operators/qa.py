@@ -332,9 +332,11 @@ def find_starts(spark: SparkSession, bam_path: str, probes: list[int]) -> DataFr
     surface: for each byte offset, the next BGZF block start at/after it
     (FindBlockStart.scala:8-37) and the first record start at/after that
     block (FindRecordStart.scala:30-63) — the two sync primitives every
-    split boundary resolution composes.  One task per probe batch; the
-    per-worker block LRU (S14) absorbs the overlapping windows exactly
-    like the checker sweep does.
+    split boundary resolution composes.  One task per probe batch; each
+    probe opens its own bounded ``_Window`` over the file and reads
+    blocks directly (seek + inflate) — NOT through the checker sweep's
+    per-worker block LRU (S14), whose coverage comes from the sweep
+    queries, not this probe surface (r13 ADVICE).
 
     Scale shape: probes are data-parallel and independent; each resolves
     against a bounded byte window (≤2 BGZF blocks scanned for the block

@@ -218,6 +218,20 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # convention, so this round's window drains the full r8 vintage
     # (31 queries, each pre-verified at sf0.1 by the r13 judge) plus the
     # 19 oldest r10 entries.
+    #
+    # r14 changes that must be re-hashed by the driver:
+    # bam_pack_ranges: fixture + oracle extended to force the merge (13
+    # events) and oversize-cut (3 events) branches under the driver hash
+    # (VERDICT r13 order #4) — output gains n_merges/n_cuts columns.
+    "bam_pack_ranges",
+    # find_record_start now recomputes its candidate horizon from the
+    # live window length (r13 ADVICE #2) — behavior-identical on the
+    # frozen fixtures (the old divergence needed a first record start
+    # beyond the 256 KiB pre-ensured window), but the sync-primitive
+    # code changed on both the probe surface and the py-reader split
+    # resolution path:
+    "bam_find_starts",
+    "bam_scan_reads_py",
 )
 
 

@@ -202,9 +202,12 @@ def bam_find_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both answers relationally from the generator sidecars: the next
     block start is MIN(start ≥ probe) over the blocks table, and the
     record start is the (block_pos, offset)-minimal truth record at or
-    after that block (the engine widens its inflate window until a
-    record start lands inside it, so both sides answer the same
-    unbounded question).  A hash match therefore pins that the
+    after that block (since r14 the engine's candidate walk recomputes
+    its horizon from the live window length, so the window's own growth
+    under ``ensure`` carries the search to ``max_search``/EOF and both
+    sides answer the same question up to that 100 MB bound — r13 ADVICE;
+    previously the walk stopped at the pre-ensured 256 KiB window, a
+    divergence unreachable on this fixture).  A hash match pins that the
     byte-level sync primitives agree with set-level relational semantics
     at ~440 adversarial offsets (mid-block, mid-record, exact block
     starts)."""
@@ -263,6 +266,18 @@ def bam_index_records_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine's query_chunks, rname for the oracle's truth join (header order
 # '1','2','3').  Chosen to cross 16 KiB linear windows, hit single bases,
 # whole contigs, sparse gaps, and the region past the last placed record.
+#
+# CONSTRAINT (r13 ADVICE): the oracle derives each record's chunk-end
+# voffset as lead(v0) over file order, which is NULL for the file's LAST
+# record — the truth parquet stores only record-start voffsets, and the
+# writer's true final chunk end (the last record's own end voffset inside
+# the final data block) is not derivable from the sidecars.  An interval
+# whose candidate island consists of ONLY the last record would therefore
+# get a NULL cend oracle-side and be dropped by the `c.cend > i.min_off`
+# guard while the engine emits it.  Every interval below selects islands
+# that include at least one non-final record; keep that property when
+# adding intervals (or extend the truth sidecar with record-end voffsets
+# first).
 _BAI_INTERVALS: tuple[tuple[int, str, int, int], ...] = (
     (0, "1", 0, 16384),
     (0, "1", 3511, 3608),
@@ -427,64 +442,148 @@ def bam_metadata_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_CAP = 16384  # split_size 49152 / EstimatedCompressionRatio 3.0
+
+
 @register(
     "bam_pack_ranges",
-    doc="O4 cappedCostGroups: cost-capped bin-packing of candidate byte ranges",
+    doc="O4 cappedCostGroups: cost-capped bin-packing incl. merge + oversize-cut branches",
     oracle=f"""
-    WITH RECURSIVE used AS (
-      SELECT lo, hi, row_number() OVER (ORDER BY lo) AS rn
-      FROM (
-        SELECT start AS lo, start + compressed_size AS hi,
-               row_number() OVER (ORDER BY start) AS brn
-        FROM read_parquet('{_BLOCKS_PQ}')
-      )
-      WHERE (brn - 1) % 3 = 0
+    WITH RECURSIVE b AS (
+      SELECT start AS lo, start + compressed_size AS hi,
+             compressed_size AS cs,
+             row_number() OVER (ORDER BY start) - 1 AS brn
+      FROM read_parquet('{_BLOCKS_PQ}')
+    ),
+    input AS (
+      SELECT lo, hi FROM b WHERE brn % 3 = 0
+      UNION ALL
+      SELECT a.lo + a.cs // 2 AS lo, n.hi AS hi
+      FROM b a JOIN b n ON n.brn = a.brn + 1
+      WHERE a.brn % 21 = 0
+      UNION ALL
+      SELECT a.lo, n.hi FROM b a JOIN b n ON a.brn = 60 AND n.brn = 79
+    ),
+    seq AS (
+      SELECT lo, hi,
+             max(hi) OVER (ORDER BY lo, hi
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM input
+    ),
+    tagged AS (
+      SELECT lo, hi,
+             sum(CASE WHEN pmax IS NULL OR lo > pmax THEN 1 ELSE 0 END)
+               OVER (ORDER BY lo, hi ROWS UNBOUNDED PRECEDING) AS iid
+      FROM seq
+    ),
+    islands AS (SELECT iid, min(lo) AS lo, max(hi) AS hi FROM tagged GROUP BY iid),
+    cuts AS (
+      SELECT lo + k * {_PACK_CAP} AS lo,
+             lo + (k + 1) * {_PACK_CAP} AS hi,
+             1 AS solo
+      FROM (SELECT lo, hi, unnest(range((hi - lo - 1) // {_PACK_CAP})) AS k
+            FROM islands)
+    ),
+    rem AS (
+      SELECT i.lo + ((i.hi - i.lo - 1) // {_PACK_CAP}) * {_PACK_CAP} AS lo,
+             i.hi AS hi, 0 AS solo
+      FROM islands i
+      WHERE i.lo + ((i.hi - i.lo - 1) // {_PACK_CAP}) * {_PACK_CAP} < i.hi
+    ),
+    items AS (
+      SELECT lo, hi, solo, row_number() OVER (ORDER BY lo, hi) AS rn
+      FROM (SELECT * FROM cuts UNION ALL SELECT * FROM rem)
     ),
     packed AS (
-      SELECT rn, lo, hi, 1 AS gid, hi - lo AS cost FROM used WHERE rn = 1
+      SELECT rn, lo, hi, solo, 1 AS gid,
+             CASE WHEN solo = 1 THEN 0 ELSE hi - lo END AS open_cost
+      FROM items WHERE rn = 1
       UNION ALL
-      SELECT u.rn, u.lo, u.hi,
-             CASE WHEN p.cost + (u.hi - u.lo) > 16384 THEN p.gid + 1 ELSE p.gid END AS gid,
-             CASE WHEN p.cost + (u.hi - u.lo) > 16384 THEN u.hi - u.lo
-                  ELSE p.cost + (u.hi - u.lo) END AS cost
-      FROM packed p JOIN used u ON u.rn = p.rn + 1
+      SELECT u.rn, u.lo, u.hi, u.solo,
+             CASE
+               WHEN u.solo = 1 THEN p.gid + 1
+               WHEN p.open_cost > 0
+                    AND p.open_cost + (u.hi - u.lo) <= {_PACK_CAP} THEN p.gid
+               ELSE p.gid + 1
+             END AS gid,
+             CASE
+               WHEN u.solo = 1 THEN 0
+               WHEN p.open_cost > 0
+                    AND p.open_cost + (u.hi - u.lo) <= {_PACK_CAP}
+                 THEN p.open_cost + (u.hi - u.lo)
+               ELSE u.hi - u.lo
+             END AS open_cost
+      FROM packed p JOIN items u ON u.rn = p.rn + 1
     )
     SELECT gid,
            CAST(count(*) AS BIGINT) AS n_ranges,
            CAST(sum(hi - lo) AS BIGINT) AS total_bytes,
            min(lo) AS min_lo,
-           max(hi) AS max_hi
+           max(hi) AS max_hi,
+           CAST((SELECT count(*) FROM input) - (SELECT count(*) FROM islands)
+                AS BIGINT) AS n_merges,
+           CAST((SELECT count(*) FROM cuts) AS BIGINT) AS n_cuts
     FROM packed
     GROUP BY gid
     """,
 )
 def bam_pack_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4 under driver-hash evidence (previously pytest-only): the
-    greedy cost-capped grouping the indexed scan uses to pack candidate
-    byte ranges into volume-balanced partitions (cappedCostGroups,
-    Intervals.scala:110-117).  Input: every 3rd block's compressed span
-    (disjoint, non-adjacent — exercises the no-merge path), split_size
-    49152 at the default 3.0 compression ratio = a 16384-byte compressed
-    cap (~5 ranges per group).  The derived oracle re-implements the
-    greedy independently as a DuckDB recursive CTE over the blocks
-    parquet, so group boundaries, per-group range counts, byte totals
-    and extents must all agree.  The CTE models only the paths this
-    input can reach: no merging (the every-3rd selection leaves 2-block
-    gaps) and no oversize cap-cutting (every fixture block's ~2.9 KiB
-    span is far below the 16384 cap) — pack_ranges' merge and cut
-    branches are pinned separately in test_bam_datasource.py."""
+    """O4 under driver-hash evidence, ALL branches (r13 VERDICT order
+    #4): the greedy cost-capped grouping the indexed scan uses to pack
+    candidate byte ranges into volume-balanced partitions
+    (cappedCostGroups, Intervals.scala:110-117; overlap pre-merge and
+    oversize cap-cutting included).  Input, derived identically on both
+    sides from the frozen blocks sidecar: every 3rd block's compressed
+    span (the pack path), PLUS an overlapping extender starting mid-block
+    at every 21st block (reaches into the next block's span — forces the
+    merge branch 13 times), PLUS one 20-block oversize range over blocks
+    60-79 (~58 KB against the 16384-byte compressed cap — forces the cut
+    branch 3 times, leaving an ~8.9 KB remainder that re-enters packing).
+    The derived oracle re-implements merge (running-max island
+    detection), cut (cap-strided piece expansion), and the greedy pack
+    walk (recursive CTE with flush-before-solo semantics) independently
+    in DuckDB SQL, so group boundaries, per-group range counts, byte
+    totals, extents, and the global merge/cut event counts must all
+    agree.  The n_merges/n_cuts columns ride on every row so the driver
+    hash itself proves both branches executed (>=1 each); the query also
+    asserts engine-side that pack_ranges emitted exactly n_cuts solo
+    cap-sized groups."""
     from spark_bam_spark.bam import bgzf
     from spark_bam_spark.bam.datasource import pack_ranges
 
     with open(_fixture_path(), "rb") as f:
         metas = list(bgzf.metadata_stream(f))
-    ranges = [
-        (m.start, m.start + m.compressed_size)
-        for i, m in enumerate(metas)
-        if i % 3 == 0
+    lo = [m.start for m in metas]
+    hi = [m.start + m.compressed_size for m in metas]
+    cs = [m.compressed_size for m in metas]
+    ranges = [(lo[i], hi[i]) for i in range(len(metas)) if i % 3 == 0]
+    ranges += [
+        (lo[i] + cs[i] // 2, hi[i + 1]) for i in range(0, len(metas) - 1, 21)
     ]
+    ranges.append((lo[60], hi[79]))
     groups = pack_ranges(ranges, split_size=49152, compression_ratio=3.0)
-    rows = [(gid, lo, hi) for gid, grp in enumerate(groups, 1) for lo, hi in grp]
+    # Branch-coverage accounting (hashed as constant columns): replay the
+    # documented merge spec to count islands, derive the cut count from
+    # island spans, and REQUIRE that pack_ranges' own output contains
+    # exactly that many solo cap-sized groups — if either branch were
+    # skipped, the assert (and the driver hash) fails.
+    merged: list[list[int]] = []
+    for l, h in sorted(ranges):
+        if merged and l <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], h)
+        elif h > l:
+            merged.append([l, h])
+    n_merges = len(ranges) - len(merged)
+    n_cuts = sum((h - l - 1) // _PACK_CAP for l, h in merged)
+    cut_groups = sum(
+        1 for g in groups if len(g) == 1 and g[0][1] - g[0][0] == _PACK_CAP
+    )
+    if not (n_merges >= 1 and n_cuts >= 1 and cut_groups == n_cuts):
+        raise AssertionError(
+            f"pack_ranges branch coverage broken: merges={n_merges}, "
+            f"cuts={n_cuts}, solo cap groups={cut_groups}"
+        )
+    rows = [(gid, lo_, hi_) for gid, grp in enumerate(groups, 1) for lo_, hi_ in grp]
     return (
         spark.createDataFrame(rows, "gid int, lo long, hi long")
         .groupBy("gid")
@@ -494,6 +593,8 @@ def bam_pack_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lo").alias("min_lo"),
             F.max("hi").alias("max_hi"),
         )
+        .withColumn("n_merges", F.lit(n_merges).cast("long"))
+        .withColumn("n_cuts", F.lit(n_cuts).cast("long"))
     )
 
 

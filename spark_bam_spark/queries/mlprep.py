@@ -1451,6 +1451,13 @@ SEMDEDUP_IVF_ORACLE_SQL = f"""
 # defined after the function for readability — can be referenced directly.
 register(
     "semdedup_prune_ivf",
+    # benched since r14 (VERDICT r13 order #1): the engine's own 100×
+    # measurement (IVF 91.4s vs flat 1503.9s, VERIFICATION_r13 §9f) makes
+    # this the at-scale SemDeDup path, so its wall-clock is tracked
+    # round-over-round in tier 2 alongside semdedup_prune_fast.  NOTE:
+    # BENCH_r14's headline2_total therefore includes one more query than
+    # r13's — compare per-query medians, not the raw tier total.
+    headline2=True,
     oracle=SEMDEDUP_IVF_ORACLE_SQL,
     tags=("dedup", "similarity", "embedding", "pandas-udf", "ivf"),
 )(semdedup_prune_ivf)

@@ -186,10 +186,11 @@ def test_permissive_mode_salvages_corrupt_file(spark_bam, bam, tmp_path):
 
 
 def test_pack_ranges_merge_and_cut_branches():
-    """O4 cappedCostGroups unit pins for the two branches the
-    bam_pack_ranges oracle deliberately does not model: overlapping/
-    adjacent candidate ranges merge before packing, and a range larger
-    than the cap is cut into cap-sized pieces that each ride alone."""
+    """O4 cappedCostGroups unit pins for the merge and cut branches
+    (since r14 ALSO driver-hashed end-to-end by bam_pack_ranges, whose
+    fixture forces 13 merges and 3 cuts): overlapping/adjacent candidate
+    ranges merge before packing, and a range larger than the cap is cut
+    into cap-sized pieces that each ride alone."""
     from spark_bam_spark.bam.datasource import pack_ranges
 
     # cap = 300/3.0 = 100 compressed bytes

@@ -181,6 +181,49 @@ def test_find_starts_widens_past_multi_block_record(spark_bam, tmp_path):
         assert got[p] == (want_block, want_rec[0], want_rec[1]), p
 
 
+def test_find_starts_horizon_extends_past_preensured_window(spark_bam, tmp_path):
+    # r13 ADVICE #2 regression: when the FIRST record start at/after a
+    # block lies beyond the caller's pre-ensured 4*MAX_BLOCK_SIZE
+    # (256 KiB) uncompressed window, find_record_start must keep walking
+    # — its candidate horizon is recomputed from the live window length,
+    # so the checker's own ensure calls extend the walk to the true next
+    # record instead of silently dropping the probe (the old fixed-limit
+    # loop returned no row here while the sidecar oracle has one).
+    from spark_bam_spark.bam.bgzf import MAX_BLOCK_SIZE
+    from spark_bam_spark.bam.records import BamRecord
+    from spark_bam_spark.bam.writer import CONTIG_LENGTHS, CONTIG_NAMES, write_bam
+
+    def rec(i, seq_len):
+        return BamRecord(
+            qname=f"h{i:03d}", flag=0x1, ref_idx=0, pos=100 * i, mapq=30,
+            cigar=[(0, seq_len)], mate_ref_idx=0, mate_pos=100 * i + 10,
+            tlen=200, seq="A" * seq_len, qual=bytes([30] * seq_len))
+
+    # 250_000bp record ≈ 375 KiB serialized (seq nibbles + qual bytes) —
+    # wider than the 256 KiB pre-ensured window by a full margin
+    recs = [rec(0, 60), rec(1, 250_000), rec(2, 60), rec(3, 60)]
+    path = str(tmp_path / "horizon.bam")
+    res = write_bam(path, CONTIG_NAMES, CONTIG_LENGTHS, recs, block_payload=8192)
+
+    block_starts = sorted(b.start for b in res.blocks)
+    rec_pos = sorted((p.block_pos, p.offset) for p in res.record_positions)
+    long_start_block = rec_pos[1][0]
+    next_rec_block = rec_pos[2][0]
+    # the gap really does exceed the pre-ensured window, uncompressed
+    gap_blocks = [b for b in res.blocks if long_start_block < b.start <= next_rec_block]
+    assert sum(b.uncompressed_size for b in gap_blocks) > 4 * MAX_BLOCK_SIZE
+
+    probes = [long_start_block + 1]
+    got = {
+        r.probe: (r.block_start, r.rec_block_pos, r.rec_offset)
+        for r in qa.find_starts(spark_bam, path, probes).collect()
+    }
+    p = probes[0]
+    want_block = min(s for s in block_starts if s >= p)
+    want_rec = min(r for r in rec_pos if r[0] >= want_block)
+    assert got[p] == (want_block, want_rec[0], want_rec[1])
+
+
 def test_find_starts_randomized_fixtures(spark_bam, tmp_path):
     # Differential sweep over randomized fixture geometries: varied
     # record counts, block payloads, and seeds; every probe must agree
