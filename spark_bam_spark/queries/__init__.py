@@ -232,6 +232,15 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # resolution path:
     "bam_find_starts",
     "bam_scan_reads_py",
+    # The planted-copy id offset moved +100,000 -> +SEM_PLANT_OFFSET (1e9)
+    # after the r14 100x campaign found the old offset aliases planted ids
+    # onto real vec_ids on the 100x tile (mlprep.py SEM_PLANT_OFFSET
+    # comment).  Cluster membership and decision STRUCTURE are unchanged
+    # at driver SFs, but the emitted vec_pruned/kept_vec values shift for
+    # planted rows, so all three decision-list queries need a fresh hash:
+    "semdedup_prune",
+    "semdedup_prune_fast",
+    "semdedup_prune_ivf",
 )
 
 

@@ -924,6 +924,15 @@ def ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_K = 8  # minimum clusters for the semantic blocking pass
 SEM_TARGET = 512  # target cluster size: K = max(SEM_K, ceil(n / SEM_TARGET))
 SEM_TAU = 0.99  # prune threshold (planted near-dups score ~0.9999)
+# Planted-copy id offset.  Must clear the corpus id range at ANY probe
+# scale, not just the bench SFs: the historical +100,000 aliased ~9k
+# planted ids onto REAL vec_ids on the 100x scale tile (ids 0..199,999),
+# fanning out every join-by-vec_id in the oracles and keying the decision
+# list ambiguously (found while closing the r13 100x oracle gap, VERDICT
+# r13 order #2).  1e9 clears a 10,000x tile of the sf0.1 corpus with two
+# orders of margin; the literal appears in both oracle SQL bodies via
+# f-string interpolation so engine and oracle can never diverge.
+SEM_PLANT_OFFSET = 1_000_000_000
 
 
 def _score_clusters_numpy(assigned: DataFrame) -> DataFrame:
@@ -969,7 +978,7 @@ def _semdedup_corpus(spark: SparkSession, sf_dir: str):
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
     planted = emb0.filter(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + SEM_PLANT_OFFSET).alias("vec_id"),
         F.expr("transform(v, (x, i) -> if(i = 0, x * 1.01d, x))").alias("v"),
     )
     corpus = fan_out(emb0.unionAll(planted))
@@ -1018,7 +1027,7 @@ _SEM_ASSIGN_SQL = f"""
     e AS (
       SELECT vec_id, v FROM e0
       UNION ALL
-      SELECT vec_id + 100000,
+      SELECT vec_id + {SEM_PLANT_OFFSET},
              list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END)
       FROM e0 WHERE vec_id % 11 = 0
     ),
@@ -1377,7 +1386,7 @@ SEMDEDUP_IVF_ORACLE_SQL = f"""
     e AS (
       SELECT vec_id, v FROM e0
       UNION ALL
-      SELECT vec_id + 100000,
+      SELECT vec_id + {SEM_PLANT_OFFSET},
              list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END)
       FROM e0 WHERE vec_id % 11 = 0
     ),

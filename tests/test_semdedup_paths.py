@@ -84,11 +84,13 @@ def test_ivf_ckpt_modes_agree(spark, sf_medium, monkeypatch):
 
 
 def test_fast_path_finds_exactly_the_planted_dups(spark):
+    from spark_bam_spark.queries.mlprep import SEM_PLANT_OFFSET
+
     rows = REGISTRY["semdedup_prune_fast"].fn(spark, "/root/testdata/sf0.01").collect()
-    # every planted copy (vec_id + 100000 of each vec_id % 11 == 0) must be
-    # pruned against its source, and nothing else reaches the 0.99 bar
+    # every planted copy (vec_id + SEM_PLANT_OFFSET of each vec_id % 11 == 0)
+    # must be pruned against its source, and nothing else reaches the 0.99 bar
     for r in rows:
-        assert r["vec_pruned"] == r["kept_vec"] + 100000
+        assert r["vec_pruned"] == r["kept_vec"] + SEM_PLANT_OFFSET
         assert r["kept_vec"] % 11 == 0
 
 
