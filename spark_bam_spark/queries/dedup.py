@@ -102,6 +102,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no exact duplicates, so the input unions a deterministic re-ingest
     (doc_id % 7) — the operator must find exactly those groups."""
     d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # Plant-offset scale bound (here and at every doc_id + 1_000_000 plant
+    # in dedup/curation/mlprep): collision-free while max doc_id < 1e6,
+    # i.e. through a 200x tile of the sf0.1 corpus (5,000 docs); the
+    # gen_scale campaigns probe <=100x.  The embedding-side plant hit the
+    # analogous bound at 100x and moved to SEM_PLANT_OFFSET=1e9 (r14);
+    # bump these the same way (with a _FORCE_RECHECK rotation) before any
+    # >=200x document-table campaign.
     reingest = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
