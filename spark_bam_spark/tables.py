@@ -45,9 +45,22 @@ def fan_out(df: DataFrame) -> DataFrame:
     the check is on planned partitions, not data size. Use before
     compute-dominated narrow stages only; for pure aggregations map-side
     partial aggregation beats shuffling full rows.
+
+    The threshold is deliberately GENEROUS (planned < 4x cores =>
+    repartition): planned-split count overstates real parallelism for
+    few-row-group files, because a parquet byte-range split only owns the
+    row groups whose midpoint lands in it.  The r14 100x campaign hit
+    exactly this: a ~107 MB single-file scan planned 13 splits but held 2
+    row groups, so 24 of 26 union tasks were EMPTY and the whole n*K
+    semdedup assignment ran in 2 straggler tasks (loadavg ~1 for ~20 min;
+    the old `planned * 2 <= cores` check judged 26 planned "wide enough").
+    The insurance cost when the input was already balanced is one narrow
+    shuffle of the rows — noise next to any stage this wrapper belongs in
+    front of; on a real cluster planned splits >> 4x cores and the input
+    passes through unchanged.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    if df.rdd.getNumPartitions() < 4 * target:
         return df.repartition(target)
     return df
 
