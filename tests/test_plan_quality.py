@@ -80,10 +80,16 @@ def test_whole_stage_codegen_active(spark, sf_small):
 def test_fan_out_is_noop_on_wide_input(spark, sf_small):
     from spark_bam_spark.tables import fan_out
 
-    li = table(spark, sf_small, "lineitem").repartition(64)
+    target = spark.sparkContext.defaultParallelism
+    li = table(spark, sf_small, "lineitem").repartition(4 * target)
     assert fan_out(li) is li  # cluster-shaped scans pass through untouched
+    # r14: planned < 4x cores takes the insurance shuffle — planned-split
+    # count overstates real parallelism for few-row-group parquet, so
+    # inputs in the old no-op band (planned*2 > cores) now repartition too
+    mid = table(spark, sf_small, "lineitem").repartition(2 * target)
+    assert fan_out(mid) is not mid
     one = table(spark, sf_small, "nation")
-    assert fan_out(one).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert fan_out(one).rdd.getNumPartitions() >= target
 
 
 @pytest.mark.parametrize(
