@@ -566,7 +566,13 @@ def bam_pack_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documented merge spec to count islands, derive the cut count from
     # island spans, and REQUIRE that pack_ranges' own output contains
     # exactly that many solo cap-sized groups — if either branch were
-    # skipped, the assert (and the driver hash) fails.
+    # skipped, the assert (and the driver hash) fails.  Frozen-fixture
+    # constraint: `cut_groups == n_cuts` assumes no merged island's span
+    # is an EXACT multiple of _PACK_CAP — such an island's remainder
+    # piece would itself be cap-sized and pack as one more solo cap group
+    # than the cut count.  Unreachable on the frozen blocks sidecar (and
+    # the genv marker pins that); if the fixture ever regenerates onto
+    # that edge, this assert fires loudly rather than hashing wrong.
     merged: list[list[int]] = []
     for l, h in sorted(ranges):
         if merged and l <= merged[-1][1]:
