@@ -304,6 +304,17 @@ def test_semdedup_blocks_pairs_by_cluster(spark, sf_small):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_semdedup_ivf_no_cartesian_no_python_eval(spark, sf_small):
+    # benched in tier 2 since r14 (the at-scale path): the two-level
+    # assignment must stay grouped-map + equi-join shaped — the only
+    # nested-loops allowed are the one-row packed-centroid broadcasts,
+    # and scoring stays inside the Arrow grouped-map (no row-at-a-time
+    # Python eval)
+    plan = plan_of(REGISTRY["semdedup_prune_ivf"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_gopher_rules_single_shuffle_no_python_eval(spark, sf_small):
     plan = plan_of(REGISTRY["gopher_rules_filter"].fn(spark, sf_small))
     # every rule (incl. the in-row repetition gate) is a narrow JVM map;
