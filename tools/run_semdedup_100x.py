@@ -20,6 +20,13 @@ oracle-grade evidence for that row with TWO independent checks:
    symmetric difference must stay within the documented nested-blocking
    delta (r13 measured 2 of 216k).
 
+3. **IVF deterministic-sample oracle** (``--ivf-sample-oracle``, r14):
+   same design as (1) for the at-scale path — materialize the REGISTERED
+   IVF oracle's two-level assignment chain (sliced at its pairwise
+   tail), sample every (g, fid) cell containing a bucketed vec_id, and
+   hash the engine's IVF decisions on those cells against the registered
+   pairwise tail recomputed cell-locally.
+
 Usage (tiles come from tools/gen_scale.py; sf10 = 100x of sf0.1):
 
     python tools/gen_scale.py --tiles 100 --src /root/testdata/sf0.1 \
@@ -98,12 +105,62 @@ def _sample_oracle_sql(prefix: str) -> str:
     """
 
 
+def _ivf_sample_oracle_sql(prefix: str) -> str:
+    """Registered IVF pairwise tail (mlprep.SEMDEDUP_IVF_ORACLE_SQL verbatim
+    shape: plain-double norms/dots, xx>0 guard, composite cluster label),
+    restricted to the (g, fid) cells containing a sampled vec_id; reads the
+    assignment from the materialized ivf_mat temp table."""
+    from spark_bam_spark.queries.mlprep import (
+        SEM_IVF_CELL_SHIFT,
+        SEM_PLANT_OFFSET,
+        SEM_TAU,
+    )
+
+    return f"""
+    WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    e AS (
+      SELECT vec_id, v FROM e0
+      UNION ALL
+      SELECT vec_id + {SEM_PLANT_OFFSET},
+             list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END)
+      FROM e0 WHERE vec_id % 11 = 0
+    ),
+    samp AS (SELECT DISTINCT g, fid FROM ivf_mat
+             WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, {len(prefix)}) = '{prefix}'),
+    mem AS (SELECT m.vec_id, m.g, m.fid, e.v
+            FROM ivf_mat m JOIN samp USING (g, fid) JOIN e USING (vec_id)),
+    ex AS (SELECT mem.vec_id, mem.g, mem.fid,
+                  unnest(list_transform(mem.v, (x, i) -> {{'i': i, 'x': x}}),
+                         recursive := true)
+           FROM mem),
+    norms AS (SELECT vec_id, SUM(x * x) AS xx FROM ex GROUP BY vec_id),
+    dots AS (SELECT a.g, a.fid, a.vec_id AS va, b.vec_id AS vb, SUM(a.x * b.x) AS dotp
+             FROM ex a JOIN ex b
+               ON a.g = b.g AND a.fid = b.fid AND a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY a.g, a.fid, a.vec_id, b.vec_id),
+    scored AS (SELECT g, fid, va, vb, dotp / (sqrt(na.xx) * sqrt(nb.xx)) AS cos
+               FROM dots
+               JOIN norms na ON na.vec_id = va
+               JOIN norms nb ON nb.vec_id = vb
+               WHERE na.xx > 0 AND nb.xx > 0)
+    SELECT g * {SEM_IVF_CELL_SHIFT} + fid AS cluster,
+           vb AS vec_pruned, CAST(MIN(va) AS BIGINT) AS kept_vec
+    FROM scored WHERE cos >= {SEM_TAU}
+    GROUP BY g, fid, vb
+    """
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/spark_bam_spark_scale/sf10")
     ap.add_argument("--bucket-prefix", default="000")
     ap.add_argument("--skip-flat", action="store_true",
                     help="skip the flat engine run + sample oracle (parity only)")
+    ap.add_argument("--ivf-sample-oracle", action="store_true",
+                    help="also materialize the registered IVF assignment chain "
+                         "and hash the engine's IVF decisions on the sampled "
+                         "(g, fid) cells against the registered pairwise tail")
     ap.add_argument("--full-oracle-check", action="store_true",
                     help="also run the registered FULL oracle (small tiles only)")
     args = ap.parse_args()
@@ -234,6 +291,71 @@ def main() -> int:
                 full_restr
             ) == _hash_rows(oracle_rows)
             ok = ok and report["full_oracle_restricted_match"]
+
+    # ---- deterministic-sample oracle, IVF path ---------------------------
+    if args.ivf_sample_oracle:
+        from spark_bam_spark.queries.mlprep import (
+            SEM_IVF_CELL_SHIFT,
+            SEMDEDUP_IVF_ORACLE_SQL,
+        )
+
+        # Assignment prefix of the REGISTERED IVF oracle: everything up to
+        # the pairwise tail's `ex AS (` marker (unique in the chain), i.e.
+        # the two-level cell assignment through fa2 — sliced, not
+        # re-implemented, so engine and campaign can never diverge on
+        # assignment semantics.
+        assign_prefix = SEMDEDUP_IVF_ORACLE_SQL.split("ex AS (")[0].rstrip().rstrip(",")
+        t0 = time.perf_counter()
+        con.execute(
+            "CREATE TEMP TABLE ivf_mat AS "
+            + assign_prefix
+            + " SELECT vec_id, g, fid FROM fa2"
+        )
+        report["ivf_oracle_assign_wall_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        ivf_oracle_rows = [
+            tuple(r)
+            for r in con.execute(
+                _ivf_sample_oracle_sql(args.bucket_prefix)
+            ).fetchall()
+        ]
+        report["ivf_oracle_pairwise_wall_s"] = round(time.perf_counter() - t0, 1)
+        samp_cells = {
+            g * SEM_IVF_CELL_SHIFT + fid
+            for (g, fid) in con.execute(
+                "SELECT DISTINCT g, fid FROM ivf_mat WHERE "
+                f"substr(md5(CAST(vec_id AS VARCHAR)), 1, {len(args.bucket_prefix)})"
+                f" = '{args.bucket_prefix}'"
+            ).fetchall()
+        }
+        report["ivf_sampled_cells"] = len(samp_cells)
+        report["ivf_total_cells"] = con.execute(
+            "SELECT count(DISTINCT (g, fid)) FROM ivf_mat"
+        ).fetchone()[0]
+        ivf_engine_rows = [
+            (r["cluster"], r["vec_pruned"], r["kept_vec"])
+            for r in ivf
+            if r["cluster"] in samp_cells
+        ]
+        report["ivf_sample_rows_engine"] = len(ivf_engine_rows)
+        report["ivf_sample_rows_oracle"] = len(ivf_oracle_rows)
+        report["ivf_sample_hash_engine"] = _hash_rows(ivf_engine_rows)
+        report["ivf_sample_hash_oracle"] = _hash_rows(ivf_oracle_rows)
+        report["ivf_sample_hash_match"] = (
+            report["ivf_sample_hash_engine"] == report["ivf_sample_hash_oracle"]
+        )
+        ok = ok and report["ivf_sample_hash_match"] and len(ivf_oracle_rows) > 0
+
+        if args.full_oracle_check:
+            ivf_full = [
+                tuple(r)
+                for r in con.execute(SEMDEDUP_IVF_ORACLE_SQL).fetchall()
+            ]
+            ivf_full_restr = [t for t in ivf_full if t[0] in samp_cells]
+            report["ivf_full_oracle_restricted_match"] = _hash_rows(
+                ivf_full_restr
+            ) == _hash_rows(ivf_oracle_rows)
+            ok = ok and report["ivf_full_oracle_restricted_match"]
 
     report["ok"] = bool(ok)
     print(json.dumps(report))
