@@ -205,6 +205,69 @@ def test_pack_ranges_merge_and_cut_branches():
     assert groups == [[(0, 60)], [(100, 200)], [(200, 300)], [(300, 350), (400, 430)]]
 
 
+def test_pack_ranges_randomized_invariants():
+    """O4 property sweep (same spirit as the r13 BAI-coverage and
+    find_starts randomized sweeps): on arbitrary inputs — overlapping,
+    adjacent, empty, oversize, unsorted — pack_ranges must preserve BYTE
+    COVERAGE exactly (the scan reads every candidate byte once and none
+    twice), emit disjoint strictly-increasing ranges, keep every group's
+    compressed span within the cap, and stay greedy-tight (a group is
+    only closed when its successor's first range genuinely overflows the
+    cap; solo cut pieces exempt)."""
+    import random
+
+    from spark_bam_spark.bam.datasource import pack_ranges
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(300):
+        n = rng.randint(0, 40)
+        ranges = []
+        for _ in range(n):
+            lo = rng.randint(0, 5_000)
+            span = rng.choice([0, rng.randint(1, 120), rng.randint(1, 2_500)])
+            ranges.append((lo, lo + span))
+        rng.shuffle(ranges)
+        split_size = rng.randint(3, 900)
+        ratio = rng.choice([1.0, 3.0, 7.5])
+        cap = max(1, int(split_size / ratio))
+
+        groups = pack_ranges(ranges, split_size, compression_ratio=ratio)
+        flat = [r for g in groups for r in g]
+
+        # coverage: exact byte-set equality with an independent interval
+        # union (set-based, order-free — nothing shared with the greedy)
+        want = set()
+        for lo, hi in ranges:
+            want.update(range(lo, hi))
+        got = set()
+        for lo, hi in flat:
+            assert hi > lo, (trial, flat)
+            piece = set(range(lo, hi))
+            assert not (got & piece), (trial, "double-read bytes", lo, hi)
+            got |= piece
+        assert got == want, (trial, "coverage broken")
+
+        # disjoint + globally sorted (file-order scan locality)
+        for (alo, ahi), (blo, bhi) in zip(flat, flat[1:]):
+            assert ahi <= blo, (trial, flat)
+
+        # cap: no group's compressed span exceeds the cap
+        for g in groups:
+            assert sum(hi - lo for lo, hi in g) <= cap, (trial, g, cap)
+
+        # greedy tightness: a non-final group followed by a non-solo-cut
+        # group must have been closed out of necessity
+        for ga, gb in zip(groups, groups[1:]):
+            first = gb[0]
+            if len(gb) == 1 and first[1] - first[0] == cap:
+                continue  # solo cut piece rides alone by design
+            if len(ga) == 1 and ga[0][1] - ga[0][0] == cap:
+                continue  # predecessor was itself a solo cut piece
+            assert sum(hi - lo for lo, hi in ga) + (first[1] - first[0]) > cap, (
+                trial, ga, gb, cap,
+            )
+
+
 def test_cost_packed_indexed_partitions_balanced(spark_bam, tmp_path):
     """O4 cappedCostGroups: on a SKEWED interval query (all matching data
     clustered in one region of the file), packed partitions must track
