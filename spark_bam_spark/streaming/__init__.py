@@ -496,3 +496,109 @@ def value_quantiles_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
             F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90_est"),
         )
     )
+
+
+def lsh_dedup_stream(
+    spark: SparkSession, landing_dir: str, state_dir: str, out_dir: str
+) -> None:
+    """Streaming incremental MinHash-LSH near-dedup with cross-batch
+    state: each micro-batch of landing documents is shingled and
+    band-min-hashed (the dedup_minhash_lsh signature contract, minus the
+    hub valve — see the registered query's docstring for the tradeoff),
+    joined against the persisted bucket-owner state, and every batch doc
+    that shares a band bucket with a lex-earlier doc is emitted as a
+    prune decision; then the state absorbs the batch's buckets.
+
+    Determinism contract that makes this oracle-checkable: precedence is
+    the INTRINSIC lex key (batch_tag = doc_id % 3, doc_id), never
+    arrival wall-time, and the state is the per-bucket lex-MIN owner — a
+    pure function of the set of docs seen so far.  Any split of the
+    tag-ordered landing files into consecutive micro-batches therefore
+    yields byte-identical decisions (a doc is pruned iff SOME lex-earlier
+    doc shares a bucket, regardless of which batch carried it).
+
+    Scale shape (the production nightly-crawl loop): state is
+    (band, sig) -> owner — O(distinct buckets), ~24 bytes each, NOT
+    O(corpus); it is min-mergeable, so at 100 TB it lives as a
+    hash-bucketed table the batch equi-joins against with no skew
+    (band hashes are uniform), and decisions append monotonically.
+    foreachBatch is the right Spark primitive because the per-batch
+    logic is a multi-stage batch plan (agg + join + agg) over a SMALL
+    increment — stateful-operator state stores hold row-level state,
+    not a relational table you join against.
+    """
+    import os
+    import shutil
+
+    from spark_bam_spark.queries.dedup import band_signatures
+
+    batch_schema = spark.read.parquet(os.path.join(landing_dir, "batch-0.parquet")).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(landing_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        s = band_signatures(batch_df.select("doc_id", "text")).withColumn(
+            "tag", F.col("doc_id") % 3
+        )
+        if os.path.isdir(state_dir):
+            state = ss.read.parquet(state_dir)
+        else:
+            state = ss.createDataFrame(
+                [], "band int, sig bigint, owner_tag bigint, owner_id bigint"
+            )
+        seen = s.select(
+            "band",
+            "sig",
+            F.col("tag").alias("owner_tag"),
+            F.col("doc_id").alias("owner_id"),
+        ).unionAll(state)
+        owners = (
+            seen.groupBy("band", "sig")
+            .agg(F.min(F.struct("owner_tag", "owner_id")).alias("o"))
+            .select(
+                "band",
+                "sig",
+                F.col("o.owner_tag").alias("owner_tag"),
+                F.col("o.owner_id").alias("owner_id"),
+            )
+        )
+        decisions = (
+            s.join(owners, ["band", "sig"])
+            .filter(
+                (F.col("owner_tag") < F.col("tag"))
+                | (
+                    (F.col("owner_tag") == F.col("tag"))
+                    & (F.col("owner_id") < F.col("doc_id"))
+                )
+            )
+            .groupBy("doc_id")
+            .agg(F.min(F.struct("owner_tag", "owner_id")).alias("o"))
+            .select(
+                F.col("doc_id").alias("doc_pruned"),
+                F.col("o.owner_id").alias("dup_of"),
+            )
+        )
+        decisions.write.mode("append").parquet(out_dir)
+        # state swap via write-aside + rename: `owners` reads the live
+        # state lazily, so overwriting in place would corrupt the read
+        tmp = f"{state_dir}.next-{batch_id}"
+        owners.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option(
+            "checkpointLocation",
+            os.path.join(os.path.dirname(state_dir.rstrip("/")), "_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -314,3 +314,54 @@ def test_value_quantiles_stream_honors_rank_contract(spark, sf_small, events_str
         r90 = vals.filter(F.col("value") <= p90).count() / n
         assert abs(r50 - 0.5) <= 0.03, f"{etype}: p50 rank {r50}"
         assert abs(r90 - 0.9) <= 0.03, f"{etype}: p90 rank {r90}"
+
+
+def test_lsh_dedup_stream_matches_global_and_crosses_batches(spark, sf_small):
+    """stream_dedup_minhash_lsh: (1) the 3-micro-batch streaming run must
+    equal a single-pass global recomputation (the lex-order contract
+    makes decisions batch-boundary-invariant); (2) at least one decision
+    must CROSS a batch boundary (owner in an earlier batch than the
+    pruned doc) — otherwise the persisted state is untested; (3) the
+    persisted state must be exactly one owner per distinct bucket."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.queries import REGISTRY
+    from spark_bam_spark.queries.dedup import band_signatures
+    from spark_bam_spark.tables import table
+
+    got = REGISTRY["stream_dedup_minhash_lsh"].fn(spark, sf_small)
+    got_rows = {(r.doc_pruned, r.dup_of) for r in got.collect()}
+
+    # (1) global recomputation with the same signature contract
+    s = band_signatures(
+        table(spark, sf_small, "documents").select("doc_id", "text")
+    ).withColumn("okey", (F.col("doc_id") % 3) * 1_000_000_000 + F.col("doc_id"))
+    owners = s.groupBy("band", "sig").agg(F.min("okey").alias("okey_own"))
+    want = (
+        s.join(owners, ["band", "sig"])
+        .filter(F.col("okey_own") < F.col("okey"))
+        .groupBy("doc_id")
+        .agg(F.min("okey_own").alias("o"))
+        .select(
+            F.col("doc_id").alias("doc_pruned"),
+            (F.col("o") % 1_000_000_000).alias("dup_of"),
+        )
+    )
+    want_rows = {(r.doc_pruned, r.dup_of) for r in want.collect()}
+    assert got_rows == want_rows and got_rows
+
+    # (2) cross-batch statefulness: some pruned doc's owner lives in an
+    # EARLIER batch (different tag) — pure within-batch dedup can't
+    # produce this row
+    assert any(p % 3 != d % 3 for p, d in got_rows)
+
+    # (3) state is one owner per distinct bucket
+    sf_name = os.path.basename(sf_small.rstrip("/"))
+    state = spark.read.parquet(
+        f"/tmp/spark_bam_spark_lsh_stream/{sf_name}/state"
+    )
+    n_state = state.count()
+    assert n_state == state.select("band", "sig").distinct().count()
+    assert n_state == s.select("band", "sig").distinct().count()
