@@ -498,6 +498,59 @@ def value_quantiles_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def lsh_dedup_batch_step(
+    batch_docs: DataFrame, state: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the incremental LSH dedup, as a pure frame
+    transform (unit- and plan-testable outside the stream): given the
+    batch's documents (doc_id, text, ...) and the current bucket-owner
+    state (band, sig, owner_tag, owner_id), return
+    ``(decisions, new_state)`` — the prune decisions for batch docs that
+    share a bucket with a lex-earlier doc, and the state with the
+    batch's buckets absorbed (per-bucket lex-MIN owner).  Plan shape:
+    band-signature aggregation, one (band, sig) equi-join against the
+    state, one per-doc min-aggregation — no cartesian, no Python eval
+    (pinned in test_plan_quality.py)."""
+    from spark_bam_spark.queries.dedup import band_signatures
+
+    s = band_signatures(batch_docs.select("doc_id", "text")).withColumn(
+        "tag", F.col("doc_id") % 3
+    )
+    seen = s.select(
+        "band",
+        "sig",
+        F.col("tag").alias("owner_tag"),
+        F.col("doc_id").alias("owner_id"),
+    ).unionAll(state)
+    owners = (
+        seen.groupBy("band", "sig")
+        .agg(F.min(F.struct("owner_tag", "owner_id")).alias("o"))
+        .select(
+            "band",
+            "sig",
+            F.col("o.owner_tag").alias("owner_tag"),
+            F.col("o.owner_id").alias("owner_id"),
+        )
+    )
+    decisions = (
+        s.join(owners, ["band", "sig"])
+        .filter(
+            (F.col("owner_tag") < F.col("tag"))
+            | (
+                (F.col("owner_tag") == F.col("tag"))
+                & (F.col("owner_id") < F.col("doc_id"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("owner_tag", "owner_id")).alias("o"))
+        .select(
+            F.col("doc_id").alias("doc_pruned"),
+            F.col("o.owner_id").alias("dup_of"),
+        )
+    )
+    return decisions, owners
+
+
 def lsh_dedup_stream(
     spark: SparkSession, landing_dir: str, state_dir: str, out_dir: str
 ) -> None:
@@ -530,8 +583,6 @@ def lsh_dedup_stream(
     import os
     import shutil
 
-    from spark_bam_spark.queries.dedup import band_signatures
-
     batch_schema = spark.read.parquet(os.path.join(landing_dir, "batch-0.parquet")).schema
     stream = (
         spark.readStream.schema(batch_schema)
@@ -542,47 +593,13 @@ def lsh_dedup_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
-        s = band_signatures(batch_df.select("doc_id", "text")).withColumn(
-            "tag", F.col("doc_id") % 3
-        )
         if os.path.isdir(state_dir):
             state = ss.read.parquet(state_dir)
         else:
             state = ss.createDataFrame(
                 [], "band int, sig bigint, owner_tag bigint, owner_id bigint"
             )
-        seen = s.select(
-            "band",
-            "sig",
-            F.col("tag").alias("owner_tag"),
-            F.col("doc_id").alias("owner_id"),
-        ).unionAll(state)
-        owners = (
-            seen.groupBy("band", "sig")
-            .agg(F.min(F.struct("owner_tag", "owner_id")).alias("o"))
-            .select(
-                "band",
-                "sig",
-                F.col("o.owner_tag").alias("owner_tag"),
-                F.col("o.owner_id").alias("owner_id"),
-            )
-        )
-        decisions = (
-            s.join(owners, ["band", "sig"])
-            .filter(
-                (F.col("owner_tag") < F.col("tag"))
-                | (
-                    (F.col("owner_tag") == F.col("tag"))
-                    & (F.col("owner_id") < F.col("doc_id"))
-                )
-            )
-            .groupBy("doc_id")
-            .agg(F.min(F.struct("owner_tag", "owner_id")).alias("o"))
-            .select(
-                F.col("doc_id").alias("doc_pruned"),
-                F.col("o.owner_id").alias("dup_of"),
-            )
-        )
+        decisions, owners = lsh_dedup_batch_step(batch_df, state)
         decisions.write.mode("append").parquet(out_dir)
         # state swap via write-aside + rename: `owners` reads the live
         # state lazily, so overwriting in place would corrupt the read

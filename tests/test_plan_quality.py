@@ -315,6 +315,25 @@ def test_semdedup_ivf_no_cartesian_no_python_eval(spark, sf_small):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_lsh_dedup_batch_step_no_cartesian_no_python_eval(spark, sf_small):
+    # the per-micro-batch plan of stream_dedup_minhash_lsh, pinned on
+    # static frames (the streaming query's returned frame is a parquet
+    # read of the decisions dir, so THIS is where its plan shape lives):
+    # band-sig agg + (band, sig) equi-join + per-doc min agg only
+    from spark_bam_spark.streaming import lsh_dedup_batch_step
+
+    docs = table(spark, sf_small, "documents")
+    state = spark.createDataFrame(
+        [], "band int, sig bigint, owner_tag bigint, owner_id bigint"
+    )
+    decisions, owners = lsh_dedup_batch_step(docs, state)
+    for df in (decisions, owners):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan_of(decisions)
+
+
 def test_gopher_rules_single_shuffle_no_python_eval(spark, sf_small):
     plan = plan_of(REGISTRY["gopher_rules_filter"].fn(spark, sf_small))
     # every rule (incl. the in-row repetition gate) is a narrow JVM map;
