@@ -213,34 +213,11 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r14: the 2 r13 entries — bam_stream_ingest, bam_scan_reads_py —
-    # both went hash-green in CORRECTNESS_r13 and are cleared per
-    # convention, so this round's window drains the full r8 vintage
-    # (31 queries, each pre-verified at sf0.1 by the r13 judge) plus the
-    # 19 oldest r10 entries.
-    #
-    # r14 changes that must be re-hashed by the driver:
-    # bam_pack_ranges: fixture + oracle extended to force the merge (13
-    # events) and oversize-cut (3 events) branches under the driver hash
-    # (VERDICT r13 order #4) — output gains n_merges/n_cuts columns.
-    "bam_pack_ranges",
-    # find_record_start now recomputes its candidate horizon from the
-    # live window length (r13 ADVICE #2) — behavior-identical on the
-    # frozen fixtures (the old divergence needed a first record start
-    # beyond the 256 KiB pre-ensured window), but the sync-primitive
-    # code changed on both the probe surface and the py-reader split
-    # resolution path:
-    "bam_find_starts",
-    "bam_scan_reads_py",
-    # The planted-copy id offset moved +100,000 -> +SEM_PLANT_OFFSET (1e9)
-    # after the r14 100x campaign found the old offset aliases planted ids
-    # onto real vec_ids on the 100x tile (mlprep.py SEM_PLANT_OFFSET
-    # comment).  Cluster membership and decision STRUCTURE are unchanged
-    # at driver SFs, but the emitted vec_pruned/kept_vec values shift for
-    # planted rows, so all three decision-list queries need a fresh hash:
-    "semdedup_prune",
-    "semdedup_prune_fast",
-    "semdedup_prune_ivf",
+    # r15: all 6 r14 entries — bam_pack_ranges, bam_find_starts,
+    # bam_scan_reads_py, semdedup_prune{,_fast,_ivf} — went hash-green in
+    # CORRECTNESS_r14 and are cleared per convention (VERDICT r14 order
+    # #3), so this round's window drains the 31-query r10 vintage (each
+    # pre-verified at sf0.1 by the r14 judge) plus the oldest r11 entries.
 )
 
 
