@@ -218,6 +218,16 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # CORRECTNESS_r14 and are cleared per convention (VERDICT r14 order
     # #3), so this round's window drains the 31-query r10 vintage (each
     # pre-verified at sf0.1 by the r14 judge) plus the oldest r11 entries.
+    #
+    # r15 changes that must be re-hashed by the driver:
+    # stream_dedup_minhash_lsh: the foreachBatch sink was hardened for
+    # the at-least-once failure envelope (per-batch_id overwrite decision
+    # dirs, pointer-committed delta state instead of rmtree+rename) and
+    # the per-batch state write became incremental (changed-buckets
+    # delta, O(batch) not O(state)).  Decisions are pinned byte-identical
+    # by test and re-simmed hash-green at sf0.01 + sf0.1, but both the
+    # engine chain and the decisions read-back path changed:
+    "stream_dedup_minhash_lsh",
 )
 
 

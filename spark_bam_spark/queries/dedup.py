@@ -1135,10 +1135,19 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     it in the batch step).  State is (band, sig) -> owner: O(distinct
     buckets) ~24 B rows, min-mergeable, equi-joined per batch on
     uniformly distributed keys — no skew, no growth with re-crawls.
+    Each batch WRITES only its changed buckets (an O(batch) delta,
+    published by an atomic pointer commit), decisions land in per-batch
+    overwrite dirs, and committed batches are skipped on replay — the
+    determinism contract holds across foreachBatch's at-least-once
+    restarts, not just the happy path (streaming.lsh_dedup_process_batch
+    documents the crash windows; tests simulate them).
 
-    The landing/state/decision dirs live under a per-sf /tmp root,
-    rebuilt from scratch each run (the stream — not the setup — is the
-    operator under test; a torn previous run must not leak state in)."""
+    The landing/state/decision dirs live under a per-sf /tmp root keyed
+    on a hash of the FULL sf_dir path (two sf dirs sharing a basename
+    must not collide on working state), rebuilt from scratch each run
+    (the stream — not the setup — is the operator under test; a torn
+    previous run must not leak state in)."""
+    import hashlib
     import os
     import shutil
     import time
@@ -1147,9 +1156,10 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_bam_spark.streaming import lsh_dedup_stream
 
+    full = os.path.abspath(sf_dir.rstrip("/"))
     root = os.path.join(
         "/tmp/spark_bam_spark_lsh_stream",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        f"{os.path.basename(full) or 'sf'}-{hashlib.md5(full.encode()).hexdigest()[:8]}",
     )
     if os.path.isdir(root):
         shutil.rmtree(root)
@@ -1176,16 +1186,28 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"      WHERE doc_id % 3 = {tag} ORDER BY doc_id)"
             f" TO '{path}' (FORMAT PARQUET)"
         )
-        # stagger mtimes so the file source's batch order is the tag
-        # order (correctness does not depend on it — see the lex-order
-        # contract — but keeping them aligned makes the run legible)
+        # stagger mtimes so the file source admits batches in tag order.
+        # This IS load-bearing for the decision stream: the lex-order
+        # contract makes decisions invariant to how the lex-ordered
+        # stream is SPLIT into batches, but decisions are append-only,
+        # so a lex-later batch admitted early would be emitted not-pruned
+        # and never revisited (only the STATE converges under any
+        # arrival order).  The staggered mtimes plus lexical batch-N
+        # filenames guarantee the required order.
         os.utime(path, (base + 10 * tag, base + 10 * tag))
     con.close()
 
     # pre-create + explicit schema: on a degenerate corpus (empty tables,
     # all-short docs) every batch's decision set is empty and Spark may
     # write no schema-carrying part files at all — inference would fail
-    # where the correct answer is simply zero rows
+    # where the correct answer is simply zero rows.  recursiveFileLookup
+    # descends into the per-batch_id subdirs the idempotent sink writes
+    # (streaming.lsh_dedup_process_batch) without treating them as
+    # partition columns.
     os.makedirs(out_dir, exist_ok=True)
     lsh_dedup_stream(spark, landing, state_dir, out_dir)
-    return spark.read.schema("doc_pruned bigint, dup_of bigint").parquet(out_dir)
+    return (
+        spark.read.schema("doc_pruned bigint, dup_of bigint")
+        .option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+    )

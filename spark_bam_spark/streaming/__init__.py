@@ -498,32 +498,72 @@ def value_quantiles_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
-def lsh_dedup_batch_step(
-    batch_docs: DataFrame, state: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """One micro-batch of the incremental LSH dedup, as a pure frame
-    transform (unit- and plan-testable outside the stream): given the
-    batch's documents (doc_id, text, ...) and the current bucket-owner
-    state (band, sig, owner_tag, owner_id), return
-    ``(decisions, new_state)`` — the prune decisions for batch docs that
-    share a bucket with a lex-earlier doc, and the state with the
-    batch's buckets absorbed (per-bucket lex-MIN owner).  Plan shape:
-    band-signature aggregation, one (band, sig) equi-join against the
-    state, one per-doc min-aggregation — no cartesian, no Python eval
-    (pinned in test_plan_quality.py)."""
-    from spark_bam_spark.queries.dedup import band_signatures
+_LSH_STATE_SCHEMA = "band int, sig bigint, owner_tag bigint, owner_id bigint"
 
-    s = band_signatures(batch_docs.select("doc_id", "text")).withColumn(
-        "tag", F.col("doc_id") % 3
-    )
-    seen = s.select(
-        "band",
-        "sig",
-        F.col("tag").alias("owner_tag"),
-        F.col("doc_id").alias("owner_id"),
-    ).unionAll(state)
-    owners = (
-        seen.groupBy("band", "sig")
+
+def lsh_state_pointer(state_root: str) -> int:
+    """Last COMMITTED batch id of the LSH-dedup state (-1 before the
+    first commit).  The pointer file is the state's single source of
+    truth: delta dirs beyond it are uncommitted leftovers of a torn
+    batch and are ignored by readers (the replaying batch overwrites
+    them)."""
+    import os
+
+    try:
+        with open(os.path.join(state_root, "CURRENT")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _lsh_commit_pointer(state_root: str, batch_id: int) -> None:
+    """Atomically advance the committed-batch pointer (write-aside +
+    ``os.replace``, the POSIX atomic-rename commit).  A crash before the
+    replace leaves the previous pointer — and therefore the previous
+    consistent state — in force; there is no window in which the state
+    root is empty or half-swapped (the r14 rmtree+rename swap had
+    exactly that window, and a restart silently reset state to empty)."""
+    import os
+
+    tmp = os.path.join(state_root, f"CURRENT.tmp-{batch_id}")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(state_root, "CURRENT"))
+
+
+def _lsh_delta_dirs(state_root: str) -> list[str]:
+    import os
+    import re
+
+    cur = lsh_state_pointer(state_root)
+    out = []
+    if cur < 0 or not os.path.isdir(state_root):
+        return out
+    for name in sorted(os.listdir(state_root)):
+        m = re.fullmatch(r"delta-(\d+)", name)
+        if m and int(m.group(1)) <= cur:
+            out.append(os.path.join(state_root, name))
+    return out
+
+
+def lsh_state(ss: SparkSession, state_root: str) -> DataFrame:
+    """Resolve the bucket-owner state from the committed deltas: owner of
+    a bucket = lex-MIN over every delta row for it.  Sound because each
+    delta carries a batch-local per-bucket MIN and min is idempotent and
+    mergeable — the state is a log-structured min-merge table.  Read
+    amplification grows with delta count; at steady state a background
+    compaction is this very aggregation written back as one base delta
+    (min over duplicated rows is idempotent, so a compaction that races
+    a reader is harmless) — not needed at driver SFs where the landing
+    zone is three batches."""
+    paths = _lsh_delta_dirs(state_root)
+    if not paths:
+        return ss.createDataFrame([], _LSH_STATE_SCHEMA)
+    deltas = ss.read.schema(_LSH_STATE_SCHEMA).parquet(*paths)
+    return (
+        deltas.groupBy("band", "sig")
         .agg(F.min(F.struct("owner_tag", "owner_id")).alias("o"))
         .select(
             "band",
@@ -532,8 +572,61 @@ def lsh_dedup_batch_step(
             F.col("o.owner_id").alias("owner_id"),
         )
     )
+
+
+def lsh_dedup_batch_step(
+    batch_docs: DataFrame, state: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the incremental LSH dedup, as a pure frame
+    transform (unit- and plan-testable outside the stream): given the
+    batch's documents (doc_id, text, ...) and the current bucket-owner
+    state (band, sig, owner_tag, owner_id), return
+    ``(decisions, changed)`` — the prune decisions for batch docs that
+    share a bucket with a lex-earlier doc, and ONLY the state rows this
+    batch changes (buckets that are new, or whose batch-local lex-MIN
+    beats the current owner).  The changed set is what makes the
+    per-batch state write O(batch buckets) instead of O(all buckets
+    ever) — at 100 TB a nightly increment appends a small delta instead
+    of rewriting the corpus-wide bucket table (r14 rewrote it
+    wholesale).  Plan shape: band-signature aggregation, one (band, sig)
+    LEFT equi-join probing the state (never a union + full re-agg of
+    it), one per-doc min-aggregation — no cartesian, no Python eval
+    (pinned in test_plan_quality.py)."""
+    from spark_bam_spark.queries.dedup import band_signatures
+
+    s = band_signatures(batch_docs.select("doc_id", "text")).withColumn(
+        "tag", F.col("doc_id") % 3
+    )
+    batch_owners = s.groupBy("band", "sig").agg(
+        F.min(
+            F.struct(F.col("tag").alias("owner_tag"), F.col("doc_id").alias("owner_id"))
+        ).alias("bo")
+    )
+    merged = batch_owners.join(
+        state.select(
+            "band", "sig", F.struct("owner_tag", "owner_id").alias("so")
+        ),
+        ["band", "sig"],
+        "left",
+    ).select(
+        "band",
+        "sig",
+        "bo",
+        "so",
+        F.when(F.col("so").isNull() | (F.col("bo") < F.col("so")), F.col("bo"))
+        .otherwise(F.col("so"))
+        .alias("o"),
+    )
     decisions = (
-        s.join(owners, ["band", "sig"])
+        s.join(
+            merged.select(
+                "band",
+                "sig",
+                F.col("o.owner_tag").alias("owner_tag"),
+                F.col("o.owner_id").alias("owner_id"),
+            ),
+            ["band", "sig"],
+        )
         .filter(
             (F.col("owner_tag") < F.col("tag"))
             | (
@@ -548,11 +641,58 @@ def lsh_dedup_batch_step(
             F.col("o.owner_id").alias("dup_of"),
         )
     )
-    return decisions, owners
+    changed = merged.filter(
+        F.col("so").isNull() | (F.col("bo") < F.col("so"))
+    ).select(
+        "band",
+        "sig",
+        F.col("bo.owner_tag").alias("owner_tag"),
+        F.col("bo.owner_id").alias("owner_id"),
+    )
+    return decisions, changed
+
+
+def lsh_dedup_process_batch(
+    batch_df: DataFrame, batch_id: int, state_root: str, out_dir: str
+) -> bool:
+    """The idempotent per-batch transaction (foreachBatch body, callable
+    directly for tests and backfills).  foreachBatch is AT-LEAST-ONCE: a
+    driver crash after the sink writes but before the epoch commits
+    re-delivers the same (batch_df, batch_id), so every effect here must
+    tolerate replay:
+
+    - decisions go to a per-``batch_id`` subdir in OVERWRITE mode — a
+      replay rewrites the same rows instead of double-appending (the r14
+      keyless ``append`` duplicated decision rows on retry);
+    - the state delta goes to ``delta-<batch_id>`` in OVERWRITE mode and
+      only the pointer commit (atomic rename) publishes it;
+    - a batch whose id is <= the committed pointer already finished both
+      writes and is skipped outright (returns False).
+
+    Crash windows: before the decisions write — replay recomputes from
+    the unchanged committed state; between the two writes — the delta is
+    unpublished, replay overwrites both; after the pointer commit — the
+    replay hits the skip guard.  Every window therefore converges to the
+    uninterrupted run's bytes."""
+    import os
+
+    if batch_id <= lsh_state_pointer(state_root):
+        return False
+    os.makedirs(state_root, exist_ok=True)
+    ss = batch_df.sparkSession
+    decisions, changed = lsh_dedup_batch_step(batch_df, lsh_state(ss, state_root))
+    decisions.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch-{batch_id:05d}")
+    )
+    changed.write.mode("overwrite").parquet(
+        os.path.join(state_root, f"delta-{batch_id:05d}")
+    )
+    _lsh_commit_pointer(state_root, batch_id)
+    return True
 
 
 def lsh_dedup_stream(
-    spark: SparkSession, landing_dir: str, state_dir: str, out_dir: str
+    spark: SparkSession, landing_dir: str, state_root: str, out_dir: str
 ) -> None:
     """Streaming incremental MinHash-LSH near-dedup with cross-batch
     state: each micro-batch of landing documents is shingled and
@@ -560,60 +700,59 @@ def lsh_dedup_stream(
     hub valve — see the registered query's docstring for the tradeoff),
     joined against the persisted bucket-owner state, and every batch doc
     that shares a band bucket with a lex-earlier doc is emitted as a
-    prune decision; then the state absorbs the batch's buckets.
+    prune decision; then the state absorbs the batch's changed buckets
+    as an O(batch) delta (lsh_dedup_process_batch).
 
     Determinism contract that makes this oracle-checkable: precedence is
     the INTRINSIC lex key (batch_tag = doc_id % 3, doc_id), never
-    arrival wall-time, and the state is the per-bucket lex-MIN owner — a
-    pure function of the set of docs seen so far.  Any split of the
-    tag-ordered landing files into consecutive micro-batches therefore
-    yields byte-identical decisions (a doc is pruned iff SOME lex-earlier
-    doc shares a bucket, regardless of which batch carried it).
+    arrival wall-time, and the state resolves to the per-bucket lex-MIN
+    owner — a pure function of the set of docs seen so far.  Any split
+    of the LEX-ORDERED landing files into consecutive micro-batches
+    therefore yields byte-identical decisions (a doc is pruned iff SOME
+    lex-earlier doc shares a bucket, regardless of which batch carried
+    it), and the contract extends across RESTARTS: replays of committed
+    batches are skipped, torn batches are rewritten in place, and the
+    pointer commit means no crash leaves the state empty or half-swapped.
+    Batch ARRIVAL order is load-bearing for the decision stream (not for
+    the state): decisions are append-only, so a lex-later batch admitted
+    early would emit its docs as not-pruned and never revisit them — the
+    landing zone must deliver batches in lex order (the registered
+    query's staggered mtimes + lexical filenames guarantee it; the state
+    itself min-merges to the same owners under ANY arrival order).
 
     Scale shape (the production nightly-crawl loop): state is
     (band, sig) -> owner — O(distinct buckets), ~24 bytes each, NOT
-    O(corpus); it is min-mergeable, so at 100 TB it lives as a
-    hash-bucketed table the batch equi-joins against with no skew
-    (band hashes are uniform), and decisions append monotonically.
-    foreachBatch is the right Spark primitive because the per-batch
-    logic is a multi-stage batch plan (agg + join + agg) over a SMALL
-    increment — stateful-operator state stores hold row-level state,
-    not a relational table you join against.
+    O(corpus); it is min-mergeable and log-structured (committed delta
+    dirs + an atomic pointer), so at 100 TB it lives as a hash-bucketed
+    table the batch equi-joins against with no skew (band hashes are
+    uniform), each nightly batch appends only its changed buckets, and a
+    background compaction folds deltas with the same min-merge the
+    reader runs (lsh_state).  foreachBatch is the right Spark primitive
+    because the per-batch logic is a multi-stage batch plan (agg + join
+    + agg) over a SMALL increment — stateful-operator state stores hold
+    row-level state, not a relational table you join against.
     """
     import os
-    import shutil
 
-    batch_schema = spark.read.parquet(os.path.join(landing_dir, "batch-0.parquet")).schema
+    os.makedirs(state_root, exist_ok=True)
+    # schema from the landing dir as a whole, not a hardcoded first file —
+    # any landing layout with a consistent schema works (r14 ADVICE)
+    batch_schema = spark.read.parquet(landing_dir).schema
     stream = (
         spark.readStream.schema(batch_schema)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(landing_dir)
     )
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        ss = batch_df.sparkSession
-        if os.path.isdir(state_dir):
-            state = ss.read.parquet(state_dir)
-        else:
-            state = ss.createDataFrame(
-                [], "band int, sig bigint, owner_tag bigint, owner_id bigint"
-            )
-        decisions, owners = lsh_dedup_batch_step(batch_df, state)
-        decisions.write.mode("append").parquet(out_dir)
-        # state swap via write-aside + rename: `owners` reads the live
-        # state lazily, so overwriting in place would corrupt the read
-        tmp = f"{state_dir}.next-{batch_id}"
-        owners.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
-
     q = (
-        stream.writeStream.foreachBatch(process)
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: lsh_dedup_process_batch(
+                batch_df, batch_id, state_root, out_dir
+            )
+        )
         .option(
             "checkpointLocation",
-            os.path.join(os.path.dirname(state_dir.rstrip("/")), "_ckpt"),
+            os.path.join(os.path.dirname(state_root.rstrip("/")), "_ckpt"),
         )
         .trigger(availableNow=True)
         .start()

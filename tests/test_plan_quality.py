@@ -319,15 +319,16 @@ def test_lsh_dedup_batch_step_no_cartesian_no_python_eval(spark, sf_small):
     # the per-micro-batch plan of stream_dedup_minhash_lsh, pinned on
     # static frames (the streaming query's returned frame is a parquet
     # read of the decisions dir, so THIS is where its plan shape lives):
-    # band-sig agg + (band, sig) equi-join + per-doc min agg only
+    # band-sig agg + (band, sig) LEFT equi-join PROBING the state (the
+    # state side must never be re-aggregated wholesale) + per-doc min agg
     from spark_bam_spark.streaming import lsh_dedup_batch_step
 
     docs = table(spark, sf_small, "documents")
     state = spark.createDataFrame(
         [], "band int, sig bigint, owner_tag bigint, owner_id bigint"
     )
-    decisions, owners = lsh_dedup_batch_step(docs, state)
-    for df in (decisions, owners):
+    decisions, changed = lsh_dedup_batch_step(docs, state)
+    for df in (decisions, changed):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
