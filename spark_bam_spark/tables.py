@@ -35,31 +35,96 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
+    """The ACTUAL parquet row-group count feeding ``df`` — the ground
+    truth for scan parallelism that planned-split counts only proxy —
+    when ``df`` is a narrow chain (project/filter) directly over a local
+    parquet scan; None when that can't be established (post-shuffle
+    frames, whose partitions are real regardless of the scan; joins;
+    non-parquet sources; remote filesystems).  Short-circuits at ``cap``
+    so at most ``cap`` footers are read, each a driver-side metadata-only
+    read (the same footer Spark itself reads to plan the scan).
+    """
+    import re
+    from urllib.parse import unquote, urlparse
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    for line in plan.splitlines():
+        m = re.match(r"[\s:+*-]*([A-Za-z][A-Za-z0-9]*)", line)
+        if m is None:
+            continue
+        # anything beyond project/filter/scan (Repartition, Join,
+        # Aggregate, Union, LogicalRDD, RelationV2, ...) means either the
+        # partitioning is no longer the scan's or the source isn't a
+        # plain parquet relation — row groups are not the bound there
+        if m.group(1) not in ("Project", "Filter", "Relation", "LogicalRelation"):
+            return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= cap:
+        return cap  # >=1 row group per file
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None  # remote FS: footers aren't one local read away
+        try:
+            total += pq.ParquetFile(unquote(parsed.path)).metadata.num_row_groups
+        except Exception:
+            return None
+        if total >= cap:
+            return cap
+    return total
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a scan that collapsed to fewer partitions than cores.
 
     The local fixtures are single-row-group parquet files, so Spark plans
     ONE input split and every narrow compute-heavy stage (explode, hash,
     per-row array math) runs serially. On a 1000-executor cluster the same
-    scan has thousands of splits and this returns the input unchanged —
-    the check is on planned partitions, not data size. Use before
-    compute-dominated narrow stages only; for pure aggregations map-side
-    partial aggregation beats shuffling full rows.
+    scan has thousands of splits and this returns the input unchanged.
+    Use before compute-dominated narrow stages only; for pure aggregations
+    map-side partial aggregation beats shuffling full rows.
 
-    The threshold is deliberately GENEROUS (planned < 4x cores =>
-    repartition): planned-split count overstates real parallelism for
-    few-row-group files, because a parquet byte-range split only owns the
-    row groups whose midpoint lands in it.  The r14 100x campaign hit
-    exactly this: a ~107 MB single-file scan planned 13 splits but held 2
-    row groups, so 24 of 26 union tasks were EMPTY and the whole n*K
-    semdedup assignment ran in 2 straggler tasks (loadavg ~1 for ~20 min;
-    the old `planned * 2 <= cores` check judged 26 planned "wide enough").
-    The insurance cost when the input was already balanced is one narrow
+    Scan-shaped inputs are judged on MEASURED row groups, not planned
+    splits (r14 found, r15 order #5 closed): a parquet byte-range split
+    only owns the row groups whose midpoint lands in it, so planned-split
+    count overstates real parallelism for few-row-group files — the r14
+    100x campaign's ~107 MB single-file scan planned 13 splits but held 2
+    row groups, ran 24 of 26 union tasks EMPTY, and put the whole n*K
+    semdedup assignment on 2 straggler tasks.  Effective scan parallelism
+    is bounded by BOTH planned splits (a task per split) and actual row
+    groups (an unsplittable unit each): pass through only when
+    min(planned, row_groups) >= cores.  The converse corner is real too —
+    a small file with many row groups plans ONE split, so row groups
+    alone don't clear it.
+
+    When ownership can't be measured (post-shuffle frames — an Exchange's
+    partitions are real; non-parquet sources; remote FS), the generous
+    r14 heuristic stands: planned < 4x cores => repartition.  The
+    insurance cost when the input was already balanced is one narrow
     shuffle of the rows — noise next to any stage this wrapper belongs in
     front of; on a real cluster planned splits >> 4x cores and the input
     passes through unchanged.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    rg = _scan_row_groups(df, target)
+    if rg is not None:
+        if min(rg, df.rdd.getNumPartitions()) >= target:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < 4 * target:
         return df.repartition(target)
     return df

@@ -81,15 +81,83 @@ def test_fan_out_is_noop_on_wide_input(spark, sf_small):
     from spark_bam_spark.tables import fan_out
 
     target = spark.sparkContext.defaultParallelism
+    # post-shuffle frames can't be judged by scan row groups (the
+    # Exchange's partitions are real): the generous planned-count
+    # heuristic applies — no-op at 4x cores, insurance shuffle below it
     li = table(spark, sf_small, "lineitem").repartition(4 * target)
-    assert fan_out(li) is li  # cluster-shaped scans pass through untouched
-    # r14: planned < 4x cores takes the insurance shuffle — planned-split
-    # count overstates real parallelism for few-row-group parquet, so
-    # inputs in the old no-op band (planned*2 > cores) now repartition too
+    assert fan_out(li) is li  # cluster-shaped inputs pass through untouched
     mid = table(spark, sf_small, "lineitem").repartition(2 * target)
     assert fan_out(mid) is not mid
+    # bare scans are judged on MEASURED row groups: the single-row-group
+    # fixture must spread regardless of what the planner would say
     one = table(spark, sf_small, "nation")
     assert fan_out(one).rdd.getNumPartitions() >= target
+
+
+def _write_rg_fixture(tmp_path, n_rows: int, row_group_size: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / f"rg_{n_rows}_{row_group_size}.parquet")
+    # incompressible-ish plain int64s so file size (and thus planned
+    # splits under a small maxPartitionBytes) scales with rows
+    tbl = pa.table({"x": [(i * 2654435761) % (2**61) for i in range(n_rows)]})
+    pq.write_table(
+        tbl, path, row_group_size=row_group_size,
+        use_dictionary=False, compression="NONE",
+    )
+    return path
+
+
+def test_fan_out_repartitions_on_measured_narrow_ownership(spark, tmp_path):
+    """The r14 100x cliff, reproduced in miniature: a file whose planned
+    splits clear even the generous 4x-cores bar but which holds only 2
+    row groups — 2 tasks would own ALL rows.  The measured branch must
+    take the repartition."""
+    from spark_bam_spark.tables import _scan_row_groups, fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    path = _write_rg_fixture(tmp_path, 400_000, 200_000)  # ~3.2 MB, 2 row groups
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        df = spark.read.parquet(path)
+        planned = df.rdd.getNumPartitions()
+        assert planned >= 4 * target  # the old heuristic would pass through
+        assert _scan_row_groups(df, target) == 2
+        out = fan_out(df)
+        assert out is not df and out.rdd.getNumPartitions() == target
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_fan_out_passes_through_measured_wide_scan(spark, tmp_path):
+    """A scan with >= cores row groups AND >= cores planned splits is
+    genuinely parallel and must pass through unchanged — the measured
+    branch's no-op side (and the converse pin: many row groups in a file
+    small enough to plan ONE split still repartitions, because a single
+    task would own every group)."""
+    from spark_bam_spark.tables import _scan_row_groups, fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    path = _write_rg_fixture(tmp_path, 6400 * max(1, target // 8), 50)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        df = spark.read.parquet(path)
+        assert df.rdd.getNumPartitions() >= target  # planned wide
+        assert _scan_row_groups(df, target) == target  # capped: >= target
+        assert fan_out(df) is df
+        # narrow projections over the scan keep the pass-through
+        proj = df.select((F.col("x") % 7).alias("m"))
+        assert fan_out(proj) is proj
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # same many-row-group file, default split planning: ONE planned split
+    # owns all groups — min(planned, row_groups) < cores => repartition
+    df1 = spark.read.parquet(path)
+    assert df1.rdd.getNumPartitions() < target
+    assert fan_out(df1).rdd.getNumPartitions() == target
 
 
 @pytest.mark.parametrize(
