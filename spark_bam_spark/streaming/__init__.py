@@ -501,33 +501,46 @@ def value_quantiles_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
 _LSH_STATE_SCHEMA = "band int, sig bigint, owner_tag bigint, owner_id bigint"
 
 
-def lsh_state_pointer(state_root: str) -> int:
-    """Last COMMITTED batch id of the LSH-dedup state (-1 before the
-    first commit).  The pointer file is the state's single source of
-    truth: delta dirs beyond it are uncommitted leftovers of a torn
-    batch and are ignored by readers (the replaying batch overwrites
+def _lsh_pointer_read(state_root: str) -> tuple[int, int]:
+    """(cur, base): the last COMMITTED batch id (-1 before the first
+    commit) and the generation id of the compacted base (-1 = none).
+    The pointer file is the state's single source of truth: delta/base
+    dirs it doesn't cover are uncommitted leftovers of a torn batch or
+    torn compaction and are ignored by readers (the retry overwrites
     them)."""
     import os
 
     try:
         with open(os.path.join(state_root, "CURRENT")) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        return -1
+            parts = f.read().split()
+        return int(parts[0]), (int(parts[1]) if len(parts) > 1 else -1)
+    except (FileNotFoundError, ValueError, IndexError):
+        return -1, -1
 
 
-def _lsh_commit_pointer(state_root: str, batch_id: int) -> None:
+def lsh_state_pointer(state_root: str) -> int:
+    """Last committed batch id (-1 before the first commit)."""
+    return _lsh_pointer_read(state_root)[0]
+
+
+def _lsh_commit_pointer(
+    state_root: str, batch_id: int, base: int | None = None
+) -> None:
     """Atomically advance the committed-batch pointer (write-aside +
     ``os.replace``, the POSIX atomic-rename commit).  A crash before the
     replace leaves the previous pointer — and therefore the previous
     consistent state — in force; there is no window in which the state
     root is empty or half-swapped (the r14 rmtree+rename swap had
-    exactly that window, and a restart silently reset state to empty)."""
+    exactly that window, and a restart silently reset state to empty).
+    ``base`` is preserved from the current pointer unless given (a
+    compaction commit sets it)."""
     import os
 
+    if base is None:
+        base = _lsh_pointer_read(state_root)[1]
     tmp = os.path.join(state_root, f"CURRENT.tmp-{batch_id}")
     with open(tmp, "w") as f:
-        f.write(str(batch_id))
+        f.write(f"{batch_id} {base}")
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(state_root, "CURRENT"))
@@ -537,15 +550,57 @@ def _lsh_delta_dirs(state_root: str) -> list[str]:
     import os
     import re
 
-    cur = lsh_state_pointer(state_root)
+    cur, base = _lsh_pointer_read(state_root)
     out = []
     if cur < 0 or not os.path.isdir(state_root):
         return out
+    base_dir = os.path.join(state_root, f"base-{base:05d}")
+    if base >= 0 and os.path.isdir(base_dir):
+        out.append(base_dir)
     for name in sorted(os.listdir(state_root)):
         m = re.fullmatch(r"delta-(\d+)", name)
-        if m and int(m.group(1)) <= cur:
+        if m and base < int(m.group(1)) <= cur:
             out.append(os.path.join(state_root, name))
     return out
+
+
+def lsh_state_compact(ss: SparkSession, state_root: str) -> int:
+    """Fold every committed delta (and the previous base) into ONE base
+    generation — the background job that bounds the reader's
+    min-merge amplification at steady state (lsh_state reads base + the
+    deltas after it).  Returns the number of superseded dirs GC'd
+    (0 = already compact / nothing committed).
+
+    Crash-safe by the same pointer protocol as the batch commits: the
+    new base is written BESIDE the live state as ``base-<cur>``, a
+    single atomic pointer replace publishes it (cur unchanged, base ->
+    cur), and only then are superseded dirs deleted.  A crash before the
+    pointer leaves the new base ignored (the rerun overwrites it); a
+    crash during GC leaves dirs the read rule already excludes (delta-k
+    with k <= base; older bases), and a rerun finishes the GC — min over
+    duplicated rows would be idempotent even if they weren't excluded."""
+    import os
+    import re
+    import shutil
+
+    cur, base = _lsh_pointer_read(state_root)
+    if cur < 0 or base == cur:
+        return 0
+    resolved = lsh_state(ss, state_root)
+    resolved.write.mode("overwrite").parquet(
+        os.path.join(state_root, f"base-{cur:05d}")
+    )
+    _lsh_commit_pointer(state_root, cur, base=cur)
+    gc = 0
+    for name in os.listdir(state_root):
+        m = re.fullmatch(r"(delta|base)-(\d+)", name)
+        if not m:
+            continue
+        k = int(m.group(2))
+        if (m.group(1) == "delta" and k <= cur) or (m.group(1) == "base" and k < cur):
+            shutil.rmtree(os.path.join(state_root, name))
+            gc += 1
+    return gc
 
 
 def lsh_state(ss: SparkSession, state_root: str) -> DataFrame:
@@ -553,11 +608,10 @@ def lsh_state(ss: SparkSession, state_root: str) -> DataFrame:
     a bucket = lex-MIN over every delta row for it.  Sound because each
     delta carries a batch-local per-bucket MIN and min is idempotent and
     mergeable — the state is a log-structured min-merge table.  Read
-    amplification grows with delta count; at steady state a background
-    compaction is this very aggregation written back as one base delta
-    (min over duplicated rows is idempotent, so a compaction that races
-    a reader is harmless) — not needed at driver SFs where the landing
-    zone is three batches."""
+    amplification grows with delta count; ``lsh_state_compact`` is the
+    background job that folds committed deltas into one base generation
+    under the same crash-safe pointer protocol, bounding reads at
+    steady state."""
     paths = _lsh_delta_dirs(state_root)
     if not paths:
         return ss.createDataFrame([], _LSH_STATE_SCHEMA)

@@ -554,3 +554,52 @@ def test_lsh_state_converges_under_any_arrival_order(spark, sf_small, tmp_path):
         for k in range(3)
     )
     assert total_delta > len(want_state)
+
+
+def test_lsh_state_compaction_preserves_state_and_bounds_reads(
+    spark, sf_small, tmp_path
+):
+    """lsh_state_compact folds committed deltas into one base generation
+    under the same pointer protocol: resolved state identical, reader
+    path count drops to 1, already-compact is a no-op, a TORN compaction
+    (base written, pointer not) is invisible, and post-compaction
+    batches resume incremental deltas on top of the base."""
+    import os
+
+    from spark_bam_spark.streaming import (
+        _lsh_delta_dirs,
+        _lsh_pointer_read,
+        lsh_dedup_process_batch,
+        lsh_state,
+        lsh_state_compact,
+    )
+
+    batches = _tag_batches(spark, sf_small)
+    state_root, out_dir = _run_batches(batches, str(tmp_path / "c"))
+    want = _state_rows(spark, state_root)
+    assert len(_lsh_delta_dirs(state_root)) == 3
+
+    # torn compaction: base dir written but pointer not bumped — ignored
+    lsh_state(spark, state_root).write.mode("overwrite").parquet(
+        os.path.join(state_root, "base-00002")
+    )
+    assert _lsh_pointer_read(state_root) == (2, -1)
+    assert len(_lsh_delta_dirs(state_root)) == 3  # still the deltas
+    assert _state_rows(spark, state_root) == want
+
+    # real compaction: 3 deltas folded into base-00002 (overwriting the
+    # torn leftover), pointer (2, 2), superseded dirs GC'd
+    assert lsh_state_compact(spark, state_root) == 3
+    assert _lsh_pointer_read(state_root) == (2, 2)
+    assert _lsh_delta_dirs(state_root) == [os.path.join(state_root, "base-00002")]
+    assert _state_rows(spark, state_root) == want
+
+    # already compact => no-op (never a self-overwrite of the live base)
+    assert lsh_state_compact(spark, state_root) == 0
+    assert _state_rows(spark, state_root) == want
+
+    # incremental batches resume on top of the base: re-feeding seen docs
+    # changes nothing (empty delta), and the pointer preserves base=2
+    assert lsh_dedup_process_batch(batches[0], 3, state_root, out_dir) is True
+    assert _lsh_pointer_read(state_root) == (3, 2)
+    assert _state_rows(spark, state_root) == want
