@@ -1083,10 +1083,11 @@ def band_signatures(docs: DataFrame) -> DataFrame:
 _STREAM_TAG_SPAN = 1_000_000_000
 
 
-@register(
-    "stream_dedup_minhash_lsh",
-    tags=("dedup", "lsh", "streaming", "stateful"),
-    oracle=f"""
+# Shared by the streaming query and its mid-stream-compaction twin: the
+# relational recomputation of the whole decision stream (owner of a
+# bucket = lex-min carrier; a doc is pruned iff some bucket it carries
+# has a lex-earlier owner; dup_of = the lex-min such owner).
+_STREAM_LSH_ORACLE_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     hashed AS (
       SELECT doc_id,
@@ -1107,7 +1108,13 @@ _STREAM_TAG_SPAN = 1_000_000_000
     FROM keyed k JOIN owners o USING (band, sig)
     WHERE o.okey < k.okey
     GROUP BY k.doc_id
-    """,
+    """
+
+
+@register(
+    "stream_dedup_minhash_lsh",
+    tags=("dedup", "lsh", "streaming", "stateful"),
+    oracle=_STREAM_LSH_ORACLE_SQL,
 )
 def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental MinHash-LSH near-dedup — the nightly-crawl
@@ -1147,6 +1154,41 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not collide on working state), rebuilt from scratch each run
     (the stream — not the setup — is the operator under test; a torn
     previous run must not leak state in)."""
+    return _lsh_stream_run(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_lsh_compacted",
+    tags=("dedup", "lsh", "streaming", "stateful"),
+    oracle=_STREAM_LSH_ORACLE_SQL,
+)
+def stream_dedup_lsh_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_dedup_minhash_lsh with the state MAINTENANCE loop in the
+    stream: after the second micro-batch commits, ``lsh_state_compact``
+    folds the committed deltas into one base generation INSIDE the
+    running query, and the third batch then joins against the compacted
+    state.  The oracle is byte-identical to the plain stream's — that IS
+    the pin: compaction must be invisible to the decision stream (the
+    resolved per-bucket lex-min owners are the same before and after the
+    fold), verified here by the driver's value hash rather than only by
+    pytest.  At 100 TB this is the nightly shape — ingest increments
+    land as O(batch) deltas, a periodic compaction bounds the reader's
+    min-merge amplification, and neither step may perturb decisions.
+
+    Working dirs live under a DISTINCT /tmp root (root_tag) so the twin
+    queries never share state in a sweep."""
+    return _lsh_stream_run(spark, sf_dir, root_tag="-compact", compact_after=1)
+
+
+def _lsh_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    root_tag: str = "",
+    compact_after: int | None = None,
+) -> DataFrame:
+    """Shared runner for the streaming LSH dedup queries: build the
+    tag-ordered landing zone, run the real Structured Streaming query
+    (optionally compacting mid-stream), return the decisions frame."""
     import hashlib
     import os
     import shutil
@@ -1159,7 +1201,8 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = os.path.abspath(sf_dir.rstrip("/"))
     root = os.path.join(
         "/tmp/spark_bam_spark_lsh_stream",
-        f"{os.path.basename(full) or 'sf'}-{hashlib.md5(full.encode()).hexdigest()[:8]}",
+        f"{os.path.basename(full) or 'sf'}-"
+        f"{hashlib.md5(full.encode()).hexdigest()[:8]}{root_tag}",
     )
     if os.path.isdir(root):
         shutil.rmtree(root)
@@ -1205,7 +1248,7 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (streaming.lsh_dedup_process_batch) without treating them as
     # partition columns.
     os.makedirs(out_dir, exist_ok=True)
-    lsh_dedup_stream(spark, landing, state_dir, out_dir)
+    lsh_dedup_stream(spark, landing, state_dir, out_dir, compact_after=compact_after)
     return (
         spark.read.schema("doc_pruned bigint, dup_of bigint")
         .option("recursiveFileLookup", "true")

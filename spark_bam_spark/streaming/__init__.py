@@ -746,7 +746,11 @@ def lsh_dedup_process_batch(
 
 
 def lsh_dedup_stream(
-    spark: SparkSession, landing_dir: str, state_root: str, out_dir: str
+    spark: SparkSession,
+    landing_dir: str,
+    state_root: str,
+    out_dir: str,
+    compact_after: int | None = None,
 ) -> None:
     """Streaming incremental MinHash-LSH near-dedup with cross-batch
     state: each micro-batch of landing documents is shingled and
@@ -785,6 +789,13 @@ def lsh_dedup_stream(
     because the per-batch logic is a multi-stage batch plan (agg + join
     + agg) over a SMALL increment — stateful-operator state stores hold
     row-level state, not a relational table you join against.
+
+    ``compact_after``: run ``lsh_state_compact`` inside the stream right
+    after that batch id commits — the steady-state maintenance loop
+    (ingest, ingest, compact, ingest, ...) as one streaming run.
+    Compaction is decision-invariant (the resolved owners are identical
+    before and after the fold) and replay-safe (already-compact is a
+    no-op), so the registered compacted twin carries the SAME oracle.
     """
     import os
 
@@ -798,12 +809,14 @@ def lsh_dedup_stream(
         .option("maxFilesPerTrigger", 1)
         .load(landing_dir)
     )
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        lsh_dedup_process_batch(batch_df, batch_id, state_root, out_dir)
+        if compact_after is not None and batch_id == compact_after:
+            lsh_state_compact(batch_df.sparkSession, state_root)
+
     q = (
-        stream.writeStream.foreachBatch(
-            lambda batch_df, batch_id: lsh_dedup_process_batch(
-                batch_df, batch_id, state_root, out_dir
-            )
-        )
+        stream.writeStream.foreachBatch(_body)
         .option(
             "checkpointLocation",
             os.path.join(os.path.dirname(state_root.rstrip("/")), "_ckpt"),

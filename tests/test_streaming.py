@@ -603,3 +603,31 @@ def test_lsh_state_compaction_preserves_state_and_bounds_reads(
     assert lsh_dedup_process_batch(batches[0], 3, state_root, out_dir) is True
     assert _lsh_pointer_read(state_root) == (3, 2)
     assert _state_rows(spark, state_root) == want
+
+
+def test_stream_dedup_lsh_compacted_twin_matches_and_compacts(spark, sf_small):
+    """The compacted twin must (1) produce byte-identical decisions to
+    the plain stream (compaction is invisible to the decision stream —
+    the driver pins this via the shared oracle; here we pin it
+    engine-vs-engine too), and (2) actually have compacted mid-stream:
+    after batch 1 the state folds to base-00001, and batch 2's delta
+    lands on top of it."""
+    import os
+
+    from spark_bam_spark.streaming import _lsh_delta_dirs, _lsh_pointer_read
+
+    reg = load_all()
+    plain = sorted(
+        map(tuple, reg["stream_dedup_minhash_lsh"].fn(spark, sf_small).collect())
+    )
+    compacted = sorted(
+        map(tuple, reg["stream_dedup_lsh_compacted"].fn(spark, sf_small).collect())
+    )
+    assert plain == compacted and plain
+
+    state_root = _lsh_stream_root(sf_small) + "-compact/state"
+    assert _lsh_pointer_read(state_root) == (2, 1)
+    assert [os.path.basename(p) for p in _lsh_delta_dirs(state_root)] == [
+        "base-00001",
+        "delta-00002",
+    ]
