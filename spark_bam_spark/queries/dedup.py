@@ -1055,18 +1055,28 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def band_signatures(docs: DataFrame) -> DataFrame:
+def band_signatures(docs: DataFrame, hub_h0: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, sig) band-min signatures — the dedup_minhash_lsh
     signature contract (same shingles, same independent 60-bit band
-    hashes, same min-aggregate-then-stack plan) WITHOUT the hub df-cap:
-    the streaming consumer trades the valve for a min-mergeable state
-    table (the cap needs a GLOBAL document-frequency pass, which no
-    bounded per-batch state can reproduce; see
-    stream_dedup_minhash_lsh)."""
+    hashes, same min-aggregate-then-stack plan) WITHOUT the hub df-cap
+    by default: the streaming consumer trades the valve for a
+    min-mergeable state table (the cap needs a GLOBAL document-frequency
+    pass, which no bounded per-batch state can reproduce; see
+    stream_dedup_minhash_lsh).
+
+    ``hub_h0`` is the production replacement: a frame of band-0 shingle
+    hashes (column ``h0``) derived OFFLINE with the registered df-cap
+    rule and broadcast-anti-joined out before min-hashing — at 100 TB a
+    periodic job refreshes the blocklist from a df pass and every
+    micro-batch applies it at O(|blocklist|) broadcast cost
+    (tests/test_lsh_df_cap.py pins the valve on the degenerate hub
+    corpus)."""
     sh = _shingles(docs, distinct=False)
     hashed = sh.select(
         "doc_id", *[_band_hash_col(b).alias(f"h{b}") for b in range(N_BANDS)]
     )
+    if hub_h0 is not None:
+        hashed = hashed.join(F.broadcast(hub_h0.select("h0")), "h0", "left_anti")
     sigs = hashed.groupBy("doc_id").agg(
         *[F.min(F.col(f"h{b}")).alias(f"sig_{b}") for b in range(N_BANDS)]
     )
@@ -1137,9 +1147,13 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs dedup_minhash_lsh (the bootstrap full-corpus pass): same
     signature contract, but the HUB VALVE IS DELIBERATELY ABSENT — the
     df-cap needs a global document-frequency pass, which a bounded
-    min-mergeable state cannot reproduce (at 100 TB you'd refresh a hub
-    blocklist offline from the state table's bucket sizes and anti-join
-    it in the batch step).  State is (band, sig) -> owner: O(distinct
+    min-mergeable state cannot reproduce.  The production form EXISTS as
+    code: an offline-refreshed blocklist broadcast-anti-joined in the
+    batch step (lsh_dedup_batch_step's ``hub_h0``; pinned on the
+    degenerate hub corpus in tests/test_lsh_df_cap.py) — this registered
+    query runs unvalved because the fixtures' max df (25) sits far below
+    the cap, so valved and unvalved are bit-identical here anyway.
+    State is (band, sig) -> owner: O(distinct
     buckets) ~24 B rows, min-mergeable, equi-joined per batch on
     uniformly distributed keys — no skew, no growth with re-crawls.
     Each batch WRITES only its changed buckets (an O(batch) delta,

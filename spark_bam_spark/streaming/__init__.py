@@ -629,7 +629,9 @@ def lsh_state(ss: SparkSession, state_root: str) -> DataFrame:
 
 
 def lsh_dedup_batch_step(
-    batch_docs: DataFrame, state: DataFrame
+    batch_docs: DataFrame,
+    state: DataFrame,
+    hub_h0: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of the incremental LSH dedup, as a pure frame
     transform (unit- and plan-testable outside the stream): given the
@@ -642,13 +644,18 @@ def lsh_dedup_batch_step(
     per-batch state write O(batch buckets) instead of O(all buckets
     ever) — at 100 TB a nightly increment appends a small delta instead
     of rewriting the corpus-wide bucket table (r14 rewrote it
-    wholesale).  Plan shape: band-signature aggregation, one (band, sig)
-    LEFT equi-join probing the state (never a union + full re-agg of
-    it), one per-doc min-aggregation — no cartesian, no Python eval
-    (pinned in test_plan_quality.py)."""
+    wholesale).  ``hub_h0`` is the offline-refreshed hub blocklist
+    (band-0 shingle hashes) broadcast-anti-joined before min-hashing —
+    the production form of the batch query's df-cap, which a bounded
+    per-batch state cannot compute online (see band_signatures; pinned
+    on the degenerate hub corpus in tests/test_lsh_df_cap.py).  Plan
+    shape: band-signature aggregation, one (band, sig) LEFT equi-join
+    probing the state (never a union + full re-agg of it), one per-doc
+    min-aggregation — no cartesian, no Python eval (pinned in
+    test_plan_quality.py)."""
     from spark_bam_spark.queries.dedup import band_signatures
 
-    s = band_signatures(batch_docs.select("doc_id", "text")).withColumn(
+    s = band_signatures(batch_docs.select("doc_id", "text"), hub_h0=hub_h0).withColumn(
         "tag", F.col("doc_id") % 3
     )
     batch_owners = s.groupBy("band", "sig").agg(

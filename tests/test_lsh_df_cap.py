@@ -142,3 +142,45 @@ def test_band_hashes_are_independent_and_engine_identical(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_stream_batch_step_hub_blocklist_anti_join(spark, hub_corpus_dir):
+    """The streaming feature's production hub path, as working code
+    (stream_dedup_minhash_lsh's docstring promise): derive the blocklist
+    OFFLINE with the registered df-cap rule, broadcast-anti-join it in
+    the batch step.  On the degenerate hub corpus the unvalved step
+    prunes lex-later docs through the hub bucket; with the blocklist
+    those decisions disappear (the private tails are pairwise-disjoint)
+    — the same suppression the batch query's in-line df-cap produces —
+    while the state still registers every private-tail bucket."""
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.queries.dedup import LSH_DF_CAP, _band_hash_col, _shingles
+    from spark_bam_spark.streaming import lsh_dedup_batch_step
+    from spark_bam_spark.tables import table
+
+    docs = table(spark, hub_corpus_dir, "documents").select("doc_id", "text")
+    empty_state = spark.createDataFrame(
+        [], "band int, sig bigint, owner_tag bigint, owner_id bigint"
+    )
+
+    # unvalved: the shared boilerplate trigram owns band minima for many
+    # docs, so hub-bucket collisions prune docs that share NO real content
+    dec_unvalved, _ = lsh_dedup_batch_step(docs, empty_state)
+    assert dec_unvalved.count() > 0
+
+    # offline blocklist: the registered df-cap rule over h0 (the same
+    # derivation dedup_minhash_lsh runs in-line)
+    hub = (
+        _shingles(docs, distinct=False)
+        .select("doc_id", _band_hash_col(0).alias("h0"))
+        .groupBy("h0")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > LSH_DF_CAP)
+        .select("h0")
+    )
+    assert hub.count() == 1  # exactly the boilerplate trigram
+
+    dec_valved, changed = lsh_dedup_batch_step(docs, empty_state, hub_h0=hub)
+    assert dec_valved.count() == 0  # disjoint tails => no true near-dups
+    assert changed.count() > 0  # private-tail buckets still enter state
