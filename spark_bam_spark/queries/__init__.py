@@ -213,21 +213,12 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r15: all 6 r14 entries — bam_pack_ranges, bam_find_starts,
-    # bam_scan_reads_py, semdedup_prune{,_fast,_ivf} — went hash-green in
-    # CORRECTNESS_r14 and are cleared per convention (VERDICT r14 order
-    # #3), so this round's window drains the 31-query r10 vintage (each
-    # pre-verified at sf0.1 by the r14 judge) plus the oldest r11 entries.
-    #
-    # r15 changes that must be re-hashed by the driver:
-    # stream_dedup_minhash_lsh: the foreachBatch sink was hardened for
-    # the at-least-once failure envelope (per-batch_id overwrite decision
-    # dirs, pointer-committed delta state instead of rmtree+rename) and
-    # the per-batch state write became incremental (changed-buckets
-    # delta, O(batch) not O(state)).  Decisions are pinned byte-identical
-    # by test and re-simmed hash-green at sf0.01 + sf0.1, but both the
-    # engine chain and the decisions read-back path changed:
-    "stream_dedup_minhash_lsh",
+    # r16: the single r15 entry — stream_dedup_minhash_lsh — went
+    # hash-green in CORRECTNESS_r15 and is cleared per convention
+    # (VERDICT r15 order #2), so this round's window drains the 31-query
+    # r11 vintage (each pre-verified at sf0.1 by the r15 judge) plus the
+    # oldest r12 entries.  r16 entries for code touched this round are
+    # appended below as the round's changes land.
 )
 
 
