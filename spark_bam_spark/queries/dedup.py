@@ -1086,6 +1086,32 @@ def band_signatures(docs: DataFrame, hub_h0: DataFrame | None = None) -> DataFra
     )
 
 
+def lsh_hub_blocklist(docs: DataFrame, cap: int = LSH_DF_CAP) -> DataFrame:
+    """Derive the offline hub-shingle blocklist — a one-column frame of
+    band-0 shingle hashes (``h0``) whose document frequency exceeds
+    ``cap`` — for ``band_signatures(hub_h0=...)`` and the streaming
+    entry points (``lsh_dedup_stream``): the SAME df-cap rule the batch
+    query ``dedup_minhash_lsh`` applies in-line, lifted out so a bounded
+    per-batch state can consume it as a broadcast anti-join.
+
+    Production shape: the df pass is one groupBy over the shingle stream
+    (uniform 60-bit keys, map-side combined) run PERIODICALLY over the
+    accumulated corpus — not per batch — and the result is tiny
+    (shingles with df > cap are by definition rare), so every nightly
+    micro-batch applies it at O(|blocklist|) broadcast cost.  h0 alone
+    identifies the shingle (the other band hashes are functions of the
+    same preimage), so blocking on h0 drops the whole shingle row before
+    min-hashing — exactly the in-line cap's semantics."""
+    return (
+        _shingles(docs, distinct=False)
+        .select("doc_id", _band_hash_col(0).alias("h0"))
+        .groupBy("h0")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("h0")
+    )
+
+
 # Lex key for streaming precedence: okey = batch_tag * SPAN + doc_id.
 # SPAN must clear the corpus id range at any probe scale (same class of
 # bound as SEM_PLANT_OFFSET, mlprep.py): 1e9 is collision-free while
@@ -1147,10 +1173,12 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs dedup_minhash_lsh (the bootstrap full-corpus pass): same
     signature contract, but the HUB VALVE IS DELIBERATELY ABSENT — the
     df-cap needs a global document-frequency pass, which a bounded
-    min-mergeable state cannot reproduce.  The production form EXISTS as
-    code: an offline-refreshed blocklist broadcast-anti-joined in the
-    batch step (lsh_dedup_batch_step's ``hub_h0``; pinned on the
-    degenerate hub corpus in tests/test_lsh_df_cap.py) — this registered
+    min-mergeable state cannot reproduce.  The production form is
+    END-TO-END executable: ``lsh_hub_blocklist`` derives the blocklist
+    offline with the registered df-cap rule and ``lsh_dedup_stream``
+    threads it through every micro-batch's transaction as a broadcast
+    anti-join (the full stream is pinned valved-vs-unvalved on the
+    degenerate hub corpus, tests/test_lsh_df_cap.py) — this registered
     query runs unvalved because the fixtures' max df (25) sits far below
     the cap, so valved and unvalved are bit-identical here anyway.
     State is (band, sig) -> owner: O(distinct

@@ -501,21 +501,34 @@ def value_quantiles_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
 _LSH_STATE_SCHEMA = "band int, sig bigint, owner_tag bigint, owner_id bigint"
 
 
-def _lsh_pointer_read(state_root: str) -> tuple[int, int]:
-    """(cur, base): the last COMMITTED batch id (-1 before the first
-    commit) and the generation id of the compacted base (-1 = none).
-    The pointer file is the state's single source of truth: delta/base
-    dirs it doesn't cover are uncommitted leftovers of a torn batch or
-    torn compaction and are ignored by readers (the retry overwrites
-    them)."""
+def _lsh_pointer_read_full(state_root: str) -> tuple[int, int, int]:
+    """(cur, base, max_okey): the last COMMITTED batch id (-1 before the
+    first commit), the generation id of the compacted base (-1 = none),
+    and the largest admitted lex key (-1 = none; the arrival-order
+    tripwire's watermark — see lsh_dedup_process_batch).  The pointer
+    file is the state's single source of truth: delta/base dirs it
+    doesn't cover are uncommitted leftovers of a torn batch or torn
+    compaction and are ignored by readers (the retry overwrites them).
+    Pointers written before the third field existed read as
+    max_okey = -1, which disables the tripwire for exactly one batch —
+    the conservative upgrade path."""
     import os
 
     try:
         with open(os.path.join(state_root, "CURRENT")) as f:
             parts = f.read().split()
-        return int(parts[0]), (int(parts[1]) if len(parts) > 1 else -1)
+        return (
+            int(parts[0]),
+            (int(parts[1]) if len(parts) > 1 else -1),
+            (int(parts[2]) if len(parts) > 2 else -1),
+        )
     except (FileNotFoundError, ValueError, IndexError):
-        return -1, -1
+        return -1, -1, -1
+
+
+def _lsh_pointer_read(state_root: str) -> tuple[int, int]:
+    """(cur, base) — see _lsh_pointer_read_full."""
+    return _lsh_pointer_read_full(state_root)[:2]
 
 
 def lsh_state_pointer(state_root: str) -> int:
@@ -524,7 +537,10 @@ def lsh_state_pointer(state_root: str) -> int:
 
 
 def _lsh_commit_pointer(
-    state_root: str, batch_id: int, base: int | None = None
+    state_root: str,
+    batch_id: int,
+    base: int | None = None,
+    max_okey: int | None = None,
 ) -> None:
     """Atomically advance the committed-batch pointer (write-aside +
     ``os.replace``, the POSIX atomic-rename commit).  A crash before the
@@ -532,18 +548,36 @@ def _lsh_commit_pointer(
     consistent state — in force; there is no window in which the state
     root is empty or half-swapped (the r14 rmtree+rename swap had
     exactly that window, and a restart silently reset state to empty).
-    ``base`` is preserved from the current pointer unless given (a
-    compaction commit sets it)."""
+    ``base`` and ``max_okey`` are preserved from the current pointer
+    unless given (a compaction commit sets base; a batch commit advances
+    max_okey).
+
+    Durability envelope: PROCESS-crash safe (the tests simulate every
+    torn window), and the pointer itself is fsynced (file, then the
+    containing dir after the rename) so a committed pointer survives
+    power loss — but the parquet delta/base writes it publishes are NOT
+    fsynced (Spark/Arrow writers don't expose it), so a power loss can
+    preserve a pointer whose newest delta lost bytes.  A deployment
+    needing full power-loss durability must fsync or replicate the
+    storage layer underneath (HDFS/object stores already do)."""
     import os
 
+    cur_base, cur_max = _lsh_pointer_read_full(state_root)[1:]
     if base is None:
-        base = _lsh_pointer_read(state_root)[1]
+        base = cur_base
+    if max_okey is None:
+        max_okey = cur_max
     tmp = os.path.join(state_root, f"CURRENT.tmp-{batch_id}")
     with open(tmp, "w") as f:
-        f.write(f"{batch_id} {base}")
+        f.write(f"{batch_id} {base} {max_okey}")
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(state_root, "CURRENT"))
+    dir_fd = os.open(state_root, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
 
 
 def _lsh_delta_dirs(state_root: str) -> list[str]:
@@ -554,8 +588,16 @@ def _lsh_delta_dirs(state_root: str) -> list[str]:
     out = []
     if cur < 0 or not os.path.isdir(state_root):
         return out
-    base_dir = os.path.join(state_root, f"base-{base:05d}")
-    if base >= 0 and os.path.isdir(base_dir):
+    if base >= 0:
+        base_dir = os.path.join(state_root, f"base-{base:05d}")
+        if not os.path.isdir(base_dir):
+            # the pointer promises this generation exists; silently
+            # skipping it would drop every pre-base bucket from the
+            # resolved state and emit wrong (missing) prune decisions
+            raise FileNotFoundError(
+                f"LSH state corrupt: pointer names base generation {base} "
+                f"but {base_dir} is missing"
+            )
         out.append(base_dir)
     for name in sorted(os.listdir(state_root)):
         m = re.fullmatch(r"delta-(\d+)", name)
@@ -714,7 +756,12 @@ def lsh_dedup_batch_step(
 
 
 def lsh_dedup_process_batch(
-    batch_df: DataFrame, batch_id: int, state_root: str, out_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    state_root: str,
+    out_dir: str,
+    hub_h0: DataFrame | None = None,
+    enforce_lex_order: bool = True,
 ) -> bool:
     """The idempotent per-batch transaction (foreachBatch body, callable
     directly for tests and backfills).  foreachBatch is AT-LEAST-ONCE: a
@@ -734,21 +781,59 @@ def lsh_dedup_process_batch(
     the unchanged committed state; between the two writes — the delta is
     unpublished, replay overwrites both; after the pointer commit — the
     replay hits the skip guard.  Every window therefore converges to the
-    uninterrupted run's bytes."""
+    uninterrupted run's bytes.
+
+    ``hub_h0`` is the offline hub blocklist
+    (queries.dedup.lsh_hub_blocklist), broadcast-anti-joined before
+    min-hashing — the production df-cap valve, threaded through from
+    lsh_dedup_stream.
+
+    Arrival-order tripwire (``enforce_lex_order``): the decision stream
+    is only correct when batches arrive in lex-key order (decisions are
+    append-only — a lex-later batch admitted early would be emitted
+    not-pruned and never revisited), so the pointer carries the largest
+    admitted lex key and a batch whose MIN key does not exceed it raises
+    loudly instead of silently diverging from the oracle.  The check is
+    one tiny min/max aggregate over the batch.  Pass False only for
+    state-only backfills whose decision output will be discarded — the
+    STATE min-merges to the same owners under any arrival order."""
     import os
+
+    from spark_bam_spark.queries.dedup import _STREAM_TAG_SPAN
 
     if batch_id <= lsh_state_pointer(state_root):
         return False
     os.makedirs(state_root, exist_ok=True)
+    okey = (F.col("doc_id") % 3) * _STREAM_TAG_SPAN + F.col("doc_id")
+    bounds = batch_df.select(F.min(okey).alias("lo"), F.max(okey).alias("hi")).first()
+    committed_max = _lsh_pointer_read_full(state_root)[2]
+    if (
+        enforce_lex_order
+        and bounds["lo"] is not None
+        and bounds["lo"] <= committed_max
+    ):
+        raise ValueError(
+            f"LSH dedup batch {batch_id} arrived out of lex order: its min "
+            f"key {bounds['lo']} does not exceed the max admitted key "
+            f"{committed_max} — the landing zone must deliver batches in "
+            f"lex order or the append-only decision stream diverges "
+            f"(state-only backfills may pass enforce_lex_order=False)"
+        )
     ss = batch_df.sparkSession
-    decisions, changed = lsh_dedup_batch_step(batch_df, lsh_state(ss, state_root))
+    decisions, changed = lsh_dedup_batch_step(
+        batch_df, lsh_state(ss, state_root), hub_h0=hub_h0
+    )
     decisions.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch-{batch_id:05d}")
     )
     changed.write.mode("overwrite").parquet(
         os.path.join(state_root, f"delta-{batch_id:05d}")
     )
-    _lsh_commit_pointer(state_root, batch_id)
+    _lsh_commit_pointer(
+        state_root,
+        batch_id,
+        max_okey=committed_max if bounds["hi"] is None else max(committed_max, bounds["hi"]),
+    )
     return True
 
 
@@ -758,6 +843,8 @@ def lsh_dedup_stream(
     state_root: str,
     out_dir: str,
     compact_after: int | None = None,
+    hub_h0: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Streaming incremental MinHash-LSH near-dedup with cross-batch
     state: each micro-batch of landing documents is shingled and
@@ -783,7 +870,10 @@ def lsh_dedup_stream(
     early would emit its docs as not-pruned and never revisit them — the
     landing zone must deliver batches in lex order (the registered
     query's staggered mtimes + lexical filenames guarantee it; the state
-    itself min-merges to the same owners under ANY arrival order).
+    itself min-merges to the same owners under ANY arrival order), and a
+    violation FAILS LOUDLY: the pointer carries the max admitted lex key
+    and lsh_dedup_process_batch raises when a batch's min key does not
+    exceed it, instead of silently diverging from the oracle.
 
     Scale shape (the production nightly-crawl loop): state is
     (band, sig) -> owner — O(distinct buckets), ~24 bytes each, NOT
@@ -803,6 +893,15 @@ def lsh_dedup_stream(
     Compaction is decision-invariant (the resolved owners are identical
     before and after the fold) and replay-safe (already-compact is a
     no-op), so the registered compacted twin carries the SAME oracle.
+
+    ``hub_h0``: the offline-refreshed hub blocklist
+    (queries.dedup.lsh_hub_blocklist) applied in every micro-batch's
+    batch step — the production df-cap valve, end-to-end
+    (tests/test_lsh_df_cap.py pins the full stream on the degenerate hub
+    corpus).  ``checkpoint_dir`` defaults to ``<state_root>/_ckpt`` so
+    the stream's offset log shares the state's lifetime — wiping the
+    state cannot leave a stale checkpoint that silently skips batches
+    (and vice versa).  Pass it explicitly to manage the two separately.
     """
     import os
 
@@ -818,7 +917,7 @@ def lsh_dedup_stream(
     )
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
-        lsh_dedup_process_batch(batch_df, batch_id, state_root, out_dir)
+        lsh_dedup_process_batch(batch_df, batch_id, state_root, out_dir, hub_h0=hub_h0)
         if compact_after is not None and batch_id == compact_after:
             lsh_state_compact(batch_df.sparkSession, state_root)
 
@@ -826,7 +925,7 @@ def lsh_dedup_stream(
         stream.writeStream.foreachBatch(_body)
         .option(
             "checkpointLocation",
-            os.path.join(os.path.dirname(state_root.rstrip("/")), "_ckpt"),
+            checkpoint_dir or os.path.join(state_root, "_ckpt"),
         )
         .trigger(availableNow=True)
         .start()

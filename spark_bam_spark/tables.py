@@ -68,14 +68,20 @@ def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
         return None
     if not files:
         return None
-    if len(files) >= cap:
-        return cap  # >=1 row group per file
     try:
         import pyarrow.parquet as pq
     except ImportError:
         return None
+    # Footers are MEASURED in the multi-file case too — inferring >=1 row
+    # group per file over-credits scans with empty part files (r15
+    # ADVICE #1).  Driver cost stays bounded: short-circuit at cap row
+    # groups, and give up (None => the generous 4x-planned heuristic)
+    # after 4*cap footers — reaching that without cap row groups means
+    # the layout is mostly-empty parts, exactly where inference lies.
     total = 0
-    for uri in files:
+    for n_read, uri in enumerate(files):
+        if n_read >= 4 * cap:
+            return None
         parsed = urlparse(uri)
         if parsed.scheme not in ("", "file"):
             return None  # remote FS: footers aren't one local read away

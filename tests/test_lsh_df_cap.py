@@ -153,9 +153,7 @@ def test_stream_batch_step_hub_blocklist_anti_join(spark, hub_corpus_dir):
     those decisions disappear (the private tails are pairwise-disjoint)
     — the same suppression the batch query's in-line df-cap produces —
     while the state still registers every private-tail bucket."""
-    from pyspark.sql import functions as F
-
-    from spark_bam_spark.queries.dedup import LSH_DF_CAP, _band_hash_col, _shingles
+    from spark_bam_spark.queries.dedup import lsh_hub_blocklist
     from spark_bam_spark.streaming import lsh_dedup_batch_step
     from spark_bam_spark.tables import table
 
@@ -169,18 +167,69 @@ def test_stream_batch_step_hub_blocklist_anti_join(spark, hub_corpus_dir):
     dec_unvalved, _ = lsh_dedup_batch_step(docs, empty_state)
     assert dec_unvalved.count() > 0
 
-    # offline blocklist: the registered df-cap rule over h0 (the same
-    # derivation dedup_minhash_lsh runs in-line)
-    hub = (
-        _shingles(docs, distinct=False)
-        .select("doc_id", _band_hash_col(0).alias("h0"))
-        .groupBy("h0")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") > LSH_DF_CAP)
-        .select("h0")
-    )
+    # offline blocklist: the package helper encoding the registered
+    # df-cap rule over h0 (the same derivation dedup_minhash_lsh inlines)
+    hub = lsh_hub_blocklist(docs)
     assert hub.count() == 1  # exactly the boilerplate trigram
 
     dec_valved, changed = lsh_dedup_batch_step(docs, empty_state, hub_h0=hub)
     assert dec_valved.count() == 0  # disjoint tails => no true near-dups
     assert changed.count() > 0  # private-tail buckets still enter state
+
+
+def test_stream_hub_blocklist_end_to_end(spark, hub_corpus_dir, tmp_path):
+    """The valve through the PRODUCTION entry point (r15 VERDICT order
+    #1): lsh_hub_blocklist derives the df-cap blocklist offline, and
+    lsh_dedup_stream threads it through every micro-batch's transaction
+    — the real Structured Streaming query on the degenerate hub corpus
+    emits hub-collision decisions unvalved and ZERO decisions valved,
+    while the state still registers the private-tail buckets."""
+    import os
+    import time
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.queries.dedup import lsh_hub_blocklist
+    from spark_bam_spark.streaming import lsh_dedup_stream, lsh_state
+    from spark_bam_spark.tables import table
+
+    docs = table(spark, hub_corpus_dir, "documents").select("doc_id", "text")
+    hub = lsh_hub_blocklist(docs)
+    assert hub.count() == 1  # exactly the boilerplate trigram
+
+    # tag-ordered landing zone, the registered runner's layout
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    docs_arrow = docs.toArrow()
+    con = duckdb.connect()
+    con.register("docs_arrow", docs_arrow)
+    base = time.time()
+    for tag in range(3):
+        path = os.path.join(landing, f"batch-{tag}.parquet")
+        con.execute(
+            f"COPY (SELECT doc_id, text FROM docs_arrow"
+            f"      WHERE doc_id % 3 = {tag} ORDER BY doc_id)"
+            f" TO '{path}' (FORMAT PARQUET)"
+        )
+        os.utime(path, (base + 10 * tag, base + 10 * tag))
+    con.close()
+
+    def run(root, hub_h0):
+        state = os.path.join(root, "state")
+        out = os.path.join(root, "decisions")
+        os.makedirs(out, exist_ok=True)
+        lsh_dedup_stream(spark, landing, state, out, hub_h0=hub_h0)
+        dec = (
+            spark.read.schema("doc_pruned bigint, dup_of bigint")
+            .option("recursiveFileLookup", "true")
+            .parquet(out)
+        )
+        return dec.count(), lsh_state(spark, state).count()
+
+    n_unvalved, _ = run(str(tmp_path / "unvalved"), None)
+    assert n_unvalved > 0  # hub-bucket collisions prune disjoint docs
+
+    n_valved, n_state = run(str(tmp_path / "valved"), hub)
+    assert n_valved == 0  # tails are pairwise-disjoint: no true near-dups
+    assert n_state > 0  # private-tail buckets still enter the state

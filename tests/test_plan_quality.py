@@ -131,6 +131,42 @@ def test_fan_out_repartitions_on_measured_narrow_ownership(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
+def test_fan_out_measures_empty_part_files(spark, tmp_path):
+    """Empty part files (0 row groups) must not inflate the measured
+    scan parallelism (r15 ADVICE #1): a dir with >= cores part files of
+    which only 2 hold data plans wide and would pass the old
+    >=1-row-group-per-file inference, but really owns 2 row groups —
+    the measured branch must repartition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_bam_spark.tables import _scan_row_groups, fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    d = tmp_path / "parts"
+    d.mkdir()
+    schema = pa.schema([("x", pa.int64())])
+    for i in range(2 * target):  # 0-row-group files, like Spark's empty tasks
+        pq.ParquetWriter(str(d / f"part-{i:05d}.parquet"), schema).close()
+    for i in range(2):
+        tbl = pa.table({"x": [(j * 2654435761) % (2**61) for j in range(200_000)]})
+        pq.write_table(
+            tbl, str(d / f"data-{i}.parquet"),
+            use_dictionary=False, compression="NONE",
+        )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        df = spark.read.parquet(str(d))
+        assert df.rdd.getNumPartitions() >= target  # planned wide
+        assert len(df.inputFiles()) >= target  # file-count inference would pass
+        assert _scan_row_groups(df, target) == 2  # measured truth
+        out = fan_out(df)
+        assert out is not df and out.rdd.getNumPartitions() == target
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_fan_out_passes_through_measured_wide_scan(spark, tmp_path):
     """A scan with >= cores row groups AND >= cores planned splits is
     genuinely parallel and must pass through unchanged — the measured

@@ -393,7 +393,7 @@ def _tag_batches(spark, sf_dir):
     return [docs.filter(F.col("doc_id") % 3 == t) for t in range(3)]
 
 
-def _run_batches(batches, root):
+def _run_batches(batches, root, **kwargs):
     import os
 
     from spark_bam_spark.streaming import lsh_dedup_process_batch
@@ -402,7 +402,7 @@ def _run_batches(batches, root):
     out_dir = os.path.join(root, "decisions")
     os.makedirs(out_dir, exist_ok=True)
     for i, b in enumerate(batches):
-        assert lsh_dedup_process_batch(b, i, state_root, out_dir) is True
+        assert lsh_dedup_process_batch(b, i, state_root, out_dir, **kwargs) is True
     return state_root, out_dir
 
 
@@ -532,17 +532,22 @@ def test_lsh_state_converges_under_any_arrival_order(spark, sf_small, tmp_path):
     lex order must resolve to the same per-bucket lex-min owners (a pure
     function of the docs seen).  Decisions are order-dependent by design
     (append-only; the landing zone owns ordering — see the registered
-    query's setup comment), so only the state is compared.  Reverse
-    arrival also exercises the IMPROVEMENT branch of the changed-bucket
-    computation (a later batch carrying a lex-earlier owner rewrites the
-    bucket), which lex-order arrival can never hit."""
+    query's setup comment), so only the state is compared — which is why
+    the reversed feed passes enforce_lex_order=False, the state-only
+    backfill hatch (the tripwire's default-on behavior is pinned in
+    test_lsh_out_of_order_batch_raises).  Reverse arrival also exercises
+    the IMPROVEMENT branch of the changed-bucket computation (a later
+    batch carrying a lex-earlier owner rewrites the bucket), which
+    lex-order arrival can never hit."""
     import os
 
     batches = _tag_batches(spark, sf_small)
     ref_state, _ = _run_batches(batches, str(tmp_path / "fwd"))
     want_state = _state_rows(spark, ref_state)
 
-    state_root, _ = _run_batches(list(reversed(batches)), str(tmp_path / "rev"))
+    state_root, _ = _run_batches(
+        list(reversed(batches)), str(tmp_path / "rev"), enforce_lex_order=False
+    )
     assert _state_rows(spark, state_root) == want_state
 
     # the improvement branch fired: some bucket appears in >1 delta
@@ -599,8 +604,15 @@ def test_lsh_state_compaction_preserves_state_and_bounds_reads(
     assert _state_rows(spark, state_root) == want
 
     # incremental batches resume on top of the base: re-feeding seen docs
-    # changes nothing (empty delta), and the pointer preserves base=2
-    assert lsh_dedup_process_batch(batches[0], 3, state_root, out_dir) is True
+    # (a state-only backfill — lex keys rewind, so the arrival tripwire
+    # must be waived) changes nothing (empty delta), and the pointer
+    # preserves base=2
+    assert (
+        lsh_dedup_process_batch(
+            batches[0], 3, state_root, out_dir, enforce_lex_order=False
+        )
+        is True
+    )
     assert _lsh_pointer_read(state_root) == (3, 2)
     assert _state_rows(spark, state_root) == want
 
@@ -631,3 +643,91 @@ def test_stream_dedup_lsh_compacted_twin_matches_and_compacts(spark, sf_small):
         "base-00001",
         "delta-00002",
     ]
+
+
+def test_lsh_out_of_order_batch_raises(spark, sf_small, tmp_path):
+    """The arrival-order tripwire (r15 VERDICT order #3): the decision
+    stream's correctness depends on lex-ordered batch arrival, so a
+    mis-ordered landing must fail LOUDLY instead of emitting silently
+    wrong (not-pruned) decisions.  The failed admission must also leave
+    no trace: pointer, max-key watermark, committed state, and the
+    decision dir are exactly as before the bad batch."""
+    import os
+
+    import pytest as _pytest
+
+    from spark_bam_spark.streaming import (
+        _lsh_pointer_read_full,
+        lsh_dedup_process_batch,
+    )
+
+    batches = _tag_batches(spark, sf_small)
+    root = str(tmp_path / "ooo")
+    state_root = os.path.join(root, "state")
+    out_dir = os.path.join(root, "decisions")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # admit the lex-LAST batch (tag 2) first — fine on an empty state
+    assert lsh_dedup_process_batch(batches[2], 0, state_root, out_dir) is True
+    cur, base, max_okey = _lsh_pointer_read_full(state_root)
+    assert (cur, base) == (0, -1)
+    max_id = max(r.doc_id for r in batches[2].select("doc_id").collect())
+    assert max_okey == 2 * 1_000_000_000 + max_id  # watermark = max admitted okey
+
+    # a lex-EARLIER batch now violates the contract: loud error, not
+    # divergent output
+    committed_state = _state_rows(spark, state_root)
+    committed_dec = _decisions(spark, out_dir)
+    with _pytest.raises(ValueError, match="out of lex order"):
+        lsh_dedup_process_batch(batches[0], 1, state_root, out_dir)
+    assert _lsh_pointer_read_full(state_root) == (0, -1, max_okey)
+    assert _state_rows(spark, state_root) == committed_state
+    assert _decisions(spark, out_dir) == committed_dec
+    assert not os.path.isdir(os.path.join(state_root, "delta-00001"))
+
+    # the state-only backfill hatch admits it (decisions to a scratch
+    # dir the caller discards), and the watermark still advances
+    scratch = os.path.join(root, "scratch")
+    assert (
+        lsh_dedup_process_batch(
+            batches[0], 1, state_root, scratch, enforce_lex_order=False
+        )
+        is True
+    )
+    assert _lsh_pointer_read_full(state_root) == (1, -1, max_okey)
+
+
+def test_lsh_missing_base_dir_raises(spark, sf_small, tmp_path):
+    """A pointer-referenced base generation missing on disk is state
+    CORRUPTION (every pre-base bucket would silently vanish from the
+    resolved state, yielding wrong missing-prune decisions) — the reader
+    must raise, not skip (r15 ADVICE #2)."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from spark_bam_spark.streaming import lsh_state, lsh_state_compact
+
+    batches = _tag_batches(spark, sf_small)
+    state_root, _ = _run_batches(batches, str(tmp_path / "mb"))
+    assert lsh_state_compact(spark, state_root) == 3
+    assert _state_rows(spark, state_root)  # healthy compacted read
+
+    shutil.rmtree(os.path.join(state_root, "base-00002"))
+    with _pytest.raises(FileNotFoundError, match="base generation 2"):
+        lsh_state(spark, state_root).collect()
+
+
+def test_lsh_pointer_upgrade_reads_two_field_files(tmp_path):
+    """Pointers written before the max-okey field read as watermark -1
+    (tripwire disabled for one batch) — the conservative upgrade path."""
+    import os
+
+    from spark_bam_spark.streaming import _lsh_pointer_read, _lsh_pointer_read_full
+
+    state_root = str(tmp_path)
+    with open(os.path.join(state_root, "CURRENT"), "w") as f:
+        f.write("3 1")
+    assert _lsh_pointer_read_full(state_root) == (3, 1, -1)
+    assert _lsh_pointer_read(state_root) == (3, 1)

@@ -199,6 +199,7 @@ def main() -> int:
         # the `hashed AS (` marker, exactly like the semdedup campaign
         # slices `ex AS (`), so campaign and engine can never diverge on
         # hub semantics
+        assert lsh_oracle.count("hashed AS (") == 1, "hashed CTE marker changed; re-slice"
         hub_prefix = lsh_oracle.split("hashed AS (")[0].rstrip().rstrip(",")
         t0 = time.perf_counter()
         con.execute("CREATE TEMP TABLE hub_mat AS " + hub_prefix + " SELECT h0 FROM hub")
