@@ -217,8 +217,17 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # hash-green in CORRECTNESS_r15 and is cleared per convention
     # (VERDICT r15 order #2), so this round's window drains the 31-query
     # r11 vintage (each pre-verified at sf0.1 by the r15 judge) plus the
-    # oldest r12 entries.  r16 entries for code touched this round are
-    # appended below as the round's changes land.
+    # oldest r12 entries.
+    #
+    # r16 changes that must be re-hashed by the driver: both streaming
+    # LSH queries' per-batch transaction changed (arrival-order tripwire
+    # with a third pointer field, hub_h0 threading through
+    # lsh_dedup_process_batch/lsh_dedup_stream, checkpoint dir moved
+    # under state_root, missing-base-dir corruption guard).  The default
+    # path is pinned byte-identical by test and re-simmed hash-green at
+    # sf0.01 + sf0.1 + the 10x tile, but the engine chain changed:
+    "stream_dedup_minhash_lsh",
+    "stream_dedup_lsh_compacted",
 )
 
 
