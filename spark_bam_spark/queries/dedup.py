@@ -1222,11 +1222,77 @@ def stream_dedup_lsh_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_stream_run(spark, sf_dir, root_tag="-compact", compact_after=1)
 
 
+# The valved stream's df-cap: deliberately LOWER than the batch query's
+# LSH_DF_CAP (64) so the valve actually FIRES on the fixtures (max
+# shingle df is 7 at sf0.01, 25 at sf0.1) — with the production cap the
+# blocklist would be empty there and the driver hash would prove nothing
+# about the anti-join.  Production tunes this to its boilerplate
+# tolerance; the mechanism under test is cap-independent.
+STREAM_HUB_CAP = 5
+
+_STREAM_LSH_VALVED_ORACLE_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hashed0 AS (
+      SELECT doc_id,
+             {_BAND_HASH_COLS_SQL}
+      FROM sh
+    ),
+    hub AS (SELECT h0 FROM hashed0
+            GROUP BY h0 HAVING COUNT(DISTINCT doc_id) > {STREAM_HUB_CAP}),
+    hashed AS (SELECT * FROM hashed0 WHERE h0 NOT IN (SELECT h0 FROM hub)),
+    mh AS (
+      SELECT doc_id, b.band, MIN({_BAND_CASE_SQL}) AS sig
+      FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+      GROUP BY doc_id, b.band
+    ),
+    keyed AS (SELECT doc_id, (doc_id % 3) * {_STREAM_TAG_SPAN} + doc_id AS okey,
+                     band, sig
+              FROM mh),
+    owners AS (SELECT band, sig, MIN(okey) AS okey FROM keyed GROUP BY band, sig)
+    SELECT k.doc_id AS doc_pruned,
+           CAST(MIN(o.okey) % {_STREAM_TAG_SPAN} AS BIGINT) AS dup_of
+    FROM keyed k JOIN owners o USING (band, sig)
+    WHERE o.okey < k.okey
+    GROUP BY k.doc_id
+    """
+
+
+@register(
+    "stream_dedup_lsh_hub_valved",
+    tags=("dedup", "lsh", "streaming", "stateful"),
+    oracle=_STREAM_LSH_VALVED_ORACLE_SQL,
+)
+def stream_dedup_lsh_hub_valved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_dedup_minhash_lsh with the PRODUCTION hub valve live and
+    FIRING: ``lsh_hub_blocklist`` derives the df-cap blocklist offline
+    over the corpus (the nightly refresh job), and every micro-batch's
+    transaction broadcast-anti-joins it before min-hashing
+    (``lsh_dedup_stream(hub_h0=...)``).  The cap is set BELOW the
+    fixtures' max shingle df (STREAM_HUB_CAP=5 vs df up to 7 at sf0.01 /
+    25 at sf0.1), so the blocklist is NON-empty and the decision stream
+    genuinely diverges from the unvalved twin — the driver's value hash
+    checks the valve's effect on real data end-to-end, not just the
+    degenerate-corpus pytest pin (tests/test_lsh_df_cap.py).
+
+    The oracle is the unvalved stream oracle with the batch query's hub
+    CTE inserted at the same point the engine applies it: shingles whose
+    band-0 hash has df > cap are dropped before the per-band min — the
+    exact relational statement of the broadcast anti-join.  Everything
+    else (lex-order contract, O(batch) deltas, crash envelope, arrival
+    tripwire) is the plain stream's; see stream_dedup_minhash_lsh."""
+    hub = lsh_hub_blocklist(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        cap=STREAM_HUB_CAP,
+    )
+    return _lsh_stream_run(spark, sf_dir, root_tag="-valved", hub_h0=hub)
+
+
 def _lsh_stream_run(
     spark: SparkSession,
     sf_dir: str,
     root_tag: str = "",
     compact_after: int | None = None,
+    hub_h0: DataFrame | None = None,
 ) -> DataFrame:
     """Shared runner for the streaming LSH dedup queries: build the
     tag-ordered landing zone, run the real Structured Streaming query
@@ -1290,7 +1356,10 @@ def _lsh_stream_run(
     # (streaming.lsh_dedup_process_batch) without treating them as
     # partition columns.
     os.makedirs(out_dir, exist_ok=True)
-    lsh_dedup_stream(spark, landing, state_dir, out_dir, compact_after=compact_after)
+    lsh_dedup_stream(
+        spark, landing, state_dir, out_dir,
+        compact_after=compact_after, hub_h0=hub_h0,
+    )
     return (
         spark.read.schema("doc_pruned bigint, dup_of bigint")
         .option("recursiveFileLookup", "true")

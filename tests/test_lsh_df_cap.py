@@ -233,3 +233,16 @@ def test_stream_hub_blocklist_end_to_end(spark, hub_corpus_dir, tmp_path):
     n_valved, n_state = run(str(tmp_path / "valved"), hub)
     assert n_valved == 0  # tails are pairwise-disjoint: no true near-dups
     assert n_state > 0  # private-tail buckets still enter the state
+
+
+def test_stream_hub_cap_fires_on_fixtures(spark, sf_medium):
+    """STREAM_HUB_CAP sits below the fixtures' max shingle df (5 < 7 at
+    sf0.01), so stream_dedup_lsh_hub_valved's blocklist is NON-empty and
+    its decision stream genuinely diverges from the unvalved twin (254
+    vs 255 decisions at sf0.01) — the driver hash is checking a FIRING
+    valve, not a no-op anti-join."""
+    from spark_bam_spark.queries.dedup import STREAM_HUB_CAP, lsh_hub_blocklist
+    from spark_bam_spark.tables import table
+
+    docs = table(spark, sf_medium, "documents").select("doc_id", "text")
+    assert lsh_hub_blocklist(docs, cap=STREAM_HUB_CAP).count() > 0
