@@ -1356,6 +1356,14 @@ def _lsh_stream_run(
     # (streaming.lsh_dedup_process_batch) without treating them as
     # partition columns.
     os.makedirs(out_dir, exist_ok=True)
+    if hub_h0 is not None:
+        # materialize the blocklist ONCE, production-shaped (the offline
+        # refresh job writes a table; micro-batches read it) — handing
+        # the lazy derivation plan to the stream would re-run the
+        # full-corpus df pass inside every micro-batch
+        hub_path = os.path.join(root, "hub_blocklist")
+        hub_h0.write.mode("overwrite").parquet(hub_path)
+        hub_h0 = spark.read.schema("h0 bigint").parquet(hub_path)
     lsh_dedup_stream(
         spark, landing, state_dir, out_dir,
         compact_after=compact_after, hub_h0=hub_h0,
