@@ -1258,6 +1258,48 @@ _STREAM_LSH_VALVED_ORACLE_SQL = f"""
 
 
 @register(
+    "lsh_blocklist_refresh",
+    tags=("dedup", "lsh"),
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hashed0 AS (
+      SELECT doc_id, ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT AS h0
+      FROM sh
+    )
+    SELECT h0, COUNT(DISTINCT doc_id) AS df
+    FROM hashed0
+    GROUP BY h0
+    HAVING COUNT(DISTINCT doc_id) > {STREAM_HUB_CAP}
+    """,
+)
+def lsh_blocklist_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OFFLINE VALVE-REFRESH JOB of the streaming dedup loop, as its
+    own driver-hashed query — the third leg of the nightly cycle whose
+    other two are already registered (ingest = stream_dedup_*; state
+    maintenance = stream_dedup_lsh_compacted; valve refresh = THIS,
+    consumed by stream_dedup_lsh_hub_valved).  Returns the hub blocklist
+    WITH its document frequencies (h0, df) — the observability shape an
+    operator reviews before deploying a new blocklist (how many hubs,
+    how hubby) — at STREAM_HUB_CAP, the deployed valved-stream cap.
+
+    Scale shape: one count-distinct aggregate over the shingle stream on
+    uniform 60-bit keys (map-side combined, no skew — boilerplate
+    shingles have high df but df is what's being AGGREGATED, not the
+    join key), output is O(hubs) — tiny by definition.  At 100 TB this
+    is the periodic batch job that publishes the blocklist table the
+    micro-batches broadcast."""
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return (
+        _shingles(docs, distinct=False)
+        .select("doc_id", _band_hash_col(0).alias("h0"))
+        .groupBy("h0")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > STREAM_HUB_CAP)
+        .select("h0", F.col("df").cast("bigint").alias("df"))
+    )
+
+
+@register(
     "stream_dedup_lsh_hub_valved",
     tags=("dedup", "lsh", "streaming", "stateful"),
     oracle=_STREAM_LSH_VALVED_ORACLE_SQL,
