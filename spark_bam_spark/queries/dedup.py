@@ -1285,9 +1285,13 @@ def lsh_blocklist_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one count-distinct aggregate over the shingle stream on
     uniform 60-bit keys (map-side combined, no skew — boilerplate
     shingles have high df but df is what's being AGGREGATED, not the
-    join key), output is O(hubs) — tiny by definition.  At 100 TB this
-    is the periodic batch job that publishes the blocklist table the
-    micro-batches broadcast."""
+    join key), output is O(hubs).  Operational note, measured on the
+    scale tiles: an ABSOLUTE cap makes the blocklist grow with corpus
+    replication (24.5k hubs at sf0.1 → 245k at the 10× tile — every df
+    multiplies), so production either raises the cap with corpus size
+    or caps on df FRACTION; the broadcast stays cheap either way (245k
+    rows ≈ 2 MB).  At 100 TB this is the periodic batch job that
+    publishes the blocklist table the micro-batches broadcast."""
     docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         _shingles(docs, distinct=False)
