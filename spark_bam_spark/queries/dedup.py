@@ -1325,7 +1325,15 @@ def stream_dedup_lsh_hub_valved(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-0 hash has df > cap are dropped before the per-band min — the
     exact relational statement of the broadcast anti-join.  Everything
     else (lex-order contract, O(batch) deltas, crash envelope, arrival
-    tripwire) is the plain stream's; see stream_dedup_minhash_lsh."""
+    tripwire) is the plain stream's; see stream_dedup_minhash_lsh.
+
+    Causality disclosure: this single-run fixture derives the blocklist
+    from the SAME corpus it then streams (a lookahead), because one
+    bounded run has no "previous night".  A production loop derives it
+    from the corpus accumulated BEFORE tonight's batches.  The mechanism
+    under test — materialized blocklist, broadcast anti-join inside
+    every micro-batch transaction — is identical either way, and the
+    oracle encodes exactly what the engine computes."""
     hub = lsh_hub_blocklist(
         table(spark, sf_dir, "documents").select("doc_id", "text"),
         cap=STREAM_HUB_CAP,
