@@ -129,8 +129,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to agree on which shingle attains the minimum), so one differing
 # minimum often kills all four band collisions at once.  Recall is the
 # product of a dedup pipeline; the 4x hash CPU is linear and cheap.
+def _band_hash_sql(b: int) -> str:
+    """DuckDB expression for band b's 60-bit shingle hash — the single
+    source of truth for the oracle side (bit-identical to the engine's
+    _band_hash_col, pinned in tests/test_lsh_df_cap.py)."""
+    return f"('0x' || substr(md5('{b}:' || s), 1, 15))::BIGINT"
+
+
 _BAND_HASH_COLS_SQL = ",\n             ".join(
-    f"('0x' || substr(md5('{b}:' || s), 1, 15))::BIGINT AS h{b}" for b in range(N_BANDS)
+    f"{_band_hash_sql(b)} AS h{b}" for b in range(N_BANDS)
 )
 _BAND_CASE_SQL = (
     "CASE b.band " + " ".join(f"WHEN {b} THEN h{b}" for b in range(N_BANDS)) + " END"
@@ -1119,17 +1126,50 @@ def lsh_hub_blocklist(docs: DataFrame, cap: int = LSH_DF_CAP) -> DataFrame:
 _STREAM_TAG_SPAN = 1_000_000_000
 
 
-# Shared by the streaming query and its mid-stream-compaction twin: the
-# relational recomputation of the whole decision stream (owner of a
-# bucket = lex-min carrier; a doc is pruned iff some bucket it carries
-# has a lex-earlier owner; dup_of = the lex-min such owner).
-_STREAM_LSH_ORACLE_SQL = f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    hashed AS (
+def _stream_tag_col():
+    """The fixture's batch-tag rule (tag = doc_id % 3) as a Column — the
+    ONE engine-side definition, consumed by lsh_dedup_batch_step's tag
+    column and (via _stream_okey_col) the arrival-order tripwire, so the
+    decision key, the state's owner_tag, and the tripwire watermark can
+    never drift apart (the oracle encodes the same rule in its keyed
+    CTE)."""
+    return F.col("doc_id") % 3
+
+
+def _stream_okey_col():
+    """The streaming lex-precedence key (tag * SPAN + doc_id) as a
+    Column — see _stream_tag_col."""
+    return _stream_tag_col() * _STREAM_TAG_SPAN + F.col("doc_id")
+
+
+def _stream_lsh_oracle_sql(hub_cap: int | None = None) -> str:
+    """The streaming-dedup decision oracle, shared by ALL stream twins
+    (plain, mid-stream-compacted, hub-valved): the relational
+    recomputation of the whole decision stream — owner of a bucket =
+    lex-min carrier; a doc is pruned iff some bucket it carries has a
+    lex-earlier owner; dup_of = the lex-min such owner.  One template so
+    the twins can never silently encode different contracts: hub_cap
+    None yields the unvalved form; an int inserts the batch query's hub
+    CTE at exactly the point the engine applies the broadcast anti-join
+    (whole shingle rows dropped before the per-band min)."""
+    if hub_cap is None:
+        hashed_cte = f"""hashed AS (
+      SELECT doc_id,
+             {_BAND_HASH_COLS_SQL}
+      FROM sh
+    )"""
+    else:
+        hashed_cte = f"""hashed0 AS (
       SELECT doc_id,
              {_BAND_HASH_COLS_SQL}
       FROM sh
     ),
+    hub AS (SELECT h0 FROM hashed0
+            GROUP BY h0 HAVING COUNT(DISTINCT doc_id) > {hub_cap}),
+    hashed AS (SELECT * FROM hashed0 WHERE h0 NOT IN (SELECT h0 FROM hub))"""
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    {hashed_cte},
     mh AS (
       SELECT doc_id, b.band, MIN({_BAND_CASE_SQL}) AS sig
       FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
@@ -1145,6 +1185,9 @@ _STREAM_LSH_ORACLE_SQL = f"""
     WHERE o.okey < k.okey
     GROUP BY k.doc_id
     """
+
+
+_STREAM_LSH_ORACLE_SQL = _stream_lsh_oracle_sql()
 
 
 @register(
@@ -1230,32 +1273,6 @@ def stream_dedup_lsh_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tolerance; the mechanism under test is cap-independent.
 STREAM_HUB_CAP = 5
 
-_STREAM_LSH_VALVED_ORACLE_SQL = f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    hashed0 AS (
-      SELECT doc_id,
-             {_BAND_HASH_COLS_SQL}
-      FROM sh
-    ),
-    hub AS (SELECT h0 FROM hashed0
-            GROUP BY h0 HAVING COUNT(DISTINCT doc_id) > {STREAM_HUB_CAP}),
-    hashed AS (SELECT * FROM hashed0 WHERE h0 NOT IN (SELECT h0 FROM hub)),
-    mh AS (
-      SELECT doc_id, b.band, MIN({_BAND_CASE_SQL}) AS sig
-      FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
-      GROUP BY doc_id, b.band
-    ),
-    keyed AS (SELECT doc_id, (doc_id % 3) * {_STREAM_TAG_SPAN} + doc_id AS okey,
-                     band, sig
-              FROM mh),
-    owners AS (SELECT band, sig, MIN(okey) AS okey FROM keyed GROUP BY band, sig)
-    SELECT k.doc_id AS doc_pruned,
-           CAST(MIN(o.okey) % {_STREAM_TAG_SPAN} AS BIGINT) AS dup_of
-    FROM keyed k JOIN owners o USING (band, sig)
-    WHERE o.okey < k.okey
-    GROUP BY k.doc_id
-    """
-
 
 @register(
     "lsh_blocklist_refresh",
@@ -1263,7 +1280,7 @@ _STREAM_LSH_VALVED_ORACLE_SQL = f"""
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
     hashed0 AS (
-      SELECT doc_id, ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT AS h0
+      SELECT doc_id, {_band_hash_sql(0)} AS h0
       FROM sh
     )
     SELECT h0, COUNT(DISTINCT doc_id) AS df
@@ -1292,7 +1309,10 @@ def lsh_blocklist_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     or caps on df FRACTION; the broadcast stays cheap either way (245k
     rows ≈ 2 MB).  At 100 TB this is the periodic batch job that
     publishes the blocklist table the micro-batches broadcast."""
-    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # no outer fan_out: _shingles fans out internally, and wrapping here
+    # would stack two back-to-back repartitions (the inner one can't see
+    # through the outer Exchange)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         _shingles(docs, distinct=False)
         .select("doc_id", _band_hash_col(0).alias("h0"))
@@ -1306,7 +1326,7 @@ def lsh_blocklist_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_lsh_hub_valved",
     tags=("dedup", "lsh", "streaming", "stateful"),
-    oracle=_STREAM_LSH_VALVED_ORACLE_SQL,
+    oracle=_stream_lsh_oracle_sql(STREAM_HUB_CAP),
 )
 def stream_dedup_lsh_hub_valved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_dedup_minhash_lsh with the PRODUCTION hub valve live and
@@ -1341,6 +1361,44 @@ def stream_dedup_lsh_hub_valved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_stream_run(spark, sf_dir, root_tag="-valved", hub_h0=hub)
 
 
+def _lsh_write_landing(docs: DataFrame, landing_dir: str) -> None:
+    """Write the tag-ordered landing zone — three single-file tag
+    batches (tag = doc_id % 3) with staggered mtimes — the ONE layout
+    definition shared by the registered stream runners and the
+    stream-level tests (so a layout change can't leave a test exercising
+    a stale shape).  DuckDB writes plain files the stream source can
+    admit one-per-trigger; the Arrow hop is driver-side by design — a
+    real deployment's landing files are written by the upstream crawler,
+    not by this setup.
+
+    The staggered mtimes ARE load-bearing for the decision stream: the
+    lex-order contract makes decisions invariant to how the lex-ordered
+    stream is SPLIT into batches, but decisions are append-only, so a
+    lex-later batch admitted early would be emitted not-pruned and never
+    revisited (only the STATE converges under any arrival order; the
+    engine-side tripwire now catches violations loudly).  Staggered
+    mtimes plus lexical batch-N filenames guarantee the required
+    order."""
+    import os
+    import time
+
+    import duckdb
+
+    docs_arrow = docs.toArrow()
+    con = duckdb.connect()
+    con.register("docs_arrow", docs_arrow)
+    base = time.time()
+    for tag in range(3):
+        path = os.path.join(landing_dir, f"batch-{tag}.parquet")
+        con.execute(
+            f"COPY (SELECT doc_id, text FROM docs_arrow"
+            f"      WHERE doc_id % 3 = {tag} ORDER BY doc_id)"
+            f" TO '{path}' (FORMAT PARQUET)"
+        )
+        os.utime(path, (base + 10 * tag, base + 10 * tag))
+    con.close()
+
+
 def _lsh_stream_run(
     spark: SparkSession,
     sf_dir: str,
@@ -1354,9 +1412,6 @@ def _lsh_stream_run(
     import hashlib
     import os
     import shutil
-    import time
-
-    import duckdb
 
     from spark_bam_spark.streaming import lsh_dedup_stream
 
@@ -1376,31 +1431,8 @@ def _lsh_stream_run(
     # Landing-zone SETUP (not the operator under test): split the corpus
     # into three single-file tag batches.  Read through the engine's own
     # table() so dir-shaped parquet (e.g. the empty-tables sweep fixture)
-    # works, then let DuckDB write plain files the stream source can
-    # admit one-per-trigger; the Arrow hop is driver-side by design —
-    # a real deployment's landing files are written by the upstream
-    # crawler, not by this query.
-    docs_arrow = table(spark, sf_dir, "documents").select("doc_id", "text").toArrow()
-    con = duckdb.connect()
-    con.register("docs_arrow", docs_arrow)
-    base = time.time()
-    for tag in range(3):
-        path = os.path.join(landing, f"batch-{tag}.parquet")
-        con.execute(
-            f"COPY (SELECT doc_id, text FROM docs_arrow"
-            f"      WHERE doc_id % 3 = {tag} ORDER BY doc_id)"
-            f" TO '{path}' (FORMAT PARQUET)"
-        )
-        # stagger mtimes so the file source admits batches in tag order.
-        # This IS load-bearing for the decision stream: the lex-order
-        # contract makes decisions invariant to how the lex-ordered
-        # stream is SPLIT into batches, but decisions are append-only,
-        # so a lex-later batch admitted early would be emitted not-pruned
-        # and never revisited (only the STATE converges under any
-        # arrival order).  The staggered mtimes plus lexical batch-N
-        # filenames guarantee the required order.
-        os.utime(path, (base + 10 * tag, base + 10 * tag))
-    con.close()
+    # works; the shared builder below owns the layout.
+    _lsh_write_landing(table(spark, sf_dir, "documents").select("doc_id", "text"), landing)
 
     # pre-create + explicit schema: on a degenerate corpus (empty tables,
     # all-short docs) every batch's decision set is empty and Spark may
@@ -1410,14 +1442,8 @@ def _lsh_stream_run(
     # (streaming.lsh_dedup_process_batch) without treating them as
     # partition columns.
     os.makedirs(out_dir, exist_ok=True)
-    if hub_h0 is not None:
-        # materialize the blocklist ONCE, production-shaped (the offline
-        # refresh job writes a table; micro-batches read it) — handing
-        # the lazy derivation plan to the stream would re-run the
-        # full-corpus df pass inside every micro-batch
-        hub_path = os.path.join(root, "hub_blocklist")
-        hub_h0.write.mode("overwrite").parquet(hub_path)
-        hub_h0 = spark.read.schema("h0 bigint").parquet(hub_path)
+    # hub_h0 may be the lazy derivation plan: lsh_dedup_stream
+    # materializes it once to <state>/_hub before streaming
     lsh_dedup_stream(
         spark, landing, state_dir, out_dir,
         compact_after=compact_after, hub_h0=hub_h0,

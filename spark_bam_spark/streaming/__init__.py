@@ -695,10 +695,10 @@ def lsh_dedup_batch_step(
     probing the state (never a union + full re-agg of it), one per-doc
     min-aggregation — no cartesian, no Python eval (pinned in
     test_plan_quality.py)."""
-    from spark_bam_spark.queries.dedup import band_signatures
+    from spark_bam_spark.queries.dedup import _stream_tag_col, band_signatures
 
     s = band_signatures(batch_docs.select("doc_id", "text"), hub_h0=hub_h0).withColumn(
-        "tag", F.col("doc_id") % 3
+        "tag", _stream_tag_col()
     )
     batch_owners = s.groupBy("band", "sig").agg(
         F.min(
@@ -799,12 +799,12 @@ def lsh_dedup_process_batch(
     STATE min-merges to the same owners under any arrival order."""
     import os
 
-    from spark_bam_spark.queries.dedup import _STREAM_TAG_SPAN
+    from spark_bam_spark.queries.dedup import _stream_okey_col
 
     if batch_id <= lsh_state_pointer(state_root):
         return False
     os.makedirs(state_root, exist_ok=True)
-    okey = (F.col("doc_id") % 3) * _STREAM_TAG_SPAN + F.col("doc_id")
+    okey = _stream_okey_col()
     bounds = batch_df.select(F.min(okey).alias("lo"), F.max(okey).alias("hi")).first()
     committed_max = _lsh_pointer_read_full(state_root)[2]
     if (
@@ -898,14 +898,25 @@ def lsh_dedup_stream(
     (queries.dedup.lsh_hub_blocklist) applied in every micro-batch's
     batch step — the production df-cap valve, end-to-end
     (tests/test_lsh_df_cap.py pins the full stream on the degenerate hub
-    corpus).  ``checkpoint_dir`` defaults to ``<state_root>/_ckpt`` so
-    the stream's offset log shares the state's lifetime — wiping the
+    corpus).  It is MATERIALIZED here once, to ``<state_root>/_hub``,
+    before the stream starts: a caller handing in the lazy derivation
+    plan must not pay the full-corpus df pass inside every micro-batch —
+    the broadcast side has to be a small materialized table, which is
+    also the production shape (the refresh job writes a table the
+    batches read).  ``checkpoint_dir`` defaults to ``<state_root>/_ckpt``
+    so the stream's offset log shares the state's lifetime — wiping the
     state cannot leave a stale checkpoint that silently skips batches
     (and vice versa).  Pass it explicitly to manage the two separately.
     """
     import os
 
     os.makedirs(state_root, exist_ok=True)
+    if hub_h0 is not None:
+        # "_hub" never matches the delta-/base- generation regexes, so
+        # state readers and compaction GC ignore it
+        hub_path = os.path.join(state_root, "_hub")
+        hub_h0.select("h0").write.mode("overwrite").parquet(hub_path)
+        hub_h0 = spark.read.schema("h0 bigint").parquet(hub_path)
     # schema from the landing dir as a whole, not a hardcoded first file —
     # any landing layout with a consistent schema works (r14 ADVICE)
     batch_schema = spark.read.parquet(landing_dir).schema

@@ -41,9 +41,12 @@ def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
     when ``df`` is a narrow chain (project/filter) directly over a local
     parquet scan; None when that can't be established (post-shuffle
     frames, whose partitions are real regardless of the scan; joins;
-    non-parquet sources; remote filesystems).  Short-circuits at ``cap``
-    so at most ``cap`` footers are read, each a driver-side metadata-only
-    read (the same footer Spark itself reads to plan the scan).
+    non-parquet sources; remote filesystems — though a WIDE remote
+    layout, >= cap files, still returns cap by per-file inference).
+    Driver-side cost is bounded at 4*cap metadata-only footer reads
+    (short-circuits as soon as ``cap`` row groups are found — the common
+    case reads far fewer; each is the same footer Spark itself reads to
+    plan the scan).
     """
     import re
     from urllib.parse import unquote, urlparse
@@ -72,21 +75,26 @@ def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
         import pyarrow.parquet as pq
     except ImportError:
         return None
-    # Footers are MEASURED in the multi-file case too — inferring >=1 row
-    # group per file over-credits scans with empty part files (r15
-    # ADVICE #1).  Driver cost stays bounded: short-circuit at cap row
-    # groups, and give up (None => the generous 4x-planned heuristic)
-    # after 4*cap footers — reaching that without cap row groups means
-    # the layout is mostly-empty parts, exactly where inference lies.
+    if any(urlparse(u).scheme not in ("", "file") for u in files[: 4 * cap]):
+        # remote FS: footers aren't one local read away, so fall back to
+        # the pre-r16 >=1-row-group-per-file inference for wide layouts
+        # (a remote dir of >= cap files stays a pass-through candidate,
+        # not an unconditional repartition) and to the planned-count
+        # heuristic otherwise
+        return cap if len(files) >= cap else None
+    # Local files: footers are MEASURED in the multi-file case too —
+    # inferring >=1 row group per file over-credits scans with empty
+    # part files (r15 ADVICE #1).  Driver cost stays bounded: worst case
+    # 4*cap metadata-only reads — short-circuit at cap row groups, and
+    # give up (None => the generous 4x-planned heuristic) after 4*cap
+    # footers, since reaching that without cap row groups means the
+    # layout is mostly-empty parts, exactly where inference lies.
     total = 0
     for n_read, uri in enumerate(files):
         if n_read >= 4 * cap:
             return None
-        parsed = urlparse(uri)
-        if parsed.scheme not in ("", "file"):
-            return None  # remote FS: footers aren't one local read away
         try:
-            total += pq.ParquetFile(unquote(parsed.path)).metadata.num_row_groups
+            total += pq.ParquetFile(unquote(urlparse(uri).path)).metadata.num_row_groups
         except Exception:
             return None
         if total >= cap:

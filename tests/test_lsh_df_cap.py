@@ -185,12 +185,8 @@ def test_stream_hub_blocklist_end_to_end(spark, hub_corpus_dir, tmp_path):
     emits hub-collision decisions unvalved and ZERO decisions valved,
     while the state still registers the private-tail buckets."""
     import os
-    import time
 
-    import duckdb
-    from pyspark.sql import functions as F
-
-    from spark_bam_spark.queries.dedup import lsh_hub_blocklist
+    from spark_bam_spark.queries.dedup import _lsh_write_landing, lsh_hub_blocklist
     from spark_bam_spark.streaming import lsh_dedup_stream, lsh_state
     from spark_bam_spark.tables import table
 
@@ -198,22 +194,10 @@ def test_stream_hub_blocklist_end_to_end(spark, hub_corpus_dir, tmp_path):
     hub = lsh_hub_blocklist(docs)
     assert hub.count() == 1  # exactly the boilerplate trigram
 
-    # tag-ordered landing zone, the registered runner's layout
+    # tag-ordered landing zone via the runner's OWN builder (can't drift)
     landing = str(tmp_path / "landing")
     os.makedirs(landing)
-    docs_arrow = docs.toArrow()
-    con = duckdb.connect()
-    con.register("docs_arrow", docs_arrow)
-    base = time.time()
-    for tag in range(3):
-        path = os.path.join(landing, f"batch-{tag}.parquet")
-        con.execute(
-            f"COPY (SELECT doc_id, text FROM docs_arrow"
-            f"      WHERE doc_id % 3 = {tag} ORDER BY doc_id)"
-            f" TO '{path}' (FORMAT PARQUET)"
-        )
-        os.utime(path, (base + 10 * tag, base + 10 * tag))
-    con.close()
+    _lsh_write_landing(docs, landing)
 
     def run(root, hub_h0):
         state = os.path.join(root, "state")
