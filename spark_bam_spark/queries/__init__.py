@@ -74,6 +74,17 @@ def ensure_session_ready(spark: SparkSession) -> None:
     spark._spark_bam_spark_ready = True
 
 
+# NOTE (r17): a registry-level DataFrame cache (return the same built
+# plan object on repeat calls) was prototyped and REVERTED: re-collecting
+# the same physical plan object lets Spark reuse its shuffle files
+# (skipped map stages), so a bench repetition stops re-computing the
+# heavy stages — effectively result-caching intermediates, which the
+# bench rules forbid.  Query functions must return a FRESH DataFrame per
+# call; only metadata-level caches are allowed (tables._TABLE_CACHE for
+# schema inference, tables._FAN_OUT_MEMO for the repartition decision —
+# every execution still scans parquet and re-runs every shuffle).
+
+
 def register(
     name: str,
     oracle: str | None = None,
@@ -213,21 +224,19 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r16: the single r15 entry — stream_dedup_minhash_lsh — went
-    # hash-green in CORRECTNESS_r15 and is cleared per convention
-    # (VERDICT r15 order #2), so this round's window drains the 31-query
-    # r11 vintage (each pre-verified at sf0.1 by the r15 judge) plus the
-    # oldest r12 entries.
+    # r17: both r16 entries — stream_dedup_minhash_lsh and
+    # stream_dedup_lsh_compacted — went hash-green in CORRECTNESS_r16 and
+    # are cleared per convention (VERDICT r16 order #1), so this round's
+    # window drains the 34-query r12 vintage (each pre-verified at sf0.1
+    # by the r16 judge) plus the oldest r13 entries.
     #
-    # r16 changes that must be re-hashed by the driver: both streaming
-    # LSH queries' per-batch transaction changed (arrival-order tripwire
-    # with a third pointer field, hub_h0 threading through
-    # lsh_dedup_process_batch/lsh_dedup_stream, checkpoint dir moved
-    # under state_root, missing-base-dir corruption guard).  The default
-    # path is pinned byte-identical by test and re-simmed hash-green at
-    # sf0.01 + sf0.1 + the 10x tile, but the engine chain changed:
-    "stream_dedup_minhash_lsh",
-    "stream_dedup_lsh_compacted",
+    # r17 changes that must be re-hashed by the driver:
+    # minhash_jaccard_estimate's engine chain changed (signature hashes
+    # computed once per distinct shingle via the posting-list frame
+    # instead of once per (doc, shingle) occurrence — result-identical by
+    # construction, re-verified locally against the full oracle at
+    # sf0.001/sf0.01/sf0.1, but the plan is new):
+    "minhash_jaccard_estimate",
 )
 
 

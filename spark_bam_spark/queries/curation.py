@@ -104,16 +104,41 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary fraction; the exact Jaccard and the error are rounded to 6.
     """
     # the shingle stream feeds three consumers (signatures, set sizes,
-    # posting lists); checkpoint it once so the split+explode+distinct
-    # subtree runs once, not three times (dedup_clusters precedent)
-    sh = _shingles(table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    # posting lists); r17: aggregate it to POSTING LISTS (s -> sorted doc
+    # ids) FIRST and checkpoint those — the grouped frame is ~10x smaller
+    # than the (doc_id, s) stream (27,213 vs 260,388 rows at sf0.1), and
+    # every minhash component is then computed ONCE PER DISTINCT SHINGLE
+    # instead of once per occurrence: 16 md5+conv per posting row instead
+    # of per (doc, s) row — 0.44M vs 4.2M hashes at sf0.1 (the corpus
+    # shares each shingle across ~9.6 docs on average).  Results are
+    # identical: h_k(s) is a pure function of s alone, and a doc's
+    # component minimum over its shingle set equals the minimum over the
+    # exploded postings that contain it (sh is distinct, so postings
+    # partition the same (doc, s) pairs).  All three consumers now read
+    # the small checkpointed frame; the per-doc re-group of the exploded
+    # hashes partial-aggregates map-side, so its exchange carries one
+    # 16-long row per (doc, task), not the stream.
+    sh = _shingles(table(spark, sf_dir, "documents"))
+    post = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .localCheckpoint(eager=True)
+    )
 
     def comp(k: int):
         h = F.md5(F.concat_ws(":", F.lit(k), F.col("s")))
         return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
 
-    sigs = sh.groupBy("doc_id").agg(
-        *[F.min(comp(k)).alias(f"sig_{k}") for k in range(N_COMPONENTS)]
+    hashed = post.select(
+        "ids", *[comp(k).alias(f"h{k}") for k in range(N_COMPONENTS)]
+    )
+    sigs = (
+        hashed.select(
+            F.explode("ids").alias("doc_id"),
+            *[F.col(f"h{k}") for k in range(N_COMPONENTS)],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{k}").alias(f"sig_{k}") for k in range(N_COMPONENTS)])
     )
     stack_args = ", ".join(f"{k}, sig_{k}" for k in range(N_COMPONENTS))
     sig_rows = sigs.select(
@@ -132,11 +157,13 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_match"))
         .filter(F.col("n_match") >= 2)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = (
+        post.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
     common = (
-        sh.groupBy("s")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        post.filter(F.size("ids") > 1)
         .select(F.explode(pair_enum).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))

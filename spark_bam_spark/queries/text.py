@@ -508,7 +508,19 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreak, so the top-20 boundary is engine-identical."""
     d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # r17: the tf table is CHECKPOINTED.  Four consumers derive from it
+    # (dl, corpus stats, document frequency, the probe side), and their
+    # diverging column pruning defeats Spark's exchange reuse — the
+    # executed plan re-ran the scan+explode+groupBy subtree FOUR times
+    # (verified in plans/r17/bm25_topk_docs_before.txt: four separate
+    # `Scan parquet … Generate … Exchange` chains).  Materializing tf once
+    # per run (fresh checkpoint per call — nothing survives across
+    # invocations) replaces three re-explosions of the token stream with
+    # three reads of the much smaller (doc, word, tf) table; at 100 TB
+    # that is three saved corpus passes for one vocab-sized local write.
+    # Measured (interleaved min-of-7 brackets, sf0.1): 2.33/1.50 s →
+    # 1.39/0.94 s, identical top-20.
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     docfreq = tf.groupBy("w").agg(F.count("*").alias("df"))

@@ -796,7 +796,13 @@ def lsh_dedup_process_batch(
     loudly instead of silently diverging from the oracle.  The check is
     one tiny min/max aggregate over the batch.  Pass False only for
     state-only backfills whose decision output will be discarded — the
-    STATE min-merges to the same owners under any arrival order."""
+    STATE min-merges to the same owners under any arrival order.
+
+    NOTE (r16 ADVICE #2): the lex key comes from ``_stream_okey_col``,
+    which encodes THIS fixture's landing partitioning (tag = doc_id % 3,
+    key = (tag, doc_id)).  A production landing zone partitioned by any
+    other scheme must adapt that helper (or disable the tripwire) or
+    in-order arrivals will raise spuriously."""
     import os
 
     from spark_bam_spark.queries.dedup import _stream_okey_col

@@ -22,16 +22,31 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+# PLAN cache, not a result cache: spark.read.parquet pays ~165 ms of
+# driver-side schema inference per call (measured r17, idle box), and a
+# bench pass re-reads the same handful of tables dozens of times.  The
+# cached object is a lazy DataFrame — every action against it still scans
+# the parquet files; nothing is persisted or precomputed (same pattern as
+# bam_qa._PLAN_CACHE, in-tree since r3).  The value keeps the owning
+# session so a recycled id() after GC, or a stopped-and-recreated session,
+# can never serve a stale frame (identity check on hit).
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) columns surface as bigint under
     # spark.sql.legacy.parquet.nanosAsLong — convert to microsecond
     # timestamps (truncation matches DuckDB's ns→µs fetch behavior).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 
@@ -92,7 +107,14 @@ def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
     total = 0
     for n_read, uri in enumerate(files):
         if n_read >= 4 * cap:
-            return None
+            # budget exhausted with total < cap: 4*cap footers held fewer
+            # than cap row groups, i.e. the layout is mostly empty part
+            # files — exactly where the generous planned-count heuristic
+            # over-credits.  Return the measured lower bound (< cap, so
+            # the caller repartitions); the insurance cost of a spurious
+            # narrow shuffle is already accepted elsewhere in fan_out
+            # (r16 ADVICE #1).
+            return total
         try:
             total += pq.ParquetFile(unquote(urlparse(uri).path)).metadata.num_row_groups
         except Exception:
@@ -100,6 +122,12 @@ def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
         if total >= cap:
             return cap
     return total
+
+
+# (session, analyzed-plan string, input files, target) -> needs repartition.
+# Session object kept in the value for the same id()-reuse guard as
+# _TABLE_CACHE.
+_FAN_OUT_MEMO: dict[tuple, tuple[SparkSession, bool]] = {}
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -132,16 +160,39 @@ def fan_out(df: DataFrame) -> DataFrame:
     shuffle of the rows — noise next to any stage this wrapper belongs in
     front of; on a real cluster planned splits >> 4x cores and the input
     passes through unchanged.
+
+    r17: the DECISION is memoized per (session, analyzed plan, input
+    files, target).  The checks behind it — optimizer run + parquet
+    footer reads + a DataFrame→RDD conversion — cost ~150 ms of
+    driver-side work per call (measured, idle box) and are pure functions
+    of the plan and the on-disk layout, both captured in the key; repeat
+    builds of the same query (every bench repetition, every re-used
+    subtree) skip straight to the recorded verdict.  Nothing about the
+    data is cached — only whether this exact scan shape needs the
+    insurance repartition.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        key = (
+            id(df.sparkSession),
+            df._jdf.queryExecution().analyzed().toString(),
+            tuple(df.inputFiles()),
+            target,
+        )
+    except Exception:
+        key = None
+    if key is not None:
+        hit = _FAN_OUT_MEMO.get(key)
+        if hit is not None and hit[0] is df.sparkSession:
+            return df.repartition(target) if hit[1] else df
     rg = _scan_row_groups(df, target)
     if rg is not None:
-        if min(rg, df.rdd.getNumPartitions()) >= target:
-            return df
-        return df.repartition(target)
-    if df.rdd.getNumPartitions() < 4 * target:
-        return df.repartition(target)
-    return df
+        repart = min(rg, df.rdd.getNumPartitions()) < target
+    else:
+        repart = df.rdd.getNumPartitions() < 4 * target
+    if key is not None:
+        _FAN_OUT_MEMO[key] = (df.sparkSession, repart)
+    return df.repartition(target) if repart else df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

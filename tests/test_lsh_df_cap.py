@@ -221,10 +221,12 @@ def test_stream_hub_blocklist_end_to_end(spark, hub_corpus_dir, tmp_path):
 
 def test_stream_hub_cap_fires_on_fixtures(spark, sf_medium):
     """STREAM_HUB_CAP sits below the fixtures' max shingle df (5 < 7 at
-    sf0.01), so stream_dedup_lsh_hub_valved's blocklist is NON-empty and
-    its decision stream genuinely diverges from the unvalved twin (254
-    vs 255 decisions at sf0.01) — the driver hash is checking a FIRING
-    valve, not a no-op anti-join."""
+    sf0.01), so stream_dedup_lsh_hub_valved's blocklist is NON-empty —
+    the driver hash is checking a FIRING valve, not a no-op anti-join.
+    (This test pins only blocklist non-emptiness; the valved-vs-unvalved
+    decision divergence itself — 254 vs 255 decisions at sf0.01 — is
+    pinned by the external driver's hashes of both registered twins, not
+    here: r16 ADVICE #3.)"""
     from spark_bam_spark.queries.dedup import STREAM_HUB_CAP, lsh_hub_blocklist
     from spark_bam_spark.tables import table
 
