@@ -237,6 +237,16 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # construction, re-verified locally against the full oracle at
     # sf0.001/sf0.01/sf0.1, but the plan is new):
     "minhash_jaccard_estimate",
+    # mlprep's mean-centroid update is now emitted as ONE parsed SQL
+    # aggregate (array of 64 DECIMAL sums + a transform divide) instead of
+    # 64 individually-constructed Columns — same sums, same division,
+    # bit-identical centroids, but the expression tree (and so the plan)
+    # is new for every query through _centroid_update.  Re-verified
+    # locally against the full oracle at sf0.001/sf0.01/sf0.1:
+    "kmeans_lloyd",
+    "semdedup_prune",
+    "semdedup_prune_fast",
+    "semdedup_prune_ivf",
 )
 
 

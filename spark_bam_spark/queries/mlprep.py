@@ -174,6 +174,27 @@ def _dec_sum(arr: str) -> str:
     return f"aggregate({arr}, cast(0 as {_DEC}), (a, v) -> cast(a + v as {_DEC}))"
 
 
+def _centroid_update(assigned: DataFrame, *keys: str) -> DataFrame:
+    """Mean-centroid update (count + EMB_DIM exact DECIMAL element sums,
+    then cast-to-double / n), emitted as ONE parsed SQL aggregate plus ONE
+    transform lambda.
+
+    r17: the previous shape built 64 ``F.sum(...)`` Columns, 64 division
+    Columns and an ``F.array`` through INDIVIDUAL py4j calls — measured
+    0.6-0.7 s of driver-side construction time PER CALL SITE at
+    EMB_DIM=64 (tools/r17_semdedup_micro.py; Catalyst analysis itself is
+    <50 ms — the cost was round-trip chatter), paid on every invocation.
+    Semantics are unchanged: the same 64 DECIMAL(28,12) sums (exact, so
+    order-independent), the same double division by the group count —
+    bit-identical centroids, same HashAggregate buffers."""
+    sums_sql = ", ".join(f"sum(cast(v[{i}] as {_DEC}))" for i in range(EMB_DIM))
+    return (
+        assigned.groupBy(*keys)
+        .agg(F.expr("count(*)").alias("n"), F.expr(f"array({sums_sql})").alias("sa"))
+        .select(*keys, F.expr("transform(sa, s -> cast(s as double) / n)").alias("c"))
+    )
+
+
 # Double-precision pre-select band for the DECIMAL argmin (see _assign):
 # a 64-term nonnegative double fold carries <= 64 ulp ~ 7.1e-15 relative
 # error, so a 1e-12 relative band is a >100x margin — a centroid outside
@@ -293,21 +314,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster"), F.col("v").alias("c")
     )
     a1 = _assign(emb, c0)
-
-    sums = [
-        F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)
-    ]
-    cent1 = (
-        a1.groupBy("cluster")
-        .agg(F.count("*").alias("n"), *sums)
-        .select(
-            "cluster",
-            F.array(
-                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]
-            ).alias("c"),
-        )
-    )
-    a2 = _assign(emb, cent1)
+    a2 = _assign(emb, _centroid_update(a1, "cluster"))
 
     n1 = a1.groupBy("cluster").agg(F.count("*").alias("n_iter1"))
     n2 = a2.groupBy("cluster").agg(F.count("*").alias("n_iter2"))
@@ -1004,18 +1011,7 @@ def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cluster"), F.col("v").alias("c"))
     )
     a1 = _assign(corpus, c0)
-    sums = [F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)]
-    cent1 = (
-        a1.groupBy("cluster")
-        .agg(F.count("*").alias("n"), *sums)
-        .select(
-            "cluster",
-            F.array(
-                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]
-            ).alias("c"),
-        )
-    )
-    return _assign(corpus, cent1)
+    return _assign(corpus, _centroid_update(a1, "cluster"))
 
 
 # Shared oracle CTE prefix: plant + adaptive K + one DECIMAL Lloyd update
@@ -1278,18 +1274,7 @@ def _semdedup_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cluster"), F.col("v").alias("c"))
     )
     a1 = _assign(corpus, c0)
-    sums = [F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)]
-    cent1 = (
-        a1.groupBy("cluster")
-        .agg(F.count("*").alias("n"), *sums)
-        .select(
-            "cluster",
-            F.array(
-                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]
-            ).alias("c"),
-        )
-    )
-    coarse = _assign(corpus, cent1).withColumnRenamed("cluster", "g")
+    coarse = _assign(corpus, _centroid_update(a1, "cluster")).withColumnRenamed("cluster", "g")
     mode = _ivf_ckpt_mode()
     if mode == "pairs":
         # variant A: checkpoint only the ~24 B/row (vec_id, g, rn)
@@ -1347,17 +1332,7 @@ def _semdedup_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     members = mem.select("vec_id", "v", "g")
     fa1 = _assign_in_cell(members, finit)
-    fcent = (
-        fa1.groupBy("g", "fid")
-        .agg(F.count("*").alias("n"), *sums)
-        .select(
-            "g",
-            "fid",
-            F.array(
-                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]
-            ).alias("c"),
-        )
-    )
+    fcent = _centroid_update(fa1, "g", "fid")
     fa2 = _assign_in_cell(members, fcent)
     return fa2.select(
         "vec_id", "v", (F.col("g") * SEM_IVF_CELL_SHIFT + F.col("fid")).alias("cluster")
