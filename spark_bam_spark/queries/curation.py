@@ -418,14 +418,23 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         # inline if() short-doc guard: sequence(1, 0) is descending in
         # Spark (slice start 0 is an ANSI error for a <DECON_N-word doc)
-        # — see dedup._shingles
-        corpus.select(
+        # — see dedup._shingles.  r17: bind w = split(text) ONCE per row
+        # (the _shingles/decontamination discipline) instead of inline —
+        # the lambda re-evaluated split(text, ' ') per gram position,
+        # an O(words²) character-work term per document (transform
+        # lambdas are interpreted; loop-invariant subexpressions are not
+        # hoisted).  Grams are identical (symmetric diff 0, oracle
+        # re-verified); the transform itself stays inline in the explode
+        # so InferFiltersFromGenerate cannot expand it below the
+        # exchange (see _shingles).
+        corpus.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"if(size(split(text, ' ')) < {DECON_N}, array(),"
-                    f" transform(sequence(1, size(split(text, ' ')) - {DECON_N - 1}),"
-                    " i -> concat_ws(' ', slice(split(text, ' '), i, 5))))"
+                    f"if(size(w) < {DECON_N}, array(),"
+                    f" transform(sequence(1, size(w) - {DECON_N - 1}),"
+                    " i -> concat_ws(' ', slice(w, i, 5))))"
                 )
             ).alias("s"),
         )

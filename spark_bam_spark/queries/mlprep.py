@@ -391,19 +391,29 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by the single most frequent word bigram (2·count/n_words) —
     the classic repetition-removal quality signal for web-scale corpora.
 
-    The bigram array is built and exploded inline (no pre-projected array
-    column — see the InferFiltersFromGenerate note in dedup.py); the
+    The bigram TRANSFORM is built and exploded inline (no pre-projected
+    array column — see the InferFiltersFromGenerate note in dedup.py),
+    but the word split binds to a column first (r17): the lambda
+    re-evaluated split(text, ' ') TWICE per bigram position — transform
+    lambdas are interpreted and loop-invariant subexpressions are not
+    hoisted, an O(words²) term per document.  Binding just the split is
+    safe from the filter-inference trap (the generate input stays a
+    complex inline expression — the _shingles discipline).  The
     (doc, bigram) count shuffle is uniform because keys are doc-scoped.
     """
     doc = table(spark, sf_dir, "documents")
-    bg = doc.filter(F.expr(f"size({_WORDS}) >= 2")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size({_WORDS}) - 2),"
-                f" i -> concat({_WORDS}[i], ' ', {_WORDS}[i+1]))"
-            )
-        ).alias("bigram"),
+    bg = (
+        doc.select("doc_id", F.expr(_WORDS).alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> concat(ws[i], ' ', ws[i+1]))"
+                )
+            ).alias("bigram"),
+        )
     )
     top = (
         bg.groupBy("doc_id", "bigram")
