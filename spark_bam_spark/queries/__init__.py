@@ -253,6 +253,10 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # at sf0.001/sf0.01/sf0.1):
     "curation_pipeline_funnel",
     "text_repetition",
+    # keyed fan_out on the grouping key (one fused exchange, parallel
+    # partial agg; exact DECIMAL sum is order-independent — identical
+    # result, new plan; oracle-verified at sf0.001/sf0.01/sf0.1):
+    "topk_revenue_orders",
 )
 
 

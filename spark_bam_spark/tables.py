@@ -130,8 +130,26 @@ def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
 _FAN_OUT_MEMO: dict[tuple, tuple[SparkSession, bool]] = {}
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     """Spread a scan that collapsed to fewer partitions than cores.
+
+    With ``keys`` (r17): when the insurance fires, hash-distribute on the
+    given columns instead of round-robin.  For an aggregation keyed the
+    same way the exchange then FUSES with the aggregation's required
+    distribution (ENSURE_REQUIREMENTS adds no second exchange — partial
+    and final agg both run post-shuffle, parallel), so the serial scan
+    stage does only the read + shuffle write.  This is the right
+    insurance for LOW-combine-ratio aggregations, where serial map-side
+    partial aggregation is the bottleneck and saves little shuffle
+    volume: topk_revenue_orders (150k groups from 600k rows, ~4:1)
+    measured 1.23 s serial-partial vs 0.76 s keyed vs 1.77 s round-robin
+    (tools/r17_topk_micro.py, interleaved min-of-7 — round-robin pays a
+    SECOND exchange, which is why pricing_summary's earlier fan_out A/B
+    lost).  HIGH-combine-ratio aggregations (pricing_summary: 6 groups)
+    should keep serial partial agg and no fan_out at all.  On a cluster
+    the scan has real splits, the wrapper passes through unchanged, and
+    the planner's default partial-first shape — which shuffles the
+    combined rows, fewer bytes — stands.
 
     The local fixtures are single-row-group parquet files, so Spark plans
     ONE input split and every narrow compute-heavy stage (explode, hash,
@@ -172,6 +190,15 @@ def fan_out(df: DataFrame) -> DataFrame:
     insurance repartition.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+
+    def _spread(d: DataFrame) -> DataFrame:
+        # explicit partition count in BOTH forms: the keyed exchange must
+        # not be AQE-coalesced (a ~25 MB shuffle coalesces to ONE
+        # partition at the default 64 MB advisory size, re-serializing
+        # the downstream aggregation — the exact pathology this wrapper
+        # exists to prevent)
+        return d.repartition(target, *keys) if keys else d.repartition(target)
+
     try:
         key = (
             id(df.sparkSession),
@@ -184,7 +211,7 @@ def fan_out(df: DataFrame) -> DataFrame:
     if key is not None:
         hit = _FAN_OUT_MEMO.get(key)
         if hit is not None and hit[0] is df.sparkSession:
-            return df.repartition(target) if hit[1] else df
+            return _spread(df) if hit[1] else df
     rg = _scan_row_groups(df, target)
     if rg is not None:
         repart = min(rg, df.rdd.getNumPartitions()) < target
@@ -192,7 +219,7 @@ def fan_out(df: DataFrame) -> DataFrame:
         repart = df.rdd.getNumPartitions() < 4 * target
     if key is not None:
         _FAN_OUT_MEMO[key] = (df.sparkSession, repart)
-    return df.repartition(target) if repart else df
+    return _spread(df) if repart else df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -94,6 +94,38 @@ def test_fan_out_is_noop_on_wide_input(spark, sf_small):
     assert fan_out(one).rdd.getNumPartitions() >= target
 
 
+def test_fan_out_keyed_fuses_with_aggregation(spark, sf_small):
+    """r17 keyed fan_out: when the insurance fires, hash-distributing on
+    the aggregation key must (a) actually fire on the single-row-group
+    fixture, (b) add NO second exchange — the repartition satisfies the
+    aggregation's required distribution — and (c) leave results
+    identical (the exact DECIMAL sum is order-independent).  Wide inputs
+    must still pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from spark_bam_spark.tables import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    li = table(spark, sf_small, "lineitem").select("l_orderkey", "l_extendedprice")
+    out = fan_out(li, "l_orderkey")
+    assert out is not li  # single-row-group fixture: insurance fires
+    agg = out.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("s")
+    )
+    plan = plan_of(agg)
+    assert "hashpartitioning(l_orderkey" in plan
+    # exactly one exchange: the keyed repartition; ENSURE_REQUIREMENTS
+    # must not add another for the aggregation
+    assert plan.count("Exchange") == 1
+    base = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("s")
+    )
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, base.collect()))
+    # cluster-shaped input: keyed form passes through like the round-robin
+    wide = table(spark, sf_small, "lineitem").repartition(4 * target)
+    assert fan_out(wide, "l_orderkey") is wide
+
+
 def _write_rg_fixture(tmp_path, n_rows: int, row_group_size: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
