@@ -247,6 +247,7 @@ _FORCE_RECHECK: tuple[str, ...] = (
     "semdedup_prune",
     "semdedup_prune_fast",
     "semdedup_prune_ivf",
+    "ivf_kmeans_probe",
     # the gram/bigram lambdas now read a bound word-array column instead
     # of re-evaluating split(text) per element (identical grams — the
     # lambda output is a pure function of the same words; oracle-verified

@@ -902,16 +902,7 @@ def ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster"), F.col("v").alias("c")
     )
     a1 = _assign(emb, c0)
-    sums = [F.sum(F.expr(f"cast(v[{i}] as {_DEC})")).alias(f"s{i}") for i in range(EMB_DIM)]
-    cent1 = (
-        a1.groupBy("cluster")
-        .agg(F.count("*").alias("n"), *sums)
-        .select(
-            "cluster",
-            F.array(*[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(EMB_DIM)]).alias("c"),
-        )
-    )
-    a2 = _assign(emb, cent1)
+    a2 = _assign(emb, _centroid_update(a1, "cluster"))
     qcell = a2.filter(F.col("vec_id") == QUERY_VEC_FOR_IVF).select(F.col("cluster").alias("qc"))
     qvec = emb.filter(F.col("vec_id") == QUERY_VEC_FOR_IVF).select(F.col("v").alias("qv"))
     cand = a2.join(F.broadcast(qcell), F.col("cluster") == F.col("qc"))
