@@ -113,12 +113,20 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shares each shingle across ~9.6 docs on average).  Results are
     # identical: h_k(s) is a pure function of s alone, and a doc's
     # component minimum over its shingle set equals the minimum over the
-    # exploded postings that contain it (sh is distinct, so postings
-    # partition the same (doc, s) pairs).  All three consumers now read
+    # exploded postings that contain it (collect_set dedups, so postings
+    # hold exactly the distinct (doc, s) pairs).  All three consumers read
     # the small checkpointed frame; the per-doc re-group of the exploded
     # hashes partial-aggregates map-side, so its exchange carries one
     # 16-long row per (doc, task), not the stream.
-    sh = _shingles(table(spark, sf_dir, "documents"))
+    # distinct=False (r17): collect_set already deduplicates doc ids per
+    # shingle, so the posting frame is IDENTICAL (asserted row-for-row in
+    # tools/r17_minhash_post_micro.py) without the distinct pass — the
+    # (doc, s) stream now crosses ONE exchange (the groupBy) instead of
+    # two (distinct + groupBy).  Locally a wash (min 0.72 vs 0.78 s —
+    # both shuffles partial-aggregate map-side and neither is the local
+    # bottleneck); taken for the plan shape: at 100 TB this halves the
+    # number of corpus-stream shuffles in the build (guide §2.4).
+    sh = _shingles(table(spark, sf_dir, "documents"), distinct=False)
     post = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
