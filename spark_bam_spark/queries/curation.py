@@ -446,7 +446,15 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .distinct()
+        # NO shared .distinct() (r17): both consumers deduplicate
+        # themselves (bench distincts on s; the contamination branch
+        # distincts on doc_id after the join), so the shared distinct was
+        # a redundant full exchange of the gram stream — the contamination
+        # branch now flows straight into the broadcast join with no
+        # shuffle at all.  Contaminated-doc set proven identical and the
+        # branch measured 1.49 → 1.00 s (tools/r17_funnel_distinct_micro.py,
+        # interleaved min-of-5).  Join multiplicity from intra-doc repeated
+        # grams is absorbed by the final distinct on doc_id.
     )
     bench = grams.filter(F.col("doc_id") < BENCH_DOC_MAX).select("s").distinct()
     contaminated = (
