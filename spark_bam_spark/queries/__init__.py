@@ -235,7 +235,12 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # computed once per distinct shingle via the posting-list frame
     # instead of once per (doc, shingle) occurrence — result-identical by
     # construction, re-verified locally against the full oracle at
-    # sf0.001/sf0.01/sf0.1, but the plan is new):
+    # sf0.001/sf0.01/sf0.1, but the plan is new; additionally the
+    # component-hash/signature construction is parsed-expression now
+    # (selectExpr + array-of-mins + posexplode — same values, same
+    # (k, sig) rows; identity asserted at sf0.01+sf0.1 in
+    # tools/r17_minhash_sexpr_micro.py and the oracle re-run at all three
+    # scales post-change):
     "minhash_jaccard_estimate",
     # mlprep's mean-centroid update is now emitted as ONE parsed SQL
     # aggregate (array of 64 DECIMAL sums + a transform divide) instead of

@@ -132,25 +132,28 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .localCheckpoint(eager=True)
     )
-
-    def comp(k: int):
-        h = F.md5(F.concat_ws(":", F.lit(k), F.col("s")))
-        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-
-    hashed = post.select(
-        "ids", *[comp(k).alias(f"h{k}") for k in range(N_COMPONENTS)]
-    )
-    sigs = (
-        hashed.select(
-            F.explode("ids").alias("doc_id"),
-            *[F.col(f"h{k}") for k in range(N_COMPONENTS)],
+    # parsed-expression construction (r17, guide §5/§7.3): the previous
+    # shape built the 16 component hashes as nested Column objects (~100
+    # py4j round trips) and unpivoted via 16 per-component min aliases +
+    # stack().  One selectExpr / one array-of-mins aggregate / posexplode
+    # emit the IDENTICAL values and (k, sig) rows — md5(concat_ws(':',k,s))
+    # per component, min per doc, k = component index — with the driver
+    # chatter collapsed to three parsed expressions (measured −10% on the
+    # full query, tools/r17_minhash_sexpr_micro.py; result identity
+    # asserted at sf0.01 + sf0.1 in the same micro).
+    comp_sql = [
+        f"cast(conv(substring(md5(concat_ws(':', {k}, s)), 1, 15), 16, 10) as bigint) as h{k}"
+        for k in range(N_COMPONENTS)
+    ]
+    hashed = post.selectExpr("ids", *comp_sql)
+    mins_sql = ", ".join(f"min(h{k})" for k in range(N_COMPONENTS))
+    sig_rows = (
+        hashed.selectExpr(
+            "explode(ids) as doc_id", *[f"h{k}" for k in range(N_COMPONENTS)]
         )
         .groupBy("doc_id")
-        .agg(*[F.min(f"h{k}").alias(f"sig_{k}") for k in range(N_COMPONENTS)])
-    )
-    stack_args = ", ".join(f"{k}, sig_{k}" for k in range(N_COMPONENTS))
-    sig_rows = sigs.select(
-        "doc_id", F.expr(f"stack({N_COMPONENTS}, {stack_args}) AS (k, sig)")
+        .agg(F.expr(f"array({mins_sql})").alias("sig_arr"))
+        .selectExpr("doc_id", "posexplode(sig_arr) as (k, sig)")
     )
     pair_enum = F.expr(
         "flatten(transform(ids, (a, i) ->"
