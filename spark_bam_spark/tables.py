@@ -50,18 +50,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
-    """The ACTUAL parquet row-group count feeding ``df`` — the ground
-    truth for scan parallelism that planned-split counts only proxy —
-    when ``df`` is a narrow chain (project/filter) directly over a local
-    parquet scan; None when that can't be established (post-shuffle
-    frames, whose partitions are real regardless of the scan; joins;
-    non-parquet sources; remote filesystems — though a WIDE remote
-    layout, >= cap files, still returns cap by per-file inference).
-    Driver-side cost is bounded at 4*cap metadata-only footer reads
-    (short-circuits as soon as ``cap`` row groups are found — the common
-    case reads far fewer; each is the same footer Spark itself reads to
-    plan the scan).
+def _scan_row_groups(df: DataFrame, cap: int) -> tuple[int | None, int | None]:
+    """(row_groups, rows): the ACTUAL parquet row-group count feeding
+    ``df`` — the ground truth for scan parallelism that planned-split
+    counts only proxy — when ``df`` is a narrow chain (project/filter)
+    directly over a local parquet scan; (None, None) when that can't be
+    established (post-shuffle frames, whose partitions are real
+    regardless of the scan; joins; non-parquet sources; remote
+    filesystems — though a WIDE remote layout, >= cap files, still
+    returns cap by per-file inference).  ``rows`` is the exact row count
+    from the same footers — fan_out's rows-derived spread target (r17) —
+    and is only non-None when every input file was enumerated (the
+    short-circuit / budget-exhaustion / remote paths return rows=None,
+    so callers fall back to the full core-count spread).  Driver-side
+    cost is bounded at 4*cap metadata-only footer reads (short-circuits
+    as soon as ``cap`` row groups are found — the common case reads far
+    fewer; each is the same footer Spark itself reads to plan the scan).
     """
     import re
     from urllib.parse import unquote, urlparse
@@ -69,34 +73,39 @@ def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
-        return None
+        return None, None
     for line in plan.splitlines():
         m = re.match(r"[\s:+*-]*([A-Za-z][A-Za-z0-9]*)", line)
         if m is None:
             continue
-        # anything beyond project/filter/scan (Repartition, Join,
-        # Aggregate, Union, LogicalRDD, RelationV2, ...) means either the
+        # anything beyond project/filter/union/scan (Repartition, Join,
+        # Aggregate, LogicalRDD, RelationV2, ...) means either the
         # partitioning is no longer the scan's or the source isn't a
-        # plain parquet relation — row groups are not the bound there
-        if m.group(1) not in ("Project", "Filter", "Relation", "LogicalRelation"):
-            return None
+        # plain parquet relation — row groups are not the bound there.
+        # Union (r17) is narrow too: its parallelism is the sum of its
+        # legs' scans.  inputFiles() dedups, so a union whose legs scan
+        # the SAME file counts each footer once — an UNDERcount of both
+        # row groups and rows, i.e. conservative for the `< target`
+        # insurance decision and a floor for the rows-derived spread.
+        if m.group(1) not in ("Project", "Filter", "Relation", "LogicalRelation", "Union"):
+            return None, None
     try:
         files = df.inputFiles()
     except Exception:
-        return None
+        return None, None
     if not files:
-        return None
+        return None, None
     try:
         import pyarrow.parquet as pq
     except ImportError:
-        return None
+        return None, None
     if any(urlparse(u).scheme not in ("", "file") for u in files[: 4 * cap]):
         # remote FS: footers aren't one local read away, so fall back to
         # the pre-r16 >=1-row-group-per-file inference for wide layouts
         # (a remote dir of >= cap files stays a pass-through candidate,
         # not an unconditional repartition) and to the planned-count
         # heuristic otherwise
-        return cap if len(files) >= cap else None
+        return (cap, None) if len(files) >= cap else (None, None)
     # Local files: footers are MEASURED in the multi-file case too —
     # inferring >=1 row group per file over-credits scans with empty
     # part files (r15 ADVICE #1).  Driver cost stays bounded: worst case
@@ -105,6 +114,7 @@ def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
     # footers, since reaching that without cap row groups means the
     # layout is mostly-empty parts, exactly where inference lies.
     total = 0
+    rows = 0
     for n_read, uri in enumerate(files):
         if n_read >= 4 * cap:
             # budget exhausted with total < cap: 4*cap footers held fewer
@@ -113,21 +123,39 @@ def _scan_row_groups(df: DataFrame, cap: int) -> int | None:
             # over-credits.  Return the measured lower bound (< cap, so
             # the caller repartitions); the insurance cost of a spurious
             # narrow shuffle is already accepted elsewhere in fan_out
-            # (r16 ADVICE #1).
-            return total
+            # (r16 ADVICE #1).  rows is incomplete here — None, so the
+            # spread stays at the full core count.
+            return total, None
         try:
-            total += pq.ParquetFile(unquote(urlparse(uri).path)).metadata.num_row_groups
+            meta = pq.ParquetFile(unquote(urlparse(uri).path)).metadata
         except Exception:
-            return None
+            return None, None
+        total += meta.num_row_groups
+        rows += meta.num_rows
         if total >= cap:
-            return cap
-    return total
+            # short-circuit: rg >= cap means the insurance won't fire on
+            # the measured branch, so the (incomplete) row count is moot
+            return cap, None
+    return total, rows
 
 
-# (session, analyzed-plan string, input files, target) -> needs repartition.
-# Session object kept in the value for the same id()-reuse guard as
-# _TABLE_CACHE.
-_FAN_OUT_MEMO: dict[tuple, tuple[SparkSession, bool]] = {}
+# (session, analyzed-plan string, input files, target) -> spread partition
+# count (0 = pass through).  Session object kept in the value for the same
+# id()-reuse guard as _TABLE_CACHE.
+_FAN_OUT_MEMO: dict[tuple, tuple[SparkSession, int]] = {}
+
+# Rows-per-task floor for the insurance spread (r17, guide §2: derive the
+# partitioning from the input size, not a constant): spreading a measured
+# N-row scan wider than ceil(N / 256) tasks is pure scheduling overhead —
+# interleaved A/Bs at sf0.1 show the full core-count spread LOSING on
+# every sub-8k-row benched scan (semdedup corpus 2.18k rows: fast -12%
+# min / -25% med at 8 vs 32 partitions; documents 5k rows: funnel -11%,
+# substring -12%, lsh -4% mins at 19 vs 32), while per-row work stays
+# balanced (256 rows/task keeps the heaviest narrow operators — DECIMAL
+# argmin folds, shingle explode + md5 — at millisecond-scale tasks).  At
+# cluster scale any real scan measures rows >> 256 x cores, the floor
+# saturates at the core count, and behavior is identical to pre-r17.
+_FAN_OUT_MIN_ROWS_PER_TASK = 256
 
 
 def fan_out(df: DataFrame, *keys: str) -> DataFrame:
@@ -186,18 +214,26 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     of the plan and the on-disk layout, both captured in the key; repeat
     builds of the same query (every bench repetition, every re-used
     subtree) skip straight to the recorded verdict.  Nothing about the
-    data is cached — only whether this exact scan shape needs the
-    insurance repartition.
+    data is cached — only the spread partition count (0 = pass through)
+    this exact scan shape needs.
+
+    r17 (late): the spread target is ROWS-DERIVED when the footers were
+    fully enumerated — min(cores, rows // _FAN_OUT_MIN_ROWS_PER_TASK),
+    skipping the repartition entirely when that floor does not exceed
+    the scan's own measured parallelism (see the constant's comment for
+    the measured local evidence and the cluster-scale no-op argument).
+    Unknown rows (post-shuffle, remote, short-circuited or
+    budget-exhausted footer walks) keep the full core-count spread.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
 
-    def _spread(d: DataFrame) -> DataFrame:
+    def _spread(d: DataFrame, n: int) -> DataFrame:
         # explicit partition count in BOTH forms: the keyed exchange must
         # not be AQE-coalesced (a ~25 MB shuffle coalesces to ONE
         # partition at the default 64 MB advisory size, re-serializing
         # the downstream aggregation — the exact pathology this wrapper
         # exists to prevent)
-        return d.repartition(target, *keys) if keys else d.repartition(target)
+        return d.repartition(n, *keys) if keys else d.repartition(n)
 
     try:
         key = (
@@ -211,15 +247,27 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     if key is not None:
         hit = _FAN_OUT_MEMO.get(key)
         if hit is not None and hit[0] is df.sparkSession:
-            return _spread(df) if hit[1] else df
-    rg = _scan_row_groups(df, target)
+            return _spread(df, hit[1]) if hit[1] else df
+    rg, rows = _scan_row_groups(df, target)
     if rg is not None:
-        repart = min(rg, df.rdd.getNumPartitions()) < target
+        existing = min(rg, df.rdd.getNumPartitions())
+        spread_to = target if existing < target else 0
+        # rows-derived spread target (see _FAN_OUT_MIN_ROWS_PER_TASK):
+        # never spread a MEASURED N-row scan wider than N // 256 tasks —
+        # and when that floor does not exceed the scan's own measured
+        # parallelism, the repartition buys nothing and is skipped
+        # outright.  rows is only known when every footer was enumerated;
+        # unknown rows (short-circuit / remote / exhausted budget) keep
+        # the full core-count spread.
+        if spread_to and rows is not None:
+            spread_to = min(target, max(1, rows // _FAN_OUT_MIN_ROWS_PER_TASK))
+            if spread_to <= existing:
+                spread_to = 0
     else:
-        repart = df.rdd.getNumPartitions() < 4 * target
+        spread_to = target if df.rdd.getNumPartitions() < 4 * target else 0
     if key is not None:
-        _FAN_OUT_MEMO[key] = (df.sparkSession, repart)
-    return _spread(df) if repart else df
+        _FAN_OUT_MEMO[key] = (df.sparkSession, spread_to)
+    return _spread(df, spread_to) if spread_to else df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -88,10 +88,62 @@ def test_fan_out_is_noop_on_wide_input(spark, sf_small):
     assert fan_out(li) is li  # cluster-shaped inputs pass through untouched
     mid = table(spark, sf_small, "lineitem").repartition(2 * target)
     assert fan_out(mid) is not mid
-    # bare scans are judged on MEASURED row groups: the single-row-group
-    # fixture must spread regardless of what the planner would say
-    one = table(spark, sf_small, "nation")
-    assert fan_out(one).rdd.getNumPartitions() >= target
+    # bare scans are judged on MEASURED row groups AND measured rows: the
+    # single-row-group lineitem fixture (~6k rows) must spread, to the
+    # rows-derived target (min(cores, rows // 256)), never wider
+    one = table(spark, sf_small, "lineitem")
+    expect = min(target, max(1, one.count() // 256))
+    assert expect > 1  # fixture sanity: the spread must actually fire
+    assert fan_out(one).rdd.getNumPartitions() == expect
+    # a tiny measured scan (nation: 5 rows) gains nothing from spreading —
+    # the rows floor skips the insurance exchange outright (r17)
+    tiny = table(spark, sf_small, "nation")
+    assert fan_out(tiny) is tiny
+
+
+def test_fan_out_footer_budget_exhaustion_keeps_full_spread(spark, tmp_path):
+    """The r16 ADVICE #1 branch, previously unpinned: a mostly-empty
+    layout with more than 4*cores part files exhausts the footer budget
+    before finding cores row groups.  The walk must return the measured
+    lower bound with rows=None (incomplete count), and fan_out must take
+    the insurance repartition at the FULL core count (the rows floor
+    only applies to fully-enumerated scans)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_bam_spark.tables import _scan_row_groups, fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    d = tmp_path / "many_empty_parts"
+    d.mkdir()
+    schema = pa.schema([("x", pa.int64())])
+    for i in range(4 * target + 8):  # > the 4*cap footer budget
+        pq.ParquetWriter(str(d / f"part-{i:05d}.parquet"), schema).close()
+    pq.write_table(pa.table({"x": list(range(1000))}), str(d / "zz-data.parquet"))
+    df = spark.read.parquet(str(d))
+    rg, rows = _scan_row_groups(df, target)
+    assert rows is None and rg is not None and rg < target
+    out = fan_out(df)
+    assert out is not df and out.rdd.getNumPartitions() == target
+
+
+def test_fan_out_rows_derived_spread(spark, tmp_path):
+    """r17 rows floor: the insurance spread is derived from the MEASURED
+    row count (min(cores, rows // 256)), so a mid-size single-row-group
+    file spreads to a few partitions, not blindly to the core count, and
+    a sub-256-row file passes through with no exchange at all.  Unknown
+    rows (the short-circuited >=cap-row-group walk) keep the full
+    core-count behavior — pinned by the `== target` asserts in the
+    measured-ownership tests above."""
+    from spark_bam_spark.tables import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    mid = spark.read.parquet(_write_rg_fixture(tmp_path, 1_000, 1_000_000))
+    out = fan_out(mid)
+    assert out is not mid
+    assert out.rdd.getNumPartitions() == min(target, 1_000 // 256)
+    tiny = spark.read.parquet(_write_rg_fixture(tmp_path, 200, 1_000_000))
+    assert fan_out(tiny) is tiny
 
 
 def test_fan_out_keyed_fuses_with_aggregation(spark, sf_small):
@@ -156,7 +208,7 @@ def test_fan_out_repartitions_on_measured_narrow_ownership(spark, tmp_path):
         df = spark.read.parquet(path)
         planned = df.rdd.getNumPartitions()
         assert planned >= 4 * target  # the old heuristic would pass through
-        assert _scan_row_groups(df, target) == 2
+        assert _scan_row_groups(df, target) == (2, 400_000)
         out = fan_out(df)
         assert out is not df and out.rdd.getNumPartitions() == target
     finally:
@@ -192,7 +244,7 @@ def test_fan_out_measures_empty_part_files(spark, tmp_path):
         df = spark.read.parquet(str(d))
         assert df.rdd.getNumPartitions() >= target  # planned wide
         assert len(df.inputFiles()) >= target  # file-count inference would pass
-        assert _scan_row_groups(df, target) == 2  # measured truth
+        assert _scan_row_groups(df, target) == (2, 400_000)  # measured truth
         out = fan_out(df)
         assert out is not df and out.rdd.getNumPartitions() == target
     finally:
@@ -214,7 +266,7 @@ def test_fan_out_passes_through_measured_wide_scan(spark, tmp_path):
     try:
         df = spark.read.parquet(path)
         assert df.rdd.getNumPartitions() >= target  # planned wide
-        assert _scan_row_groups(df, target) == target  # capped: >= target
+        assert _scan_row_groups(df, target) == (target, None)  # capped: >= target (rows moot)
         assert fan_out(df) is df
         # narrow projections over the scan keep the pass-through
         proj = df.select((F.col("x") % 7).alias("m"))
