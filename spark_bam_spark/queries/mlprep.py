@@ -1312,9 +1312,20 @@ def _semdedup_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expensive fine phase downstream runs single-task.  An explicit
         # repartition is exempt from AQE coalescing, so the materialized
         # assignment stays executor-wide at every scale.
+        # r17 (late): the width is anchored to the CORPUS SCAN's own
+        # parallelism, capped at the core count — fan_out already derives
+        # that from the measured input size, so a bench-scale corpus (7
+        # partitions at sf0.1) no longer fans the checkpoint to 32
+        # overhead-bound tasks, while at the 10x tile and beyond the
+        # anchor saturates at defaultParallelism and the materialized
+        # layout is exactly the pre-change one.  Decision list proven
+        # identical and measured -6.5% min / -8.8% med on the full query
+        # (interleaved in-process A/B, 6 rounds).
         mem = (
             coarse.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("vec_id")))
-            .repartition(spark.sparkContext.defaultParallelism)
+            .repartition(
+                min(spark.sparkContext.defaultParallelism, corpus.rdd.getNumPartitions())
+            )
             .localCheckpoint(eager=True)
         )
         kg_src = mem
