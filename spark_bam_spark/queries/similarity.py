@@ -39,8 +39,14 @@ def _cosine_scores(spark: SparkSession, sf_dir: str, restrict_label: bool) -> Da
     )
     # one-row broadcast + per-row higher-order expressions: cosine is a
     # narrow map over the scan (no explode, no shuffle) — at 100 TB this
-    # is a single pass ending in TakeOrderedAndProject
-    j = fan_out(emb).crossJoin(F.broadcast(q))
+    # is a single pass ending in TakeOrderedAndProject.
+    # work_factor=8 (r17): each row evaluates THREE interpreted
+    # 64-element DECIMAL folds — roughly an order of magnitude more
+    # per-row work than the median fan_out consumer, so the rows-derived
+    # floor under-spreads it (measured +0.03 s min at the default floor,
+    # interleaved A/B); the declared factor restores the full spread at
+    # bench scale and is moot from the 10x tile up.
+    j = fan_out(emb, work_factor=8).crossJoin(F.broadcast(q))
     if restrict_label:
         j = j.filter(F.col("label") == F.col("q_label"))
     prod = f"zip_with(embedding, qv, (x, y) -> cast(cast(x as double) * cast(y as double) as {_DEC}))"

@@ -158,8 +158,17 @@ _FAN_OUT_MEMO: dict[tuple, tuple[SparkSession, int]] = {}
 _FAN_OUT_MIN_ROWS_PER_TASK = 256
 
 
-def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+def fan_out(df: DataFrame, *keys: str, work_factor: float = 1.0) -> DataFrame:
     """Spread a scan that collapsed to fewer partitions than cores.
+
+    ``work_factor`` (r17) scales the rows-derived floor for call sites
+    whose per-row work is far above the engine's median narrow operator
+    (e.g. several interpreted wide-DECIMAL folds per row, or a crossJoin
+    that multiplies each row downstream): the floor becomes
+    ``rows * work_factor // _FAN_OUT_MIN_ROWS_PER_TASK``, so such a site
+    reaches the full core-count spread at proportionally fewer rows.  It
+    never raises the spread above the core count and is part of the
+    decision-memo key.
 
     With ``keys`` (r17): when the insurance fires, hash-distribute on the
     given columns instead of round-robin.  For an aggregation keyed the
@@ -241,6 +250,7 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
             df._jdf.queryExecution().analyzed().toString(),
             tuple(df.inputFiles()),
             target,
+            work_factor,
         )
     except Exception:
         key = None
@@ -260,7 +270,10 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
         # unknown rows (short-circuit / remote / exhausted budget) keep
         # the full core-count spread.
         if spread_to and rows is not None:
-            spread_to = min(target, max(1, rows // _FAN_OUT_MIN_ROWS_PER_TASK))
+            spread_to = min(
+                target,
+                max(1, int(rows * work_factor) // _FAN_OUT_MIN_ROWS_PER_TASK),
+            )
             if spread_to <= existing:
                 spread_to = 0
     else:
