@@ -224,45 +224,19 @@ _DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # lsh_quality_eval, triangle_count_candidates — went green in r6 and are
 # cleared.)
 _FORCE_RECHECK: tuple[str, ...] = (
-    # r17: both r16 entries — stream_dedup_minhash_lsh and
-    # stream_dedup_lsh_compacted — went hash-green in CORRECTNESS_r16 and
-    # are cleared per convention (VERDICT r16 order #1), so this round's
-    # window drains the 34-query r12 vintage (each pre-verified at sf0.1
-    # by the r16 judge) plus the oldest r13 entries.
+    # r18: all 9 r17 entries (minhash_jaccard_estimate, kmeans_lloyd,
+    # semdedup_prune, semdedup_prune_fast, semdedup_prune_ivf,
+    # ivf_kmeans_probe, curation_pipeline_funnel, text_repetition,
+    # topk_revenue_orders) went hash-green in CORRECTNESS_r17 and are
+    # cleared per convention (VERDICT r17 gate notes).
     #
-    # r17 changes that must be re-hashed by the driver:
-    # minhash_jaccard_estimate's engine chain changed (signature hashes
-    # computed once per distinct shingle via the posting-list frame
-    # instead of once per (doc, shingle) occurrence — result-identical by
-    # construction, re-verified locally against the full oracle at
-    # sf0.001/sf0.01/sf0.1, but the plan is new; additionally the
-    # component-hash/signature construction is parsed-expression now
-    # (selectExpr + array-of-mins + posexplode — same values, same
-    # (k, sig) rows; identity asserted at sf0.01+sf0.1 in
-    # tools/r17_minhash_sexpr_micro.py and the oracle re-run at all three
-    # scales post-change):
-    "minhash_jaccard_estimate",
-    # mlprep's mean-centroid update is now emitted as ONE parsed SQL
-    # aggregate (array of 64 DECIMAL sums + a transform divide) instead of
-    # 64 individually-constructed Columns — same sums, same division,
-    # bit-identical centroids, but the expression tree (and so the plan)
-    # is new for every query through _centroid_update.  Re-verified
-    # locally against the full oracle at sf0.001/sf0.01/sf0.1:
-    "kmeans_lloyd",
-    "semdedup_prune",
-    "semdedup_prune_fast",
-    "semdedup_prune_ivf",
-    "ivf_kmeans_probe",
-    # the gram/bigram lambdas now read a bound word-array column instead
-    # of re-evaluating split(text) per element (identical grams — the
-    # lambda output is a pure function of the same words; oracle-verified
-    # at sf0.001/sf0.01/sf0.1):
-    "curation_pipeline_funnel",
-    "text_repetition",
-    # keyed fan_out on the grouping key (one fused exchange, parallel
-    # partial agg; exact DECIMAL sum is order-independent — identical
-    # result, new plan; oracle-verified at sf0.001/sf0.01/sf0.1):
-    "topk_revenue_orders",
+    # bm25_topk_docs: its executed plan was rebuilt around the tf
+    # localCheckpoint in r17 (text.py) but it was NOT queued for a driver
+    # re-hash that round (VERDICT r17 "What's wrong" #2 / order #2) — only
+    # local verification exists (454/454 two-tile sweep + identical
+    # top-20).  Queue it now so CORRECTNESS_r18 re-hashes the checkpoint
+    # shape:
+    "bm25_topk_docs",
 )
 
 

@@ -32,6 +32,25 @@ TABLE_NAMES = (
 # can never serve a stale frame (identity check on hit).
 _TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
+# r18 (VERDICT r17 #5): both driver-side memos are LRU-bounded.  Keys
+# embed analyzed-plan STRINGS / sf dirs, so an unbounded dict is a slow
+# driver leak in a long-lived multi-tenant session (guide §5 — the driver
+# should hold no per-query state that grows without bound).  The caps are
+# far above any single workload's working set (the full 226-query
+# registry generates ~40 distinct fan_out keys per (session, core-count)
+# pair), so eviction never fires on the bench or the driver — pinned by
+# tests/test_plan_quality.py::test_memo_lru_bounded.
+_MEMO_CAP = 1024
+
+
+def _memo_put(memo: dict, key, value) -> None:
+    """Insert with LRU eviction (dicts iterate in insertion order; a hit
+    refresh re-inserts, so the first key is always the least recent)."""
+    memo.pop(key, None)
+    while len(memo) >= _MEMO_CAP:
+        memo.pop(next(iter(memo)))
+    memo[key] = value
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
@@ -39,6 +58,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
+        _memo_put(_TABLE_CACHE, key, hit)  # refresh LRU recency
         return hit[1]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) columns surface as bigint under
@@ -46,7 +66,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps (truncation matches DuckDB's ns→µs fetch behavior).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _TABLE_CACHE[key] = (spark, df)
+    _memo_put(_TABLE_CACHE, key, (spark, df))
     return df
 
 
@@ -141,7 +161,14 @@ def _scan_row_groups(df: DataFrame, cap: int) -> tuple[int | None, int | None]:
 
 # (session, analyzed-plan string, input files, target) -> spread partition
 # count (0 = pass through).  Session object kept in the value for the same
-# id()-reuse guard as _TABLE_CACHE.
+# id()-reuse guard as _TABLE_CACHE.  LRU-bounded at _MEMO_CAP (see above).
+# Staleness stance (r17 ADVICE #4, documented rather than keyed on
+# mtimes): the memo assumes input files are IMMUTABLE within a session —
+# overwriting a parquet file in place with a different row count would
+# serve a stale rows-derived spread until the session restarts.  Every
+# consumer in this repo reads fixture/tile dirs that are never rewritten
+# mid-session; stat-ing every input file on each hit would re-add
+# driver-side per-call I/O the memo exists to remove.
 _FAN_OUT_MEMO: dict[tuple, tuple[SparkSession, int]] = {}
 
 # Rows-per-task floor for the insurance spread (r17, guide §2: derive the
@@ -257,6 +284,7 @@ def fan_out(df: DataFrame, *keys: str, work_factor: float = 1.0) -> DataFrame:
     if key is not None:
         hit = _FAN_OUT_MEMO.get(key)
         if hit is not None and hit[0] is df.sparkSession:
+            _memo_put(_FAN_OUT_MEMO, key, hit)  # refresh LRU recency
             return _spread(df, hit[1]) if hit[1] else df
     rg, rows = _scan_row_groups(df, target)
     if rg is not None:
@@ -279,7 +307,7 @@ def fan_out(df: DataFrame, *keys: str, work_factor: float = 1.0) -> DataFrame:
     else:
         spread_to = target if df.rdd.getNumPartitions() < 4 * target else 0
     if key is not None:
-        _FAN_OUT_MEMO[key] = (df.sparkSession, spread_to)
+        _memo_put(_FAN_OUT_MEMO, key, (df.sparkSession, spread_to))
     return _spread(df, spread_to) if spread_to else df
 
 

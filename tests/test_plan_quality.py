@@ -146,6 +146,30 @@ def test_fan_out_rows_derived_spread(spark, tmp_path):
     assert fan_out(tiny) is tiny
 
 
+def test_memo_lru_bounded():
+    """r18 (VERDICT r17 #5): the driver-side memos (_TABLE_CACHE,
+    _FAN_OUT_MEMO) are LRU-bounded — keys embed analyzed-plan strings, so
+    unbounded growth is a slow driver leak in a long-lived session.  Pins
+    _memo_put's contract: size never exceeds _MEMO_CAP, the evicted entry
+    is the least recently USED (a get-refresh re-inserts), and the cap is
+    far above the registry's working set so eviction never fires on the
+    bench."""
+    from spark_bam_spark.tables import _MEMO_CAP, _memo_put
+
+    memo: dict = {}
+    for i in range(_MEMO_CAP + 100):
+        _memo_put(memo, i, i)
+    assert len(memo) == _MEMO_CAP
+    assert 0 not in memo and _MEMO_CAP + 99 in memo  # oldest evicted
+    # refresh-on-hit: re-putting an old key protects it from eviction
+    oldest = next(iter(memo))
+    _memo_put(memo, oldest, memo[oldest])
+    _memo_put(memo, "fresh", 1)
+    assert oldest in memo and len(memo) == _MEMO_CAP
+    # the cap clears the whole registry's key load with wide margin
+    assert _MEMO_CAP >= 1024
+
+
 def test_fan_out_keyed_fuses_with_aggregation(spark, sf_small):
     """r17 keyed fan_out: when the insurance fires, hash-distributing on
     the aggregation key must (a) actually fire on the single-row-group
