@@ -237,6 +237,29 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # top-20).  Queue it now so CORRECTNESS_r18 re-hashes the checkpoint
     # shape:
     "bm25_topk_docs",
+    # r18 changes that must be re-hashed by the driver (each verified
+    # locally against the full DuckDB oracle at sf0.001/sf0.01/sf0.1
+    # before landing):
+    #
+    # the k-means/semdedup init and scalar subtrees (c0, adaptive-K
+    # count, the IVF probe's query vector) now derive from the UN-fanned
+    # scan/union — identical rows (filter/count commute with the
+    # insurance repartition), new plans (4-6 fewer Exchanges; vec_id
+    # predicates pushed into the parquet scan):
+    "kmeans_lloyd",
+    "ivf_kmeans_probe",
+    "semdedup_prune",
+    "semdedup_prune_fast",
+    "semdedup_prune_ivf",
+    # interval_overlap_join: events bucketed to the day grid and
+    # equi-joined (BroadcastHashJoin) with the original range predicate
+    # kept as the residual — row-identical by the grid-alignment
+    # argument in relational.py:
+    "interval_overlap_join",
+    # dedup_substring_spans: the hash-probe side reads the un-fanned
+    # scan and splits AFTER the broadcast join (same split(text), same
+    # rows, survivors-only tokenize):
+    "dedup_substring_spans",
 )
 
 

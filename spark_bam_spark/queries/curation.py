@@ -127,6 +127,17 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bottleneck); taken for the plan shape: at 100 TB this halves the
     # number of corpus-stream shuffles in the build (guide §2.4).
     sh = _shingles(table(spark, sf_dir, "documents"), distinct=False)
+    # The posting frame materializes AQE-coalesced (5 partitions at
+    # sf0.1), so the 16-md5 consumer stage runs ~5-task.  Respreading it
+    # was probed twice and REJECTED on measurement both times: post-ckpt
+    # repartition(19) in r17 (the exchange re-ran inside every consumer,
+    # +11% min) and pre-ckpt repartition(cores) in r18 (VERDICT r17 #4;
+    # one exchange inside the materialization job, but the shuffle + the
+    # 32-file checkpoint write cost more than the parallelized hash
+    # stage saves: 2.08 → 2.71 s min, 3-round interleaved fresh-process
+    # A/B).  The 5-partition layout is a BENCH-SCALE artifact of AQE's
+    # 1 MB minPartitionSize — at any real scale the same size-driven
+    # coalescing materializes the frame executor-wide on its own.
     post = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))

@@ -883,14 +883,27 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dup_grams") >= 5)
         .drop("grp")
     )
-    return spans.join(toks, "doc_id").select(
+    # r18 (VERDICT r17 #6, guide §1.2-2): the hash-probe side reads the
+    # UN-fanned scan and splits AFTER the broadcast join.  The old probe
+    # (fan_out(d) → split → join) re-tokenized every document and paid
+    # the insurance exchange, then the broadcast join kept ~1% of the
+    # rows; splitting the joined side instead tokenizes only documents
+    # that actually carry a span — at 100 TB that converts a corpus-wide
+    # split pass into a survivors-only one.  Spans stay the build side
+    # (tiny, the r10 shape); rows and hashes are identical because
+    # split(text) is computed on the same text either way.
+    probe = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return F.broadcast(spans).join(probe, "doc_id").select(
         "doc_id",
         "span_start",
         "span_tokens",
         "n_dup_grams",
-        F.md5(F.expr("array_join(slice(w, cast(span_start as int), cast(span_tokens as int)), ' ')")).alias(
-            "span_hash"
-        ),
+        F.md5(
+            F.expr(
+                "array_join(slice(split(text, ' '), cast(span_start as int),"
+                " cast(span_tokens as int)), ' ')"
+            )
+        ).alias("span_hash"),
     )
 
 

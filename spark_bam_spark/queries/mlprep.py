@@ -307,10 +307,14 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow pass over the scan + one k-bounded partial-aggregated
     shuffle.
     """
-    emb = fan_out(table(spark, sf_dir, "embeddings")).select(
+    raw = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
-    c0 = emb.filter(F.col("vec_id") < KMEANS_K).select(
+    emb = fan_out(raw)
+    # c0 from the UN-fanned scan (r18, guide §2.4/§6): identical k rows,
+    # but the init broadcast's build job drops the insurance exchange and
+    # vec_id < K reaches the parquet scan as a pushed filter
+    c0 = raw.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("c")
     )
     a1 = _assign(emb, c0)
@@ -895,16 +899,20 @@ def ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign, probe). At 100 TB the assignment is a narrow map, cells are
     written out partitioned (as in the _pruned variant), and each query
     touches 1/k of the data."""
-    emb = fan_out(table(spark, sf_dir, "embeddings")).select(
+    raw = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
-    c0 = emb.filter(F.col("vec_id") < KMEANS_K).select(
+    emb = fan_out(raw)
+    # c0/qvec from the UN-fanned scan (r18) — see kmeans_lloyd: identical
+    # rows, no insurance exchange in their broadcast builds, vec_id
+    # predicates pushed into the parquet scan
+    c0 = raw.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("c")
     )
     a1 = _assign(emb, c0)
     a2 = _assign(emb, _centroid_update(a1, "cluster"))
     qcell = a2.filter(F.col("vec_id") == QUERY_VEC_FOR_IVF).select(F.col("cluster").alias("qc"))
-    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_FOR_IVF).select(F.col("v").alias("qv"))
+    qvec = raw.filter(F.col("vec_id") == QUERY_VEC_FOR_IVF).select(F.col("v").alias("qv"))
     cand = a2.join(F.broadcast(qcell), F.col("cluster") == F.col("qc"))
     prod = f"zip_with(v, qv, (x, y) -> cast(x * y as {_DEC}))"
     sq = f"transform(v, x -> cast(x * x as {_DEC}))"
@@ -981,7 +989,17 @@ def _score_clusters_numpy(assigned: DataFrame) -> DataFrame:
 
 def _semdedup_corpus(spark: SparkSession, sf_dir: str):
     """Planted corpus + adaptive-K scalar, shared by the flat and IVF
-    blocking phases."""
+    blocking phases.  Returns (corpus, kk, raw): ``corpus`` is the
+    fan_out-spread frame the heavy argmin passes iterate over; ``raw``
+    is the SAME union before the insurance repartition — the init/scalar
+    subtrees (the adaptive-K count here, c0 in the callers) must derive
+    from ``raw``, not ``corpus`` (r18, guide §2.4): count(*) and a
+    vec_id filter commute with repartition, so reading through fan_out
+    only adds the insurance exchange to every broadcast-build job that
+    materializes those tiny frames (measured: the corpus
+    scan→repartition re-executed inside 4+ broadcast subquery builds per
+    IVF invocation, tools/r18_ivf_jobs.py), and at 100 TB it puts a full
+    corpus shuffle under a scalar count that needs none."""
     emb0 = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
@@ -989,13 +1007,14 @@ def _semdedup_corpus(spark: SparkSession, sf_dir: str):
         (F.col("vec_id") + SEM_PLANT_OFFSET).alias("vec_id"),
         F.expr("transform(v, (x, i) -> if(i = 0, x * 1.01d, x))").alias("v"),
     )
-    corpus = fan_out(emb0.unionAll(planted))
-    kk = corpus.agg(
+    raw = emb0.unionAll(planted)
+    corpus = fan_out(raw)
+    kk = raw.agg(
         F.greatest(
             F.lit(SEM_K), F.ceil(F.count("*") / float(SEM_TARGET)).cast("long")
         ).alias("k")
     )
-    return corpus, kk
+    return corpus, kk, raw
 
 
 def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,9 +1024,12 @@ def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is exact DECIMAL so the cluster labels are bit-identical
     across engines AND row orders — both the oracle-twin (DECIMAL scoring)
     and the production path (numpy scoring) consume the same blocking."""
-    corpus, kk = _semdedup_corpus(spark, sf_dir)
+    corpus, kk, raw = _semdedup_corpus(spark, sf_dir)
+    # c0 from the UN-fanned union (r18): the k-row init frame is
+    # identical — the filter commutes with the repartition — but its
+    # broadcast build no longer executes the insurance exchange
     c0 = (
-        corpus.crossJoin(F.broadcast(kk))
+        raw.crossJoin(F.broadcast(kk))
         .filter(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("cluster"), F.col("v").alias("c"))
     )
@@ -1263,14 +1285,15 @@ def _semdedup_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm at √K scale), then per-cell fine subclustering (init = the
     K_g lowest vec_ids of the cell, one Lloyd update).  Returns
     (vec_id, v, cluster) with the composite bigint label."""
-    corpus, kk = _semdedup_corpus(spark, sf_dir)
+    corpus, kk, raw = _semdedup_corpus(spark, sf_dir)
     kk1 = kk.select(
         F.greatest(
             F.lit(SEM_IVF_MIN_COARSE), F.ceil(F.sqrt(F.col("k").cast("double"))).cast("long")
         ).alias("k1")
     )
+    # c0 from the UN-fanned union (r18) — see _semdedup_corpus
     c0 = (
-        corpus.crossJoin(F.broadcast(kk1))
+        raw.crossJoin(F.broadcast(kk1))
         .filter(F.col("vec_id") < F.col("k1"))
         .select(F.col("vec_id").alias("cluster"), F.col("v").alias("c"))
     )
@@ -1321,6 +1344,14 @@ def _semdedup_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # layout is exactly the pre-change one.  Decision list proven
         # identical and measured -6.5% min / -8.8% med on the full query
         # (interleaved in-process A/B, 6 rounds).
+        # r18 (ADVICE r17 #2 examined): the anchor CAN be 1 when the rows
+        # floor leaves a sub-512-row corpus on one partition — but for
+        # THIS operator that case is self-limiting, not the variant-D
+        # pathology: n < 512 forces kg = ceil(n_g/SEM_TARGET) = 1 fine
+        # centroid per cell, so the single-task fine phase does ~one
+        # distance per row.  Per-row fine work scales with n_g/SEM_TARGET
+        # and only grows once n (and with it the anchor) does; a declared
+        # work_factor here would guard a load this operator cannot reach.
         mem = (
             coarse.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("vec_id")))
             .repartition(

@@ -355,9 +355,20 @@ def full_outer_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast interval join — the loadBamIntervals overlap predicate
-    (Intervals.scala:148-154; J4). Small interval dim broadcast; range
-    predicate evaluated as a broadcast nested-loop join, exactly the scale
-    shape of reads⋈LociSet."""
+    (Intervals.scala:148-154; J4). Small interval dim broadcast, exactly
+    the scale shape of reads⋈LociSet.
+
+    r18 (guide §3, VERDICT r17 #7): the intervals are the day grid, so
+    events are BUCKETED to it (date_trunc('day', ts)) and the join is an
+    EQUI-join on the bucket with the original range predicate kept as
+    the residual condition — a BroadcastHashJoin (one hash probe per
+    event) instead of the BroadcastNestedLoopJoin that compared every
+    event against up to 31 intervals.  Row-identical unconditionally:
+    the residual reproduces the original predicate, and any row the old
+    join emitted satisfies trunc(ts) = day_start because every interval
+    is one midnight-aligned day (the bucket key is derived from the
+    interval grid, the general range-bucketing recipe).  At 100 TB the
+    per-row interval scan was O(|intervals|); the hash probe is O(1)."""
     ev = table(spark, sf_dir, "events")
     days = spark.sql(
         "SELECT explode(sequence(timestamp'2024-01-01', timestamp'2024-01-31',"
@@ -365,7 +376,9 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = ev.join(
         F.broadcast(days),
-        (ev.ts >= days.day_start) & (ev.ts < days.day_start + F.expr("interval 1 day")),
+        (F.date_trunc("day", ev.ts) == days.day_start)
+        & (ev.ts >= days.day_start)
+        & (ev.ts < days.day_start + F.expr("interval 1 day")),
     )
     return joined.groupBy(
         F.col("day_start").cast("date").alias("day"), "event_type"

@@ -520,6 +520,15 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that is three saved corpus passes for one vocab-sized local write.
     # Measured (interleaved min-of-7 brackets, sf0.1): 2.33/1.50 s →
     # 1.39/0.94 s, identical top-20.
+    # The tf frame materializes AQE-coalesced (ONE partition at sf0.1 —
+    # the 1 MB minPartitionSize floor), so the three consumer stages run
+    # single-task at bench scale.  A pre-ckpt repartition(cores) — the
+    # r18 VERDICT-#4-pattern probe — was REJECTED on measurement: the
+    # extra exchange + 32-file checkpoint write DOUBLED the query
+    # (0.85 → 1.72 s min, 3-round interleaved fresh-process A/B); the
+    # single-partition layout is a bench-scale artifact of size-driven
+    # AQE coalescing, which materializes a real corpus' tf executor-wide
+    # on its own.
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))

@@ -41,7 +41,10 @@ def get_spark(app_name: str = "spark_bam_spark", shuffle_partitions: str | None 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # allow Python DataSource pushFilters (bam zone-map pruning)
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (headless harness); SPARK_GRAFT_UI=1 turns it
+        # on so measurement tools can read per-job timings from the REST
+        # API (tools/r18_ivf_jobs.py) — no effect on any query
+        .config("spark.ui.enabled", "true" if os.environ.get("SPARK_GRAFT_UI") else "false")
         # saveAsTable target for bucketed tables (in-memory catalog)
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_bam_spark_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
