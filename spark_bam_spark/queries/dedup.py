@@ -1044,6 +1044,17 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         f" i -> md5(concat_ws(' ', slice(w, i + 1, {DECONTAM_N})))),"
         " array())"
     )
+    # g feeds THREE consumers (train stream + the broadcast-built bench
+    # and sizes sides), each re-running the scan → explode → distinct
+    # subtree — this query posted the worst 10x wall ratio in the r18
+    # probe (4.64), so a bm25-style localCheckpoint of g was PROBED in
+    # r18 and REVERTED on measurement: −9% at sf0.1 (1.22 → 1.11 min)
+    # but +15-27% at the 10x tile (2.88 → 3.31/3.65, interleaved
+    # fresh-process A/B) — unlike bm25's tf (token stream → vocab-sized)
+    # or minhash's postings (~10x smaller), the distinct (doc, gram)
+    # frame is the SAME size as its input, so materializing it costs
+    # more than the two saved re-derivations precisely where scale
+    # makes it matter.  Guide §5's cache rule, measured.
     g = (
         fan_out(table(spark, sf_dir, "documents"))
         .select("doc_id", F.split("text", " ").alias("w"))

@@ -529,6 +529,13 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-partition layout is a bench-scale artifact of size-driven
     # AQE coalescing, which materializes a real corpus' tf executor-wide
     # on its own.
+    # Executor-loss stance (r18): localCheckpoint is NON-reliable; an
+    # executor loss fails the job and the invocation re-runs from the
+    # parquet inputs (the tf frame is deterministic and per-invocation).
+    # At 100 TB the same materialization would persist(DISK_ONLY_2) or
+    # reliably checkpoint if recompute-on-retry is too expensive; the
+    # frame is vocab×doc-sized, orders of magnitude under the token
+    # stream it replaces (30x-tile probe in OPTIMIZATION_r18.md).
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
